@@ -1,0 +1,197 @@
+"""Image codecs, pure stdlib + NumPy.
+
+The engine treats image payloads as opaque ``binary`` columns decoded
+only inside Arrow-batched UDFs (SURVEY.md §1.1). This container has no
+Pillow/imagecodecs/cv2, so:
+
+- **PNG** is implemented for real (zlib stdlib): 8-bit gray / RGB /
+  RGBA, all five scanline filters on decode, filter-0 on encode. This
+  is the lossless/checksum-exact path.
+- **JPEG / WebP are STUBBED with a clearly-marked deterministic fake
+  lossy codec** (``FakeLossyCodec``): quantize-to-step-4 + zlib. It is
+  NOT jpeg — it exists so the Spark-side plumbing (schema, batching,
+  PSNR≥40dB tolerance path mirroring
+  ``apps/gdalalg_raster_compare.cpp:1094``) is real and tested. Swap
+  ``decode_image``/``encode_image`` internals for Pillow/libjpeg on a
+  real cluster; every caller goes through this module only.
+
+Arrays are HxW (gray) or HxWxC uint8.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+FAKE_MAGIC = b"GSLOSSY1"  # deterministic fake lossy container
+FAKE_QUANT = 4  # quant step → worst-case err 2 → PSNR ≈ 45 dB ≥ 40
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(arr: np.ndarray, compress_level: int = 6) -> bytes:
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = arr.reshape(h, w * channels)
+    # filter byte 0 per scanline
+    scan = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    scan[:, 1:] = raw
+    idat = zlib.compress(scan.tobytes(), compress_level)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a, b, c):
+    p = int(a) + int(b) - int(c)
+    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_decode(buf: bytes) -> np.ndarray:
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    off = 8
+    w = h = bit_depth = color_type = None
+    idat = []
+    while off < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, off)
+        tag = buf[off + 4 : off + 8]
+        data = buf[off + 8 : off + 8 + ln]
+        off += 12 + ln
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if bit_depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    pos = 0
+    for row in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        prev = out[row - 1] if row > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[row] = line
+        elif ft == 2:  # Up
+            out[row] = line + prev
+        elif ft == 1:  # Sub
+            cur = line
+            for i in range(bpp, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+            out[row] = cur
+        elif ft == 3:  # Average
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+            out[row] = cur
+        elif ft == 4:  # Paeth
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + _paeth(left, prev[i], ul)) & 0xFF
+            out[row] = cur
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
+
+
+# ---------------------------------------------------------------------------
+# Fake lossy codec (STAND-IN for jpeg/webp — NOT a real codec)
+# ---------------------------------------------------------------------------
+
+
+def fake_lossy_encode(arr: np.ndarray, fmt: str = "jpeg") -> bytes:
+    """Deterministic stand-in for jpeg/webp: quantize channel values to
+    step FAKE_QUANT then zlib. Lossy (so the PSNR path is exercised),
+    deterministic (so tests are stable). Clearly NOT the real codec."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    q = (arr.astype(np.int16) // FAKE_QUANT).astype(np.uint8)
+    payload = zlib.compress(q.tobytes(), 6)
+    fmt_b = fmt.encode()[:4].ljust(4, b"\x00")
+    head = FAKE_MAGIC + fmt_b + struct.pack("<IIIB", h, w, c, FAKE_QUANT)
+    return head + payload
+
+
+def fake_lossy_decode(buf: bytes) -> np.ndarray:
+    if buf[:8] != FAKE_MAGIC:
+        raise ValueError("not a fake-lossy payload")
+    h, w, c, q = struct.unpack_from("<IIIB", buf, 12)
+    raw = zlib.decompress(buf[25:])
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape((h, w) if c == 1 else (h, w, c))
+    out = arr.astype(np.int16) * q + q // 2
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    fmt = fmt.lower()
+    if fmt == "png":
+        return png_encode(arr)
+    if fmt in ("jpeg", "jpg", "webp"):
+        return fake_lossy_encode(arr, fmt)
+    raise NotImplementedError(f"codec {fmt!r} not available in this container")
+
+
+def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
+    b = bytes(buf)
+    if b[:8] == PNG_SIG:
+        return png_decode(b)
+    if b[:8] == FAKE_MAGIC:
+        return fake_lossy_decode(b)
+    raise NotImplementedError(
+        f"payload is neither PNG nor the fake-lossy container (fmt hint {fmt!r}); "
+        "real jpeg/webp decoding requires Pillow/imagecodecs — stubbed here"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR in dB — metric per ``apps/gdalalg_raster_compare.cpp:1094``."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -1,0 +1,71 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target local[N] testing but every knob is the one you would
+set on a 1000-executor cluster: AQE on (runtime skew-join + partition
+coalescing), Arrow enabled with a bounded batch size (the pandas-UDF
+analogue of GDAL's 65,536-feature Arrow batches,
+``ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp:2079``), and shuffle
+partition counts sized to cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch granularity: mirrors OGR's default Arrow stream batch of
+# 65,536 features (ogrlayerarrow.cpp:2079). For image-bearing rows we
+# bound far lower so a batch of decoded pixels fits in worker memory.
+DEFAULT_ARROW_BATCH = 1024
+
+
+def get_spark(
+    app_name: str = "gdal_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = DEFAULT_ARROW_BATCH,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. On a real cluster you simply do not pass ``master``
+    and let spark-submit decide; every other conf is cluster-safe.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 0
+        except ValueError:
+            n = 0
+        shuffle_partitions = max(32, n or 32)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting. The
+        # explicit hot-cell salting in operators/spatial_join.py handles
+        # build-side skew; AQE handles residual probe-side skew.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for pandas UDFs; bounded batches so decoded-pixel
+        # payloads (256*256*3 bytes/row post-decode) stay in memory.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch)
+        )
+        # Image rows are wide (binary payloads): keep scan splits modest
+        # so a partition of encoded tiles fits alongside shuffle buffers.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,94 @@
+"""WKB codec + NumPy geometry kernel tests."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.functions import geometry as G
+
+
+SQUARE = [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]]
+SQUARE_WITH_HOLE = [
+    [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+    [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)],
+]
+
+
+def test_wkb_point_roundtrip():
+    g = G.parse_wkb(G.wkb_point(1.5, -2.5))
+    assert g.gtype == G.WKB_POINT
+    assert g.coords[0].tolist() == [[1.5, -2.5]]
+
+
+def test_wkb_polygon_roundtrip():
+    g = G.parse_wkb(G.wkb_polygon(SQUARE_WITH_HOLE))
+    assert g.gtype == G.WKB_POLYGON
+    assert len(g.rings) == 2
+    assert g.ring_roles == [True, False]
+    assert G.geom_bbox(g) == (0.0, 0.0, 10.0, 10.0)
+
+
+def test_wkb_multipolygon_roundtrip():
+    g = G.parse_wkb(G.wkb_multipolygon([SQUARE, [[(20, 20), (30, 20), (30, 30), (20, 30), (20, 20)]]]))
+    assert g.gtype == G.WKB_MULTIPOLYGON
+    assert len(g.rings) == 2
+
+
+def test_point_in_polygon_basic():
+    g = G.parse_wkb(G.wkb_polygon(SQUARE))
+    px = np.array([5.0, -1.0, 10.5, 0.5])
+    py = np.array([5.0, 5.0, 5.0, 0.5])
+    assert G.points_in_geom(px, py, g).tolist() == [True, False, False, True]
+
+
+def test_point_in_polygon_hole():
+    g = G.parse_wkb(G.wkb_polygon(SQUARE_WITH_HOLE))
+    px = np.array([5.0, 1.0, 4.5])
+    py = np.array([5.0, 1.0, 4.5])
+    # (5,5) is inside the hole → outside; (1,1) inside; (4.5,4.5) in hole
+    assert G.points_in_geom(px, py, g).tolist() == [False, True, False]
+
+
+def test_point_in_multipolygon():
+    g = G.parse_wkb(G.wkb_multipolygon([SQUARE, [[(20, 20), (30, 20), (30, 30), (20, 30), (20, 20)]]]))
+    px = np.array([5.0, 25.0, 15.0])
+    py = np.array([5.0, 25.0, 15.0])
+    assert G.points_in_geom(px, py, g).tolist() == [True, True, False]
+
+
+def test_area_and_centroid():
+    g = G.parse_wkb(G.wkb_polygon(SQUARE_WITH_HOLE))
+    assert G.geom_area(g) == pytest.approx(100 - 4)
+    cx, cy = G.geom_centroid(G.parse_wkb(G.wkb_polygon(SQUARE)))
+    assert (cx, cy) == pytest.approx((5.0, 5.0))
+
+
+def test_intersects():
+    a = G.parse_wkb(G.wkb_polygon(SQUARE))
+    b = G.parse_wkb(G.wkb_bbox_polygon(5, 5, 15, 15))  # overlaps
+    c = G.parse_wkb(G.wkb_bbox_polygon(11, 11, 12, 12))  # disjoint
+    d = G.parse_wkb(G.wkb_bbox_polygon(2, 2, 3, 3))  # contained in a
+    e = G.parse_wkb(G.wkb_bbox_polygon(-5, -5, 15, 15))  # contains a
+    assert G.geoms_intersect(a, b)
+    assert not G.geoms_intersect(a, c)
+    assert G.geoms_intersect(a, d)
+    assert G.geoms_intersect(a, e)
+    # edge-crossing with no vertex containment: thin cross shapes
+    h = G.parse_wkb(G.wkb_bbox_polygon(-1, 4, 11, 6))
+    v = G.parse_wkb(G.wkb_bbox_polygon(4, -1, 6, 11))
+    assert G.geoms_intersect(h, v)
+
+
+def test_clip_ring_to_bbox():
+    ring = np.asarray(SQUARE[0], dtype=float)
+    out = G.clip_ring_to_bbox(ring, 5, 5, 15, 15)
+    g = G.Geom(G.WKB_POLYGON, rings=[out], ring_roles=[True])
+    assert G.geom_area(g) == pytest.approx(25.0)
+    empty = G.clip_ring_to_bbox(ring, 50, 50, 60, 60)
+    assert len(empty) == 0
+
+
+def test_points_to_geom_distance():
+    g = G.parse_wkb(G.wkb_polygon(SQUARE))
+    d = G.points_to_geom_distance(np.array([5.0, 13.0]), np.array([5.0, 10.0]), g)
+    assert d[0] == 0.0
+    assert d[1] == pytest.approx(3.0)
