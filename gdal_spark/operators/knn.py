@@ -1,0 +1,122 @@
+"""kNN join via cell-grid ring expansion.
+
+Distributed analogue of GDAL's quadtree nearest-neighbour search
+(``port/cpl_quad_tree.h:65-85``; radius-growth loop in
+``alg/gdalgrid.cpp:261-277,344-385,922-949``): instead of growing a
+search radius inside one quadtree, each round joins the pending
+queries against all sites within a (2r+1)×(2r+1) block of grid cells
+and keeps a query's top-k once the k-th distance is provably inside
+the ring guarantee (``kth_dist <= r * cell_size``: any site outside
+the block is at least ``r * cell_size`` away).
+
+Metric: planar Euclidean on (lon, lat) degrees over a geodetic
+(plate-carrée) cell grid — matching the reference's gdalgrid search,
+which is likewise planar in the layer's coordinate space.
+
+Everything is DataFrame ops: explode of a literal offsets sequence,
+equi-join on (tx, ty), one window per round. Ties broken by
+(dist², site_id) so results are deterministic under shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import tile_math as tm
+
+
+def _geodetic_tile(col, zoom: int):
+    """Geodetic (non-tms-compatible) tile index of a coordinate offset
+    by +180 (lon) / +90 (lat): gdal2tiles GlobalGeodetic semantics
+    (gdal2tiles.py:583-600): tx = ceil(((180+lon)/res)/256)-1."""
+    res = (360.0 / 256.0) / (2**zoom)
+    px = col / F.lit(res)
+    return (F.ceil(px / F.lit(256.0)) - F.lit(1)).cast("int")
+
+
+def cell_size_deg(zoom: int) -> float:
+    return 360.0 / (2**zoom)
+
+
+def knn_join(
+    queries: DataFrame,
+    sites: DataFrame,
+    k: int,
+    query_id: str = "pt_id",
+    site_id: str = "site_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    s_lon: str = "lon",
+    s_lat: str = "lat",
+    zoom: int = 5,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Exact k nearest sites per query point.
+
+    Returns (query_id, site_id, dist, rank) with rank 1..k.
+    """
+    s = cell_size_deg(zoom)
+    sts = sites.select(
+        F.col(site_id).alias("_sid"),
+        F.col(s_lon).alias("_slon"),
+        F.col(s_lat).alias("_slat"),
+        _geodetic_tile(F.col(s_lon) + F.lit(180.0), zoom).alias("_stx"),
+        _geodetic_tile(F.col(s_lat) + F.lit(90.0), zoom).alias("_sty"),
+    )
+    pending = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(q_lon).alias("_qlon"),
+        F.col(q_lat).alias("_qlat"),
+        _geodetic_tile(F.col(q_lon) + F.lit(180.0), zoom).alias("_qtx"),
+        _geodetic_tile(F.col(q_lat) + F.lit(90.0), zoom).alias("_qty"),
+    )
+    results = []
+    r = 1
+    for round_no in range(max_rounds):
+        last = round_no == max_rounds - 1
+        # all cells within chebyshev distance r of the query cell
+        cand = (
+            pending.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .join(
+                sts,
+                (F.col("_stx") == F.col("_qtx") + F.col("_dx"))
+                & (F.col("_sty") == F.col("_qty") + F.col("_dy")),
+                "left" if last else "inner",
+            )
+            .withColumn(
+                "_d2",
+                (F.col("_slon") - F.col("_qlon")) ** 2 + (F.col("_slat") - F.col("_qlat")) ** 2,
+            )
+        )
+        w = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_sid").asc())
+        topk = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .withColumn("_cnt", F.count("*").over(Window.partitionBy("_qid")))
+            .withColumn("_kthd2", F.max("_d2").over(Window.partitionBy("_qid")))
+        )
+        guarantee = float(r * s) ** 2
+        done_filter = (F.col("_cnt") >= k) & (F.col("_kthd2") <= F.lit(guarantee))
+        if last:
+            done_filter = F.lit(True)  # accept best effort on final round
+        done = topk.filter(done_filter).select(
+            F.col("_qid").alias(query_id),
+            F.col("_sid").alias(site_id),
+            F.sqrt("_d2").alias("dist"),
+            F.col("_rn").alias("rank"),
+        )
+        results.append(done)
+        not_done = topk.filter(~done_filter).select("_qid").distinct()
+        pending = pending.join(not_done, pending["_qid"] == not_done["_qid"], "leftsemi")
+        if last:
+            break
+        # cheap emptiness probe once the ring is already wide
+        if r >= 4 and pending.isEmpty():
+            break
+        r *= 2
+    out = results[0]
+    for d in results[1:]:
+        out = out.unionByName(d)
+    return out
