@@ -1,0 +1,130 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four strategies over the ``documents`` table (SURVEY.md "beyond the
+reference" scope):
+
+- **exact**: md5(text) hash-groupBy, keep min doc_id.
+- **MinHash + LSH**: K md5-derived hash permutations → signature →
+  banded bucket keys → candidate pairs by bucket equi-join → exact
+  3-gram-shingle Jaccard verify. The classic shingle→minhash→band→
+  bucket-join pipeline, fully JVM-side via higher-order functions
+  (transform/array_min/md5) — NO Python UDFs.
+- **SimHash**: 32-bit signature from per-token md5 hex bits, per-bit
+  majority vote; Hamming-bucket by simhash byte for candidates.
+- **n-gram Jaccard**: exact similarity on 3-token shingles, used as
+  the verify stage of LSH.
+
+Every op is deterministic and expressible in ANSI SQL, so the DuckDB
+oracle in ``__spark_entry__`` mirrors it exactly (same md5-based hash
+family in both engines → identical buckets and pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKENS = "split(text, ' ')"
+K_MINHASH = 16
+BANDS = 4  # 4 bands × 4 rows
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_sig_exprs(k: int = K_MINHASH) -> list[str]:
+    """Signature element i = min over tokens of md5('<i>|' || token) —
+    a valid min-wise hash family (min over a pseudorandom ordering)."""
+    return [
+        f"array_min(transform({TOKENS}, x -> md5(concat('{i}|', x))))" for i in range(k)
+    ]
+
+
+def minhash_signatures(docs: DataFrame, k: int = K_MINHASH) -> DataFrame:
+    sigs = [F.expr(e).alias(f"mh{i}") for i, e in enumerate(minhash_sig_exprs(k))]
+    return docs.select("doc_id", *sigs)
+
+
+def band_exprs(k: int = K_MINHASH, bands: int = BANDS) -> list[str]:
+    rows = k // bands
+    out = []
+    for b in range(bands):
+        cols = ", ".join(f"mh{b * rows + j}" for j in range(rows))
+        out.append(f"md5(concat_ws('|', {cols}))")
+    return out
+
+
+def shingles_expr(n: int = 3) -> str:
+    """3-token shingles via sequence+transform (1-based element_at)."""
+    return (
+        f"CASE WHEN size({TOKENS}) >= {n} THEN "
+        f"transform(sequence(1, size({TOKENS}) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(f'element_at(split(text, chr(32)), i + {j})' for j in range(n))})) "
+        f"ELSE array(text) END"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = K_MINHASH, bands: int = BANDS, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs: LSH band-bucket candidates + exact shingle
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, each pair once."""
+    sig = minhash_signatures(docs, k)
+    b_exprs = band_exprs(k, bands)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.expr(e).alias("bkey")) for i, e in enumerate(b_exprs)])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = docs.select(
+        "doc_id", F.array_distinct(F.expr(shingles_expr())).alias("sh")
+    )
+    pairs = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def simhash_bit_expr(i: int) -> str:
+    """±1 contribution of a token to simhash bit i: high bit of the
+    i-th md5 hex digit (md5 is identical in Spark and DuckDB)."""
+    return (
+        f"CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END"
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per-bit majority over token md5 bits."""
+    toks = docs.select("doc_id", F.explode(F.expr(TOKENS)).alias("tok"))
+    aggs = [
+        F.sum(F.expr(simhash_bit_expr(i))).alias(f"s{i}") for i in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    combine = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return per_doc.select("doc_id", F.expr(combine).alias("simhash"))

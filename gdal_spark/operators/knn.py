@@ -87,7 +87,10 @@ def knn_join(
             )
             .withColumn(
                 "_d2",
-                (F.col("_slon") - F.col("_qlon")) ** 2 + (F.col("_slat") - F.col("_qlat")) ** 2,
+                # explicit multiplication (not pow): bit-identical to the
+                # DuckDB oracle's (a-b)*(a-b)
+                (F.col("_slon") - F.col("_qlon")) * (F.col("_slon") - F.col("_qlon"))
+                + (F.col("_slat") - F.col("_qlat")) * (F.col("_slat") - F.col("_qlat")),
             )
         )
         w = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_sid").asc())

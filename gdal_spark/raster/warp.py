@@ -1,0 +1,106 @@
+"""Warp kernel: reproject a lon/lat-gridded source into a mercator
+tile grid, pure NumPy.
+
+The Spark re-expression of ``GDALWarpOperation`` (SURVEY.md §3.3):
+the reference chunks the output and runs a transformer chain
+(dst pixel → dst SRS → PROJ → src SRS → src pixel,
+``alg/gdaltransformer.cpp:3087``) per chunk; here the "chunk" is one
+tile inside an Arrow batch, and the transformer chain is the inverse
+spherical-mercator formula (exact, no approximation needed — it is a
+closed form, cheaper than GDAL's ApproxTransformer).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+ORIGIN_SHIFT = 2 * math.pi * 6378137 / 2.0
+INITIAL_RESOLUTION = 2 * math.pi * 6378137 / 256.0
+
+
+def merc_to_lat(my: np.ndarray) -> np.ndarray:
+    """EPSG:3857 y → WGS84 lat (gdal2tiles.py:433-441, vectorized)."""
+    lat = (my / ORIGIN_SHIFT) * 180.0
+    return 180.0 / math.pi * (2.0 * np.arctan(np.exp(lat * math.pi / 180.0)) - math.pi / 2.0)
+
+
+def merc_to_lon(mx: np.ndarray) -> np.ndarray:
+    return (mx / ORIGIN_SHIFT) * 180.0
+
+
+def _sample_nearest(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, nodata=0):
+    h, w = src.shape[:2]
+    xi = np.floor(sx).astype(np.int64)
+    yi = np.floor(sy).astype(np.int64)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    xi = np.clip(xi, 0, w - 1)
+    yi = np.clip(yi, 0, h - 1)
+    out = src[yi, xi]
+    out[~valid] = nodata
+    return out, valid
+
+
+def _sample_bilinear(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, nodata=0):
+    h, w = src.shape[:2]
+    fx = sx - 0.5
+    fy = sy - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = fx - x0
+    ty = fy - y0
+    valid = (fx >= -0.5) & (fx <= w - 0.5) & (fy >= -0.5) & (fy <= h - 0.5)
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    a = src[y0c, x0c].astype(np.float64)
+    b = src[y0c, x1c].astype(np.float64)
+    c = src[y1c, x0c].astype(np.float64)
+    d = src[y1c, x1c].astype(np.float64)
+    if src.ndim == 3:
+        tx = tx[..., None]
+        ty = ty[..., None]
+    top = a * (1 - tx) + b * tx
+    bot = c * (1 - tx) + d * tx
+    out = top * (1 - ty) + bot * ty
+    if src.dtype.kind in "ui":
+        out = np.clip(np.floor(out + 0.5), 0, 255)
+    out = out.astype(src.dtype)
+    out[~valid] = nodata
+    return out, valid
+
+
+def warp_lonlat_to_merc_tile(
+    src: np.ndarray,
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    tile_bounds: tuple[float, float, float, float],
+    tile_size: int = 256,
+    resampling: str = "near",
+):
+    """Render one mercator tile window from a lon/lat-gridded source.
+
+    Returns (tile HxWxC, alpha HxW bool). Pixels outside the source
+    footprint get alpha 0 (the reference's alpha-band transparency,
+    gdal2tiles.py:1171).
+    """
+    minx, miny, maxx, maxy = tile_bounds
+    res = (maxx - minx) / tile_size
+    mx = minx + (np.arange(tile_size) + 0.5) * res
+    my = maxy - (np.arange(tile_size) + 0.5) * res
+    lon = merc_to_lon(mx)[None, :]
+    lat = merc_to_lat(my)[:, None]
+    h, w = src.shape[:2]
+    sx = (lon - lon_min) / (lon_max - lon_min) * w
+    sy = (lat_max - lat) / (lat_max - lat_min) * h
+    sx = np.broadcast_to(sx, (tile_size, tile_size)).copy()
+    sy = np.broadcast_to(sy, (tile_size, tile_size)).copy()
+    if resampling in ("near", "nearest"):
+        out, valid = _sample_nearest(src, sx, sy)
+    else:
+        out, valid = _sample_bilinear(src, sx, sy)
+    return out, valid

@@ -53,6 +53,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas UDFs; bounded batches so decoded-pixel
         # payloads (256*256*3 bytes/row post-decode) stay in memory.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -73,13 +73,9 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sites(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN method-side points from supplier × part (more rows)."""
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    """kNN method-side points from ``part`` (site_id = p_partkey)."""
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    sp = s.crossJoin(p).select(
-        (F.col("s_suppkey") * F.lit(1000) + F.col("p_partkey")).alias("s_key")
-    )
-    return sp.select(
+    return p.select(F.col("p_partkey").alias("s_key")).select(
         F.col("s_key").alias("site_id"),
         F.expr(SITE_LON_SQL).alias("lon"),
         F.expr(SITE_LAT_SQL).alias("lat"),

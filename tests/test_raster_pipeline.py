@@ -1,0 +1,148 @@
+"""Raster pipeline + tiler end-to-end tests vs the single-node oracle."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import tile_math as tm
+from gdal_spark.raster import codec, pipeline, tiler
+from gdal_spark.raster.checksum import checksum_bands
+from gdal_spark.raster.warp import warp_lonlat_to_merc_tile
+from gdal_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def imgs(spark, sf_dir):
+    # small deterministic subset with pixels
+    return synth.images(spark, sf_dir).filter(F.col("image_id") < "img000000000050").cache()
+
+
+def test_images_schema_and_captions(imgs, spark, sf_dir):
+    rows = imgs.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.caption.startswith("synthetic scene ")
+        assert r.fmt in ("png", "jpeg", "webp")
+        arr = codec.decode_image(r.bytes, r.fmt)
+        assert arr.shape == (r.h, r.w, 3)
+
+
+def test_checksums_lossless_exact_and_lossy_psnr(imgs):
+    rows = imgs.collect()
+    got = {r.image_id: r for r in pipeline.with_checksums(imgs).collect()}
+    for r in rows:
+        okey = int(r.image_id[3:])
+        ref = synth.synth_pixels(r.image_id, r.w, r.h)
+        dec = codec.decode_image(r.bytes, r.fmt)
+        g = got[r.image_id]
+        assert g.caption == f"synthetic scene {okey} tags:{okey % 17}"  # exact captions
+        if r.fmt == "png":
+            # lossless path: checksum-exact vs oracle pixels
+            assert np.array_equal(dec, ref)
+            assert [g.checksum_b0, g.checksum_b1, g.checksum_b2] == checksum_bands(ref)
+        else:
+            # lossy path: PSNR >= 40 dB (north rule)
+            assert codec.psnr(ref, dec) >= 40.0
+            assert [g.checksum_b0, g.checksum_b1, g.checksum_b2] == checksum_bands(dec)
+
+
+def test_translate_window_scale(imgs):
+    out = pipeline.translate(
+        imgs, srcwin=(4, 4, 32, 32), out_size=(16, 16), scale=(0.5, 10.0), bands=[0]
+    ).collect()
+    assert all(r.w == 16 and r.h == 16 and r.fmt == "png" for r in out)
+    one = next(r for r in out if r.image_id.endswith("0"))
+    arr = codec.decode_image(one.bytes, "png")
+    assert arr.shape == (16, 16)
+    assert arr.max() <= 255 // 2 + 11  # scaled
+
+
+def test_as_features_roundtrip(imgs, spark):
+    one = imgs.filter(F.col("image_id") == "img000000000000")
+    feats = pipeline.as_features(one).collect()
+    r = one.collect()[0]
+    arr = codec.decode_image(r.bytes, r.fmt)
+    assert len(feats) == r.w * r.h
+    m = {(f.row, f.col): f.value for f in feats}
+    assert m[(0, 0)] == int(arr[0, 0, 0])
+    assert m[(r.h - 1, r.w - 1)] == int(arr[r.h - 1, r.w - 1, 0])
+
+
+def test_assign_tiles_matches_reference_math(spark, sf_dir):
+    fps = synth.footprints(spark, sf_dir).limit(100)
+    z = 11
+    got = {
+        (r.image_id, r.tx, r.ty, r.x, r.y, r.quadkey)
+        for r in tiler.assign_tiles(fps, z).collect()
+    }
+    m = tm.GlobalMercator()
+    exp = set()
+    for f in fps.collect():
+        txmin, tymin = m.LatLonToTile(f.lat_min, f.lon_min, z)
+        txmax, tymax = m.LatLonToTile(f.lat_max, f.lon_max, z)
+        for tx in range(txmin, txmax + 1):
+            for ty in range(tymin, tymax + 1):
+                exp.add((f.image_id, tx, ty, tx, (2**z - 1) - ty, m.QuadTree(tx, ty, z)))
+    assert got == exp
+
+
+def test_render_base_tiles_vs_oracle(imgs):
+    z = 11
+    tiles = tiler.render_base_tiles(imgs, z).collect()
+    assert tiles
+    rows = {r.image_id: r for r in imgs.collect()}
+    m = tm.GlobalMercator()
+    # oracle: single-node render of every tile of every image
+    oracle = {}
+    for r in rows.values():
+        arr = codec.decode_image(r.bytes, r.fmt)
+        txmin, tymin = m.LatLonToTile(r.lat_min, r.lon_min, z)
+        txmax, tymax = m.LatLonToTile(r.lat_max, r.lon_max, z)
+        for tx in range(txmin, txmax + 1):
+            for ty in range(tymin, tymax + 1):
+                tile, valid = warp_lonlat_to_merc_tile(
+                    arr, r.lon_min, r.lat_min, r.lon_max, r.lat_max,
+                    m.TileBounds(tx, ty, z), 256, "near",
+                )
+                if not valid.any():
+                    continue
+                cur = oracle.get((tx, ty))
+                canvas = (
+                    cur if cur is not None else np.zeros((256, 256, 4), np.uint8)
+                )
+                put = valid & (canvas[:, :, 3] == 0)
+                canvas[:, :, :3][put] = tile[put]
+                canvas[:, :, 3][put] = 255
+                oracle[(tx, ty)] = canvas
+    got = {(t.tx, t.ty): t for t in tiles}
+    assert set(got) == set(oracle)
+    for key, canvas in oracle.items():
+        t = got[key]
+        dec = codec.png_decode(bytes(t.tile))
+        assert np.array_equal(dec, canvas), key
+        from gdal_spark.raster.checksum import checksum
+
+        assert t.checksum == checksum(canvas[:, :, 0])
+        assert t.quadkey == m.QuadTree(t.tx, t.ty, z)
+
+
+def test_pyramid_and_resume(imgs, spark, tmp_path):
+    out_dir = str(tmp_path / "tiles_out")
+    pyr = tiler.build_pyramid(imgs, min_zoom=9, max_zoom=11)
+    info = tiler.write_tiles(spark, pyr, out_dir)
+    assert info["n_tiles"] > 0
+    zs = {r.z for r in spark.read.parquet(f"{out_dir}/tiles").select("z").distinct().collect()}
+    assert zs == {9, 10, 11}
+    # parent/child consistency: every z=10 tile has a z=11 child
+    t = spark.read.parquet(f"{out_dir}/tiles")
+    kids = {(r.tx // 2, r.ty // 2) for r in t.filter("z = 11").collect()}
+    parents = {(r.tx, r.ty) for r in t.filter("z = 10").collect()}
+    assert parents == kids
+    # resume: rerendering with the manifest renders ZERO new base tiles
+    manifest = tiler.read_manifest(spark, out_dir)
+    again = tiler.render_base_tiles(imgs, 11, resume_manifest=manifest)
+    assert again.count() == 0
+    # metrics/lineage rows were appended
+    metrics = spark.read.parquet(f"{out_dir}/metrics")
+    assert metrics.count() > 0
+    assert {"run_id", "n_tiles", "bytes", "wall_sec"} <= set(metrics.columns)
