@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps SURVEY.md §2 operators to (Spark query, DuckDB oracle SQL) pairs.
+Design rule for oracle parity (see gdal_spark/sources/synth.py): every
+synthetic geo layer is derived from the driver's parquet tables with
+integer arithmetic + one exact float divide, and every output column is
+either integral, a string, a per-row IEEE-exact double (same op order
+in both engines), or an aggregate rounded past the float-summation-
+order noise floor. Raster/pixel queries (checksums, tile pyramid,
+as-features) are not SQL-expressible — no oracle entry → the driver's
+rows-only check applies.
 """
 
 from __future__ import annotations
@@ -12,27 +16,706 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import text as T
+from gdal_spark.operators import ann, dedup
+from gdal_spark.operators.knn import knn_join
+from gdal_spark.operators.ogr_join import first_match_left_join, summary_aggregates
+from gdal_spark.operators.spatial_join import (
+    bbox_intersection_join,
+    hot_cells,
+    point_in_polygon_join,
+    with_point_cell,
+)
+from gdal_spark.operators.zonal import zonal_stats
+from gdal_spark.raster import pipeline as rp
+from gdal_spark.raster import tiler
+from gdal_spark.sources import synth
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (valid in DuckDB; arithmetic shape mirrors the
+# Spark column expressions exactly so IEEE doubles agree bit-for-bit)
+# ---------------------------------------------------------------------------
+
+P_LON = synth.POINT_LON_SQL
+P_LAT = synth.POINT_LAT_SQL
+S_LON = synth.SITE_LON_SQL.replace("s_key", "p_partkey")
+S_LAT = synth.SITE_LAT_SQL.replace("s_key", "p_partkey")
+F_LON = synth.FOOT_LON_SQL
+F_LAT = synth.FOOT_LAT_SQL
+
+AOI_CTE = f"""
+aoi AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         CASE WHEN n_nationkey % 4 = 0 THEN 'admin'
+              WHEN n_nationkey % 4 = 1 THEN 'park'
+              WHEN n_nationkey % 4 = 2 THEN 'water'
+              ELSE 'urban' END AS category,
+         CAST(n_nationkey * 104729 % 1000000 AS BIGINT) AS population,
+         {synth.AOI_LON_MIN_SQL} AS lon_min,
+         {synth.AOI_LAT_MIN_SQL} AS lat_min,
+         {synth.AOI_LON_MAX_SQL} AS lon_max,
+         {synth.AOI_LAT_MAX_SQL} AS lat_max
+  FROM nation
+)"""
+
+PTS_CTE = f"""
+pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS pt_id, {P_LON} AS lon, {P_LAT} AS lat,
+         c_acctbal
+  FROM customer
+)"""
+
+FP_CTE = f"""
+fp AS (
+  SELECT printf('img%012d', o_orderkey) AS image_id,
+         {F_LON} - 0.005 AS lon_min, {F_LAT} - 0.005 AS lat_min,
+         {F_LON} + 0.005 AS lon_max, {F_LAT} + 0.005 AS lat_max
+  FROM orders
+)"""
+
+# PIP containment = half-open box test: the even-odd ray cast of
+# OGRLinearRing::isPointInRing (ogr/ogrlinearring.cpp:452) on an
+# axis-aligned rectangle admits [min, max) on both axes.
+PIP_PRED = "p.lon >= a.lon_min AND p.lon < a.lon_max AND p.lat >= a.lat_min AND p.lat < a.lat_max"
+
+ORIGIN_SHIFT = 20037508.342789244
+PI = 3.141592653589793
+
+
+def _tile_sql_frags(zoom: int):
+    """DuckDB fragments for mercator tile math at ``zoom`` — same
+    arithmetic shape as gdal_spark.functions.tile_math column exprs."""
+    res = repr((2 * PI * 6378137.0 / 256) / (2**zoom))
+    mx = f"(lon_ * {ORIGIN_SHIFT!r} / 180.0)"
+    my = (
+        f"(ln(tan((90.0 + lat_) * {PI!r} / 360.0)) / ({PI!r} / 180.0)"
+        f" * {ORIGIN_SHIFT!r} / 180.0)"
+    )
+    tx = f"CAST(ceil((({mx} + {ORIGIN_SHIFT!r}) / {res}) / 256.0) - 1 AS INTEGER)"
+    ty = f"CAST(ceil((({my} + {ORIGIN_SHIFT!r}) / {res}) / 256.0) - 1 AS INTEGER)"
+    return tx, ty
+
+
+def _quadkey_sql(tx: str, tyg: str, zoom: int) -> str:
+    """Quadkey digits MSB-first (gdal2tiles.py:518-533) from XYZ/google
+    coords; DuckDB bit ops via // and %."""
+    digits = []
+    for i in range(zoom, 0, -1):
+        shift = 1 << (i - 1)
+        digits.append(
+            f"CAST((({tx}) // {shift}) % 2 + 2 * ((({tyg}) // {shift}) % 2) AS VARCHAR)"
+        )
+    return "concat(" + ", ".join(digits) + ")"
+
+
+TILE_ZOOM = 12
+
+
+def _tile_assign_oracle() -> str:
+    txs, tys = _tile_sql_frags(TILE_ZOOM)
+    n = 1 << TILE_ZOOM
+    tyg = f"({n - 1} - ty)"
+    qk = _quadkey_sql("tx", tyg, TILE_ZOOM)
+    return f"""
+WITH {FP_CTE},
+b AS (
+  SELECT image_id,
+         {txs.replace('lon_', 'lon_min')} AS txmin,
+         {txs.replace('lon_', 'lon_max')} AS txmax,
+         {tys.replace('lat_', 'lat_min')} AS tymin,
+         {tys.replace('lat_', 'lat_max')} AS tymax
+  FROM fp
+),
+ex AS (
+  SELECT image_id, tx, unnest(range(tymin, tymax + 1)) AS ty
+  FROM (SELECT image_id, tymin, tymax,
+               unnest(range(txmin, txmax + 1)) AS tx FROM b) t
+)
+SELECT image_id, CAST({TILE_ZOOM} AS INTEGER) AS z,
+       CAST(tx AS INTEGER) AS x, CAST({tyg} AS INTEGER) AS y,
+       {qk} AS quadkey
+FROM ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+
+
+def _q_pip(spark, sf_dir, salt=0):
+    pts = synth.points(spark, sf_dir)
+    polys = synth.aoi(spark, sf_dir)
+    hot = None
+    if salt:
+        hot = hot_cells(with_point_cell(pts), threshold=200)
+    j = point_in_polygon_join(pts, polys, salt=salt, hot=hot)
+    return j.select(
+        F.col("pt_id").cast("long").alias("pt_id"),
+        F.col("poly_id").cast("long").alias("poly_id"),
+        "category",
+    )
+
+
+PIP_ORACLE = f"""
+WITH {PTS_CTE}, {AOI_CTE}
+SELECT p.pt_id, a.poly_id, a.category
+FROM pts p JOIN aoi a ON {PIP_PRED}
+"""
+
+
+def _q_tile_assign(spark, sf_dir):
+    fp = synth.footprints(spark, sf_dir)
+    t = tiler.assign_tiles(fp, TILE_ZOOM)
+    return t.select("image_id", "z", "x", "y", "quadkey")
+
+
+def _q_bbox_join(spark, sf_dir):
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    polys = synth.aoi(spark, sf_dir)
+    j = bbox_intersection_join(fp, polys)
+    return j.select("image_id", F.col("poly_id").cast("long").alias("poly_id"))
+
+
+BBOX_ORACLE = f"""
+WITH {FP_CTE}, {AOI_CTE}
+SELECT f.image_id, a.poly_id
+FROM fp f JOIN aoi a
+  ON f.lon_min <= a.lon_max AND a.lon_min <= f.lon_max
+ AND f.lat_min <= a.lat_max AND a.lat_min <= f.lat_max
+"""
+
+
+def _q_knn(spark, sf_dir):
+    pts = synth.points(spark, sf_dir)
+    sites = synth.sites(spark, sf_dir)
+    out = knn_join(pts, sites, k=3)
+    return out.select(
+        F.col("pt_id").cast("long").alias("pt_id"),
+        F.col("site_id").cast("long").alias("site_id"),
+        "dist",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+KNN_ORACLE = f"""
+WITH {PTS_CTE},
+s AS (SELECT CAST(p_partkey AS BIGINT) AS site_id, {S_LON} AS slon, {S_LAT} AS slat FROM part),
+d AS (
+  SELECT p.pt_id, s.site_id,
+         (s.slon - p.lon) * (s.slon - p.lon) + (s.slat - p.lat) * (s.slat - p.lat) AS d2
+  FROM pts p CROSS JOIN s
+),
+r AS (
+  SELECT pt_id, site_id, sqrt(d2) AS dist,
+         row_number() OVER (PARTITION BY pt_id ORDER BY d2 ASC, site_id ASC) AS rn
+  FROM d
+)
+SELECT pt_id, site_id, dist, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 3
+"""
+
+
+def _q_zonal(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.col("c_custkey").alias("pt_id"),
+        F.expr(P_LON).alias("lon"),
+        F.expr(P_LAT).alias("lat"),
+        "c_acctbal",
+    )
+    polys = synth.aoi(spark, sf_dir)
+    z = zonal_stats(pts, polys, "c_acctbal", stats=("count", "min", "max", "sum"))
+    return z.select(
+        F.col("poly_id").cast("long").alias("poly_id"),
+        F.col("count_v").cast("long").alias("count_v"),
+        "min_v",
+        "max_v",
+        F.round("sum_v", 2).alias("sum_v"),
+    )
+
+
+ZONAL_ORACLE = f"""
+WITH {PTS_CTE}, {AOI_CTE}
+SELECT a.poly_id, CAST(count(*) AS BIGINT) AS count_v,
+       min(p.c_acctbal) AS min_v, max(p.c_acctbal) AS max_v,
+       round(sum(p.c_acctbal), 2) AS sum_v
+FROM pts p JOIN aoi a ON {PIP_PRED}
+GROUP BY a.poly_id
+"""
+
+
+def _q_first_match(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j = first_match_left_join(
+        o.select("o_orderkey", "o_totalprice"),
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        secondary_fid=["l_linenumber", "l_partkey", "l_quantity"],
+    )
+    return j.select("o_orderkey", "o_totalprice", "l_partkey", "l_quantity")
+
+
+FIRST_MATCH_ORACLE = """
+WITH f AS (
+  SELECT l_orderkey, l_partkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber ASC, l_partkey ASC, l_quantity ASC) AS rn
+  FROM lineitem
+)
+SELECT o.o_orderkey, o.o_totalprice, f.l_partkey, f.l_quantity
+FROM orders o LEFT JOIN f ON o.o_orderkey = f.l_orderkey AND f.rn = 1
+"""
+
+
+def _q_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = summary_aggregates(li, "l_quantity")
+    return s.select(
+        "min_v",
+        "max_v",
+        F.col("count_v").cast("long").alias("count_v"),
+        "sum_v",  # whole-number doubles: order-exact
+        "avg_v",
+        F.round("stddev_pop_v", 6).alias("stddev_pop_v"),
+        F.round("stddev_samp_v", 6).alias("stddev_samp_v"),
+    )
+
+
+SUMMARY_ORACLE = """
+SELECT min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+       CAST(count(l_quantity) AS BIGINT) AS count_v, sum(l_quantity) AS sum_v,
+       avg(l_quantity) AS avg_v,
+       round(stddev_pop(l_quantity), 6) AS stddev_pop_v,
+       round(stddev_samp(l_quantity), 6) AS stddev_samp_v
+FROM lineitem
+"""
+
+
+def _q_ogr_select(spark, sf_dir):
+    """OGR SQL dialect surface: ILIKE-as-LIKE (ogr/swq_op_general.cpp:41),
+    IN, BETWEEN, CAST, CONCAT, 1-based SUBSTR (ogr/ogr_swq.h:53-64)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        p.filter(
+            F.col("p_name").ilike("%RED%")
+            & F.col("p_size").between(10, 30)
+            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        )
+        .select(
+            "p_partkey",
+            F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("label"),
+            F.substring("p_name", 1, 8).alias("name8"),
+            F.col("p_size").cast("string").alias("size_s"),
+        )
+    )
+
+
+OGR_SELECT_ORACLE = """
+SELECT p_partkey, concat(p_brand, '-', p_type) AS label,
+       substr(p_name, 1, 8) AS name8, CAST(p_size AS VARCHAR) AS size_s
+FROM part
+WHERE p_name ILIKE '%RED%' AND p_size BETWEEN 10 AND 30
+  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+"""
+
+
+def _q_topk(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+TOPK_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def _q_distinct(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(F.col("c_mktsegment").alias("seg")).distinct()
+
+
+DISTINCT_ORACLE = "SELECT DISTINCT c_mktsegment AS seg FROM customer"
+
+
+def _q_union_all(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return c.select(
+        F.lit("customer").alias("src"), F.col("c_custkey").alias("key")
+    ).unionByName(s.select(F.lit("supplier").alias("src"), F.col("s_suppkey").alias("key")))
+
+
+UNION_ALL_ORACLE = """
+SELECT 'customer' AS src, c_custkey AS key FROM customer
+UNION ALL
+SELECT 'supplier' AS src, s_suppkey AS key FROM supplier
+"""
+
+
+def _q_props(spark, sf_dir):
+    """HSTORE_GET_VALUE analogue (ogr/ogr_swq.h:65): typed key lookup
+    inside a string props column."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long").alias("k_val"),
+    )
+
+
+PROPS_ORACLE = r"""
+SELECT event_id, CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
+FROM events
+"""
+
+
+def _q_events_agg(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+EVENTS_AGG_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_v,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY event_type
+"""
+
+
+# --- training-data pipeline ops -------------------------------------------
+
+
+def _q_exact_dedup(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.exact_dedup(d)
+    return out.select(
+        "text_hash",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _q_minhash(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.5)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+
+
+def _minhash_oracle() -> str:
+    toks = "string_split(text, ' ')"
+    mh = [
+        f"list_min(list_transform({toks}, x -> md5(concat('{i}|', x)))) AS mh{i}"
+        for i in range(dedup.K_MINHASH)
+    ]
+    rows = dedup.K_MINHASH // dedup.BANDS
+    bands = []
+    for b in range(dedup.BANDS):
+        cols = ", ".join(f"mh{b * rows + j}" for j in range(rows))
+        bands.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bkey FROM sig"
+        )
+    sh = (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])) "
+        f"ELSE [text] END"
+    )
+    return f"""
+WITH sig AS (SELECT doc_id, {', '.join(mh)} FROM documents),
+banded AS ({' UNION ALL '.join(bands)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents)
+SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+"""
+
+
+def _q_simhash(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ", ".join(
+        "sum(CASE WHEN substr(md5(tok), {p}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{i}".format(
+            p=i + 1, i=i
+        )
+        for i in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+per AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {combine} AS simhash FROM per
+"""
+
+
+def _q_lang(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.lang_scores(d)
+    cols = [F.col(f"score_{lg}").cast("long").alias(f"score_{lg}") for lg in T.LANG_MARKERS]
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), *cols, "pred_lang")
+
+
+def _lang_oracle() -> str:
+    toks = "string_split(text, ' ')"
+    langs = list(T.LANG_MARKERS)
+    scores = []
+    for lg in langs:
+        lst = ", ".join(f"'{w}'" for w in T.LANG_MARKERS[lg])
+        scores.append(
+            f"CAST(len(list_filter({toks}, x -> x IN ({lst}))) AS BIGINT) AS score_{lg}"
+        )
+    best = f"score_{langs[0]}"
+    pred = f"'{langs[0]}'"
+    for lg in langs[1:]:
+        pred = f"CASE WHEN score_{lg} > {best} THEN '{lg}' ELSE {pred} END"
+        best = f"CASE WHEN score_{lg} > {best} THEN score_{lg} ELSE {best} END"
+    return f"""
+WITH s AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {', '.join(scores)} FROM documents)
+SELECT doc_id, {', '.join(f'score_{lg}' for lg in langs)}, {pred} AS pred_lang FROM s
+"""
+
+
+def _q_quality(spark, sf_dir):
+    """Quality features with raw (unrounded) composite — identical op
+    order in both engines → bit-identical doubles, no rounding-mode
+    hazard on exact binary-fraction ties like 1/128."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(T.N_CHARS).cast("long").alias("n_chars_m"),
+        F.expr(T.N_TOKENS).cast("long").alias("n_tokens"),
+        F.expr(T.BPE_COUNT).cast("long").alias("n_bpe_tokens"),
+        F.expr(T.STOPWORD_COUNT).cast("long").alias("n_stopwords"),
+        F.expr(
+            f"0.5 * least(1.0, {T.N_TOKENS} / 100.0) "
+            f"+ 0.5 * ({T.STOPWORD_COUNT} / CAST({T.N_TOKENS} AS DOUBLE))"
+        ).alias("quality"),
+    )
+
+
+def _quality_oracle() -> str:
+    toks = "string_split(text, ' ')"
+    sw = ", ".join(repr(w) for w in T.STOPWORDS)
+    nsw = f"len(list_filter({toks}, x -> x IN ({sw})))"
+    nt = f"len({toks})"
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST({nt} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       CAST({nsw} AS BIGINT) AS n_stopwords,
+       0.5 * least(1.0, {nt} / 100.0) + 0.5 * ({nsw} / CAST({nt} AS DOUBLE)) AS quality
+FROM documents
+"""
+
+
+def _q_fingerprint(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.fingerprints(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "fingerprint"
+    )
+
+
+FINGERPRINT_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def _q_ann(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.brute_force_topk(e, n_queries=8, k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _ann_oracle(k: int = 10, n_queries: int = 8) -> str:
+    # sequential left-fold dot product — same op order as Spark's
+    # aggregate() so doubles match bit-for-bit before rounding
+    dot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    na = norm.format(e="a.embedding")
+    nb = norm.format(e="b.embedding")
+    return f"""
+WITH d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         round({dot} / ({na} * {nb}), 6) AS score
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < {n_queries} AND b.vec_id <> a.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM d
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       score, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {k}
+"""
+
+
+# --- raster (non-SQL-expressible → rows-only driver check) ----------------
+
+
+def _q_raster_checksums(spark, sf_dir):
+    imgs = synth.images(spark, sf_dir, where="okey % 20 = 0")
+    cs = rp.with_checksums(imgs)
+    return cs.select("image_id", "fmt", "w", "h", "checksum_b0", "checksum_b1", "checksum_b2")
+
+
+def _q_raster_translate(spark, sf_dir):
+    imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
+    t = rp.translate(imgs, srcwin=(0, 0, 48, 48), scale=(0.5, 10.0), out_fmt="png")
+    cs = rp.with_checksums(t)
+    return cs.select("image_id", "w", "h", "checksum_b0")
+
+
+def _q_as_features(spark, sf_dir):
+    imgs = synth.images(spark, sf_dir, where="okey % 500 = 0")
+    return rp.as_features(imgs, band=0, sample_stride=64)
+
+
+def _q_band_stats(spark, sf_dir):
+    imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
+    return rp.band_stats(imgs)
+
+
+def _q_tile_pyramid(spark, sf_dir):
+    imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
+    pyr = tiler.build_pyramid(imgs, min_zoom=4, max_zoom=6)
+    return pyr.select("z", "x", "y", "quadkey", "checksum", "n_srcs")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PIP join of query points against AOI polygons plus z12
+    XYZ tile assignment of image footprints, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    pip = _q_pip(spark, sf_dir)
+    tiles = _q_tile_assign(spark, sf_dir)
+    return pip.groupBy("poly_id", "category").agg(
+        F.count("*").alias("n_points")
+    ).join(
+        tiles.groupBy().agg(F.countDistinct("quadkey").alias("n_tiles")).crossJoin(
+            pip.groupBy().agg(F.count("*").alias("n_matches"))
+        ),
+        how="cross",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # spatial / tiling core (SURVEY.md §2.3, §2.9)
+        "pip_join": lambda spark, sf: _q_pip(spark, sf),
+        "pip_join_salted": lambda spark, sf: _q_pip(spark, sf, salt=8),
+        "tile_assign_z12": _q_tile_assign,
+        "bbox_join": _q_bbox_join,
+        "knn_3": _q_knn,
+        "zonal_stats": _q_zonal,
+        # OGR SQL dialect surface (§2.2-2.5)
+        "ogr_first_match_join": _q_first_match,
+        "ogr_summary": _q_summary,
+        "ogr_sql_select": _q_ogr_select,
+        "ogr_orderby_limit": _q_topk,
+        "ogr_distinct": _q_distinct,
+        "ogr_union_all": _q_union_all,
+        "props_extract": _q_props,
+        "events_agg": _q_events_agg,
+        # training-data pipeline ops
+        "dedup_exact": _q_exact_dedup,
+        "dedup_minhash_lsh": _q_minhash,
+        "dedup_simhash": _q_simhash,
+        "text_lang_id": _q_lang,
+        "text_quality": _q_quality,
+        "text_fingerprint": _q_fingerprint,
+        "ann_topk": _q_ann,
+        # raster kernels (rows-only; pixel semantics tested in pytest
+        # against the GDAL checksum formula, alg/gdalchecksum.cpp:48)
+        "raster_checksums": _q_raster_checksums,
+        "raster_translate": _q_raster_translate,
+        "raster_as_features": _q_as_features,
+        "raster_band_stats": _q_band_stats,
+        "tile_pyramid": _q_tile_pyramid,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pip_join": PIP_ORACLE,
+        "pip_join_salted": PIP_ORACLE,
+        "tile_assign_z12": _tile_assign_oracle(),
+        "bbox_join": BBOX_ORACLE,
+        "knn_3": KNN_ORACLE,
+        "zonal_stats": ZONAL_ORACLE,
+        "ogr_first_match_join": FIRST_MATCH_ORACLE,
+        "ogr_summary": SUMMARY_ORACLE,
+        "ogr_sql_select": OGR_SELECT_ORACLE,
+        "ogr_orderby_limit": TOPK_ORACLE,
+        "ogr_distinct": DISTINCT_ORACLE,
+        "ogr_union_all": UNION_ALL_ORACLE,
+        "props_extract": PROPS_ORACLE,
+        "events_agg": EVENTS_AGG_ORACLE,
+        "dedup_exact": EXACT_DEDUP_ORACLE,
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "text_lang_id": _lang_oracle(),
+        "text_quality": _quality_oracle(),
+        "text_fingerprint": FINGERPRINT_ORACLE,
+        "ann_topk": _ann_oracle(),
+    }

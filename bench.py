@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): images/sec through spatial-join +
+tile-assignment over the synthetic image+caption table, plus
+per-query wall seconds for the operator suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Scaling-efficiency evidence (two-cluster-size criterion) is produced
+by ``tools/scaling_bench.py`` (local[8] vs local[32]) and recorded in
+``BENCH.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gdal_spark.session import get_spark  # noqa: E402
+
+
+def run(sf_dir: str, cpus: str | None) -> dict:
+    import __spark_entry__ as em
+    from gdal_spark.operators.spatial_join import bbox_intersection_join
+    from gdal_spark.raster import tiler
+    from gdal_spark.sources import synth
+
+    master = f"local[{cpus}]" if cpus else None
+    spark = get_spark("gdal-spark-bench", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = em.queries()
+
+    bench_queries = [
+        "pip_join",
+        "bbox_join",
+        "tile_assign_z12",
+        "knn_3",
+        "zonal_stats",
+        "ogr_first_match_join",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality",
+        "ann_topk",
+        "raster_checksums",
+        "tile_pyramid",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # headline: spatial join of every image footprint against the AOI
+    # layer + z12 tile assignment, one combined job (the north-star
+    # "spatial-join + tile-assignment throughput")
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    n_images = fp.count()
+    polys = synth.aoi(spark, sf_dir)
+    t0 = time.time()
+    j = bbox_intersection_join(fp, polys)
+    n_join = j.count()
+    t = tiler.assign_tiles(
+        synth.footprints(spark, sf_dir), em.TILE_ZOOM
+    )
+    n_tiles = t.count()
+    headline = time.time() - t0
+    timings["headline_join_plus_tiles"] = round(headline, 3)
+    images_per_sec = n_images / headline if headline > 0 else 0.0
+
+    sf = None
+    try:
+        tail = os.path.basename(sf_dir.rstrip("/"))
+        sf = float(tail.replace("sf", ""))
+    except ValueError:
+        pass
+
+    spark.stop()
+    return {
+        "metric": "spatial-join + tile-assignment throughput (images/sec); per-query wall sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "images_per_sec": round(images_per_sec, 1),
+        "n_images": n_images,
+        "n_join_rows": n_join,
+        "n_tile_rows": n_tiles,
+        "cpus": cpus or os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    print(json.dumps(run(sf_dir, cpus)))

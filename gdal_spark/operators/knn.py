@@ -111,8 +111,12 @@ def knn_join(
             F.col("_rn").alias("rank"),
         )
         results.append(done)
-        not_done = topk.filter(~done_filter).select("_qid").distinct()
-        pending = pending.join(not_done, pending["_qid"] == not_done["_qid"], "leftsemi")
+        # anti-join on DONE queries: a query with zero candidates in
+        # this ring appears in neither done nor topk and must stay
+        # pending for the wider ring (semi-join on not-done would
+        # silently drop it)
+        done_q = done.select(F.col(query_id).alias("_qid")).distinct()
+        pending = pending.join(done_q, "_qid", "left_anti")
         if last:
             break
         # cheap emptiness probe once the ring is already wide

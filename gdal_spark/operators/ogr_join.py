@@ -24,14 +24,18 @@ def first_match_left_join(
     secondary: DataFrame,
     left_on: str,
     right_on: str,
-    secondary_fid: str,
+    secondary_fid: str | list[str],
     prefix: str = "",
 ) -> DataFrame:
     """OGR-semantics LEFT JOIN: one row per primary row, first matching
     secondary row by ``secondary_fid`` order, NULL-padded when no match.
+    ``secondary_fid`` may be a list of columns — the FID order MUST be a
+    total order per key or results are shuffle-nondeterministic (the
+    order-dependence hazard called out in SURVEY.md §7).
     ``prefix`` renames secondary columns (OGR prefixes with the table
     name, e.g. ``idlink.name``)."""
-    w = Window.partitionBy(right_on).orderBy(F.col(secondary_fid).asc())
+    fids = [secondary_fid] if isinstance(secondary_fid, str) else list(secondary_fid)
+    w = Window.partitionBy(right_on).orderBy(*[F.col(c).asc() for c in fids])
     first = (
         secondary.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -35,7 +35,8 @@ def with_checksums(images: DataFrame) -> DataFrame:
                 arr = codec.decode_image(r.bytes, r.fmt)
                 cs = checksum_bands(arr)
                 rows.append(
-                    (r.image_id, r.fmt, r.w, r.h, r.caption, r.phash, cs[0],
+                    (r.image_id, r.fmt, r.w, r.h,
+                     getattr(r, "caption", None), getattr(r, "phash", None), cs[0],
                      cs[1] if len(cs) > 1 else cs[0], cs[2] if len(cs) > 2 else cs[0])
                 )
             if rows:

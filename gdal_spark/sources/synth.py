@@ -50,8 +50,14 @@ AOI_H = 30.0
 
 
 def _scatter_sql(key: str, mul: int, mod: int, div: float, base: float) -> str:
-    """SQL text valid in BOTH Spark SQL and DuckDB, integer-exact."""
-    return f"({base} + (({key} * {mul}) % {mod}) / {div})"
+    """SQL text valid in BOTH Spark SQL and DuckDB.
+
+    Literals are CAST to DOUBLE: Spark types bare decimal literals as
+    DECIMAL and would evaluate the whole expression in exact decimal
+    arithmetic, producing doubles 1 ulp apart from DuckDB's
+    double-typed evaluation. With both engines in DOUBLE the IEEE op
+    sequence (int remainder → one divide → one add) is bit-identical."""
+    return f"(CAST({base} AS DOUBLE) + (({key} * {mul}) % {mod}) / CAST({div} AS DOUBLE))"
 
 
 POINT_LON_SQL = _scatter_sql("c_custkey", LON_MUL, 360000, 1000.0, -180.0)
@@ -96,26 +102,28 @@ def aoi_sql_bounds(nationkey: int):
     return (lon_min, lat_min, lon_min + AOI_W, lat_min + AOI_H)
 
 
-# SQL CASE expressing the same bounds — valid in Spark SQL and DuckDB
+# SQL CASE expressing the same bounds — valid in Spark SQL and DuckDB.
+# Outer CAST AS DOUBLE: every branch value is an exact small decimal,
+# so decimal→double conversion equals DuckDB's double arithmetic.
 AOI_LON_MIN_SQL = (
-    "CASE WHEN n_nationkey = 20 THEN -60.0"
+    "CAST(CASE WHEN n_nationkey = 20 THEN -60.0"
     " WHEN n_nationkey > 20 THEN 10.0 * (n_nationkey - 21) + 1.0"
-    " ELSE -180.0 + (n_nationkey % 5) * 72.0 + 9.0 END"
+    " ELSE -180.0 + (n_nationkey % 5) * 72.0 + 9.0 END AS DOUBLE)"
 )
 AOI_LAT_MIN_SQL = (
-    "CASE WHEN n_nationkey = 20 THEN -30.0"
+    "CAST(CASE WHEN n_nationkey = 20 THEN -30.0"
     " WHEN n_nationkey > 20 THEN -80.0 + 5.0 * (n_nationkey - 21)"
-    " ELSE -84.0 + FLOOR(n_nationkey / 5) * 42.0 + 6.0 END"
+    " ELSE -84.0 + FLOOR(n_nationkey / 5) * 42.0 + 6.0 END AS DOUBLE)"
 )  # FLOOR, not CAST AS INT: DuckDB rounds on float→int cast, Spark truncates
 AOI_LON_MAX_SQL = (
-    "CASE WHEN n_nationkey = 20 THEN 60.0"
+    "CAST(CASE WHEN n_nationkey = 20 THEN 60.0"
     " WHEN n_nationkey > 20 THEN 10.0 * (n_nationkey - 21) + 9.0"
-    " ELSE -180.0 + (n_nationkey % 5) * 72.0 + 9.0 + 54.0 END"
+    " ELSE -180.0 + (n_nationkey % 5) * 72.0 + 9.0 + 54.0 END AS DOUBLE)"
 )
 AOI_LAT_MAX_SQL = (
-    "CASE WHEN n_nationkey = 20 THEN 30.0"
+    "CAST(CASE WHEN n_nationkey = 20 THEN 30.0"
     " WHEN n_nationkey > 20 THEN -70.0 + 5.0 * (n_nationkey - 21)"
-    " ELSE -84.0 + FLOOR(n_nationkey / 5) * 42.0 + 6.0 + 30.0 END"
+    " ELSE -84.0 + FLOOR(n_nationkey / 5) * 42.0 + 6.0 + 30.0 END AS DOUBLE)"
 )
 
 
@@ -234,9 +242,19 @@ def phash64(arr: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full input_hint table: footprints + encoded pixel payloads."""
+def images(spark: SparkSession, sf_dir: str, where: str | None = None) -> DataFrame:
+    """Full input_hint table: footprints + encoded pixel payloads.
+
+    ``where`` (SQL over footprint cols, e.g. ``okey % 20 = 0``) filters
+    BEFORE pixel synthesis — pixels for excluded rows are never built
+    (the pushdown a parquet scan would do automatically)."""
     fp = footprints(spark, sf_dir)
+    if where:
+        fp = fp.filter(where)
+    # the orders parquet is one tiny file → one partition; real image
+    # tables are many-file Iceberg scans. Spread synthesis across
+    # cores so the pixel stages parallelize like a real scan would.
+    fp = fp.repartition(spark.sparkContext.defaultParallelism * 2)
 
     def gen(it):
         for pdf in it:
