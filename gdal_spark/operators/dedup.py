@@ -46,8 +46,15 @@ def minhash_sig_exprs(k: int = K_MINHASH) -> list[str]:
 
 
 def minhash_signatures(docs: DataFrame, k: int = K_MINHASH) -> DataFrame:
-    sigs = [F.expr(e).alias(f"mh{i}") for i, e in enumerate(minhash_sig_exprs(k))]
-    return docs.select("doc_id", *sigs)
+    """Tokenize ONCE into a projected column, then derive all k
+    signature elements from it — k× fewer regex splits than inlining
+    ``split(text)`` into every transform (same values either way)."""
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    sigs = [
+        F.expr(f"array_min(transform(_toks, x -> md5(concat('{i}|', x))))").alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return toked.select("doc_id", *sigs)
 
 
 def band_exprs(k: int = K_MINHASH, bands: int = BANDS) -> list[str]:
@@ -83,6 +90,11 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(i).alias("band"), F.expr(e).alias("bkey")) for i, e in enumerate(b_exprs)])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
+    # persist both self-join inputs: without it Spark recomputes the
+    # full md5-signature lineage on each side of the join (and again
+    # under distinct) — at 10^12 scale you'd materialize these to a
+    # table; persist is the single-job analogue
+    banded = banded.persist()
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bkey"])
@@ -90,8 +102,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = docs.select(
-        "doc_id", F.array_distinct(F.expr(shingles_expr())).alias("sh")
+    sh = (
+        docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("_t"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(_t) >= 3 THEN transform(sequence(1, size(_t) - 2), "
+                    "i -> concat_ws(' ', element_at(_t, i), element_at(_t, i + 1), element_at(_t, i + 2))) "
+                    "ELSE array(text) END"
+                )
+            ).alias("sh"),
+        )
+        .persist()
     )
     pairs = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

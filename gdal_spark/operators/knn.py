@@ -49,13 +49,23 @@ def knn_join(
     q_lat: str = "lat",
     s_lon: str = "lon",
     s_lat: str = "lat",
-    zoom: int = 5,
+    zoom: int | None = None,
     max_rounds: int = 6,
 ) -> DataFrame:
     """Exact k nearest sites per query point.
 
     Returns (query_id, site_id, dist, rank) with rank 1..k.
+
+    ``zoom=None`` sizes the grid from the site count so the first ring
+    holds ~10·k candidates per cell block (the quadtree-depth heuristic
+    of ``CPLQuadTreeCreate``'s max-depth sizing): world cells at
+    geodetic zoom z ≈ 2^(2z-1); target density ~8 sites/cell.
     """
+    if zoom is None:
+        import math as _m
+
+        n_sites = sites.count()
+        zoom = max(2, min(8, int(round((_m.log2(max(n_sites, 16) / 8.0) + 1) / 2))))
     s = cell_size_deg(zoom)
     sts = sites.select(
         F.col(site_id).alias("_sid"),

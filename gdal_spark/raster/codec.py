@@ -137,7 +137,7 @@ def png_decode(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def fake_lossy_encode(arr: np.ndarray, fmt: str = "jpeg") -> bytes:
+def fake_lossy_encode(arr: np.ndarray, fmt: str = "jpeg", compress_level: int = 6) -> bytes:
     """Deterministic stand-in for jpeg/webp: quantize channel values to
     step FAKE_QUANT then zlib. Lossy (so the PSNR path is exercised),
     deterministic (so tests are stable). Clearly NOT the real codec."""
@@ -145,7 +145,7 @@ def fake_lossy_encode(arr: np.ndarray, fmt: str = "jpeg") -> bytes:
     h, w = arr.shape[:2]
     c = 1 if arr.ndim == 2 else arr.shape[2]
     q = (arr.astype(np.int16) // FAKE_QUANT).astype(np.uint8)
-    payload = zlib.compress(q.tobytes(), 6)
+    payload = zlib.compress(q.tobytes(), compress_level)
     fmt_b = fmt.encode()[:4].ljust(4, b"\x00")
     head = FAKE_MAGIC + fmt_b + struct.pack("<IIIB", h, w, c, FAKE_QUANT)
     return head + payload
@@ -166,12 +166,12 @@ def fake_lossy_decode(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+def encode_image(arr: np.ndarray, fmt: str, compress_level: int = 6) -> bytes:
     fmt = fmt.lower()
     if fmt == "png":
-        return png_encode(arr)
+        return png_encode(arr, compress_level)
     if fmt in ("jpeg", "jpg", "webp"):
-        return fake_lossy_encode(arr, fmt)
+        return fake_lossy_encode(arr, fmt, compress_level)
     raise NotImplementedError(f"codec {fmt!r} not available in this container")
 
 

@@ -128,7 +128,9 @@ def render_base_tiles(
                     tile = np.repeat(tile[:, :, None], 3, axis=2)
                 rgba = np.dstack([tile, (valid * 255).astype(np.uint8)])
                 rows.append(
-                    (zoom, r.wtx, r.wty, r.image_id, codec.png_encode(rgba))
+                    # level-1 zlib: partials only cross one shuffle and
+                    # are re-encoded at compose time — cheap > small
+                    (zoom, r.wtx, r.wty, r.image_id, codec.png_encode(rgba, 1))
                 )
             if rows:
                 yield pd.DataFrame(

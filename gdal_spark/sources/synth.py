@@ -264,7 +264,9 @@ def images(spark: SparkSession, sf_dir: str, where: str | None = None) -> DataFr
                 rows.append(
                     {
                         "image_id": r.image_id,
-                        "bytes": codec.encode_image(arr, r.fmt),
+                        # level-1 zlib: source synthesis isn't the
+                        # engine under test; keep it cheap
+                        "bytes": codec.encode_image(arr, r.fmt, compress_level=1),
                         "w": r.w,
                         "h": r.h,
                         "fmt": r.fmt,
