@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gdal_spark.functions import text as T
+from gdal_spark.functions import tile_math as tm
 from gdal_spark.operators import ann, dedup
+from gdal_spark.operators import layer_algebra as la
+from gdal_spark.operators.gridding import grid_interpolate
 from gdal_spark.operators.knn import knn_join
 from gdal_spark.operators.ogr_join import first_match_left_join, summary_aggregates
 from gdal_spark.operators.spatial_join import (
@@ -396,6 +399,227 @@ FROM events GROUP BY event_type
 """
 
 
+# --- layer algebra / gridding / spatial order -----------------------------
+
+
+def _q_clip(spark, sf_dir):
+    """OGRLayer::Clip for the box×box case (closed-form, no UDF)."""
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False).select(
+        "poly_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    out = la.clip_boxes(fp, aoi)
+    return out.select(
+        "image_id",
+        F.col("poly_id").cast("long").alias("poly_id"),
+        "clip_lon_min",
+        "clip_lat_min",
+        "clip_lon_max",
+        "clip_lat_max",
+    )
+
+
+CLIP_ORACLE = f"""
+WITH {FP_CTE}, {AOI_CTE}
+SELECT f.image_id, a.poly_id,
+       greatest(f.lon_min, a.lon_min) AS clip_lon_min,
+       greatest(f.lat_min, a.lat_min) AS clip_lat_min,
+       least(f.lon_max, a.lon_max) AS clip_lon_max,
+       least(f.lat_max, a.lat_max) AS clip_lat_max
+FROM fp f JOIN aoi a
+  ON f.lon_min <= a.lon_max AND a.lon_min <= f.lon_max
+ AND f.lat_min <= a.lat_max AND a.lat_min <= f.lat_max
+"""
+
+
+def _q_erase(spark, sf_dir):
+    """OGRLayer::Erase footprint analogue: images touching no AOI."""
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    polys = synth.aoi(spark, sf_dir)
+    return la.spatial_anti_join(fp, polys).select("image_id")
+
+
+ERASE_ORACLE = f"""
+WITH {FP_CTE}, {AOI_CTE}
+SELECT f.image_id FROM fp f
+WHERE NOT EXISTS (
+  SELECT 1 FROM aoi a
+  WHERE f.lon_min <= a.lon_max AND a.lon_min <= f.lon_max
+    AND f.lat_min <= a.lat_max AND a.lat_min <= f.lat_max
+)
+"""
+
+GRID_NX, GRID_NY = 73, 37  # primes: cell centers never hit the 1e-3 coord grid
+GRID_BOUNDS = (-180.0, -85.0, 180.0, 85.0)
+
+
+def _q_grid_idw(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.expr(P_LON).alias("lon"), F.expr(P_LAT).alias("lat"), F.col("c_acctbal")
+    )
+    out = grid_interpolate(
+        spark, pts, "c_acctbal", GRID_BOUNDS, GRID_NX, GRID_NY, alg="invdist"
+    )
+    return out.select(
+        F.col("gx").cast("int"), F.col("gy").cast("int"), F.col("value")
+    )
+
+
+def _grid_idw_oracle() -> str:
+    lon_min, lat_min, lon_max, lat_max = GRID_BOUNDS
+    dx = repr((lon_max - lon_min) / GRID_NX)
+    dy = repr((lat_max - lat_min) / GRID_NY)
+    return f"""
+WITH g1 AS (SELECT unnest(range(0, {GRID_NX})) AS gx),
+g AS (
+  SELECT gx, gy,
+         CAST({lon_min} AS DOUBLE) + (gx + 0.5) * {dx} AS glon,
+         CAST({lat_min} AS DOUBLE) + (gy + 0.5) * {dy} AS glat
+  FROM (SELECT gx, unnest(range(0, {GRID_NY})) AS gy FROM g1) t
+),
+p AS (
+  SELECT {P_LON} AS plon, {P_LAT} AS plat, c_acctbal AS pv,
+         CAST(floor(({P_LON} - CAST({lon_min} AS DOUBLE)) / {dx}) AS INTEGER) AS pgx,
+         CAST(floor(({P_LAT} - CAST({lat_min} AS DOUBLE)) / {dy}) AS INTEGER) AS pgy
+  FROM customer
+),
+j AS (
+  SELECT g.gx, g.gy, p.pv,
+         (p.plon - g.glon) * (p.plon - g.glon) + (p.plat - g.glat) * (p.plat - g.glat) AS d2
+  FROM g JOIN p
+    ON p.pgx BETWEEN g.gx - 1 AND g.gx + 1
+   AND p.pgy BETWEEN g.gy - 1 AND g.gy + 1
+)
+SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+       round(sum(pv / d2) / sum(1.0 / d2), 6) AS value
+FROM j GROUP BY gx, gy
+"""
+
+
+def _q_st_functions(spark, sf_dir):
+    """ST_ scalar surface (ogrsqlitesqlfunctions.cpp:1188-1240) through
+    spark.sql over a registered view — the ExecuteSQL dialect path."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    synth.aoi(spark, sf_dir).createOrReplaceTempView("aoi_layer")
+    return spark.sql(
+        """
+        SELECT CAST(poly_id AS BIGINT) AS poly_id,
+               ST_GeometryType(geom) AS gtype,
+               round(ST_Area(geom), 6) AS area,
+               round(ST_X(geom), 6) AS cx,
+               round(ST_Y(geom), 6) AS cy
+        FROM aoi_layer
+        """
+    )
+
+
+ST_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id, 'POLYGON' AS gtype,
+       round((lon_max - lon_min) * (lat_max - lat_min), 6) AS area,
+       round((lon_min + lon_max) / 2.0, 6) AS cx,
+       round((lat_min + lat_max) / 2.0, 6) AS cy
+FROM aoi
+"""
+
+MORTON_ZOOM = 10
+
+
+def _q_morton(spark, sf_dir):
+    """Space-filling-order key for spatially clustered writes (the
+    ``gdal vector sort`` analogue, apps/gdalalg_vector_sort.cpp:371)."""
+    fp = synth.footprints(spark, sf_dir)
+    tx = tm.lonlat_to_tile_x(F.col("lon"), MORTON_ZOOM)
+    ty = tm.lonlat_to_tile_y(F.col("lat"), MORTON_ZOOM)
+    return fp.select(
+        "image_id", tm.morton_key(tx, ty, MORTON_ZOOM).alias("morton")
+    )
+
+
+def _morton_oracle() -> str:
+    txs, tys = _tile_sql_frags(MORTON_ZOOM)
+    tx = txs.replace("lon_", "(" + F_LON + ")")
+    ty = tys.replace("lat_", "(" + F_LAT + ")")
+    terms = " + ".join(
+        f"(((tx // {1 << i}) % 2) * {1 << (2 * i)} + ((ty // {1 << i}) % 2) * {1 << (2 * i + 1)})"
+        for i in range(MORTON_ZOOM)
+    )
+    return f"""
+WITH t AS (
+  SELECT printf('img%012d', o_orderkey) AS image_id,
+         {tx} AS tx, {ty} AS ty
+  FROM orders
+)
+SELECT image_id, CAST({terms} AS BIGINT) AS morton FROM t
+"""
+
+
+def _q_hilbert(spark, sf_dir):
+    """gdal vector sort hilbert parity (apps/gdalalg_vector_sort.cpp:351):
+    16-bit/axis Hilbert code, unrolled into Catalyst projections."""
+    from gdal_spark.functions.hilbert import scale_to_grid, with_hilbert
+
+    fp = synth.footprints(spark, sf_dir)
+    out = with_hilbert(
+        fp,
+        scale_to_grid(F.col("lon"), -180.0, 180.0),
+        scale_to_grid(F.col("lat"), -85.0, 85.0),
+    )
+    return out.select("image_id", "hilbert")
+
+
+def _hilbert_oracle() -> str:
+    from gdal_spark.functions.hilbert import hilbert_oracle_cte
+
+    base = (
+        "h_base AS (SELECT printf('img%012d', o_orderkey) AS image_id, "
+        f"{F_LON} AS lon, {F_LAT} AS lat FROM orders)"
+    )
+    xs = "round((lon - CAST(-180.0 AS DOUBLE)) / CAST(360.0 AS DOUBLE) * CAST(65534.0 AS DOUBLE))"
+    ys = "round((lat - CAST(-85.0 AS DOUBLE)) / CAST(170.0 AS DOUBLE) * CAST(65534.0 AS DOUBLE))"
+    return hilbert_oracle_cte(base, xs, ys, "image_id")
+
+
+def _q_events_windowed(spark, sf_dir):
+    from gdal_spark.streaming.incremental import windowed_event_counts
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(e)
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_v", 4).alias("sum_v"),
+    )
+
+
+EVENTS_WINDOWED_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_v
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_interp_at_points(spark, sf_dir):
+    """InterpolateAtPoint (gcore/gdal_rasterband.h:625): sample each
+    image's band 0 at its own footprint center (guaranteed hit)."""
+    from gdal_spark.raster.pipeline import interpolate_at_points
+
+    imgs = synth.images(spark, sf_dir, where="okey % 500 = 0")
+    pts = synth.footprints(spark, sf_dir).filter("okey % 500 = 0").select(
+        F.col("okey").alias("pt_id"), "lon", "lat"
+    )
+    out = interpolate_at_points(imgs, pts)
+    return out.select("pt_id", "image_id", F.round("value", 4).alias("value"))
+
+
 # --- training-data pipeline ops -------------------------------------------
 
 
@@ -632,6 +856,25 @@ def _q_band_stats(spark, sf_dir):
     return rp.band_stats(imgs)
 
 
+def _q_rasterize(spark, sf_dir):
+    """Vector→raster burn (alg/gdalrasterize.cpp): AOI polygons burned
+    into z4 mercator tiles, per-tile GDAL checksums."""
+    from gdal_spark.raster.rasterize import rasterize
+
+    polys = synth.aoi(spark, sf_dir).withColumn(
+        "burn", (F.col("poly_id") % 200 + 30).cast("double")
+    )
+    return rasterize(polys, zoom=4)
+
+
+def _q_reclassify(spark, sf_dir):
+    """Reclassify LUT (apps/gdalalg_raster_reclassify semantics)."""
+    from gdal_spark.raster.rasterize import reclassify
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return reclassify(imgs, [(0, 63, 0), (64, 191, 128), (192, 255, 255)])
+
+
 def _q_tile_pyramid(spark, sf_dir):
     imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
     pyr = tiler.build_pyramid(imgs, min_zoom=4, max_zoom=6)
@@ -677,6 +920,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_union_all": _q_union_all,
         "props_extract": _q_props,
         "events_agg": _q_events_agg,
+        "events_windowed": _q_events_windowed,
+        # layer algebra / gridding / ST_ / spatial order (§2.6-2.10)
+        "vector_clip": _q_clip,
+        "spatial_erase": _q_erase,
+        "grid_idw": _q_grid_idw,
+        "st_functions": _q_st_functions,
+        "morton_order": _q_morton,
+        "hilbert_order": _q_hilbert,
         # training-data pipeline ops
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_lsh": _q_minhash,
@@ -691,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_translate": _q_raster_translate,
         "raster_as_features": _q_as_features,
         "raster_band_stats": _q_band_stats,
+        "raster_interp_at_points": _q_interp_at_points,
+        "rasterize_burn": _q_rasterize,
+        "raster_reclassify": _q_reclassify,
         "tile_pyramid": _q_tile_pyramid,
     }
 
@@ -711,6 +965,13 @@ def oracle_sql() -> dict[str, str]:
         "ogr_union_all": UNION_ALL_ORACLE,
         "props_extract": PROPS_ORACLE,
         "events_agg": EVENTS_AGG_ORACLE,
+        "events_windowed": EVENTS_WINDOWED_ORACLE,
+        "vector_clip": CLIP_ORACLE,
+        "spatial_erase": ERASE_ORACLE,
+        "grid_idw": _grid_idw_oracle(),
+        "st_functions": ST_ORACLE,
+        "morton_order": _morton_oracle(),
+        "hilbert_order": _hilbert_oracle(),
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

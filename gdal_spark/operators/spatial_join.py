@@ -244,8 +244,27 @@ def bbox_intersection_join(
     return refine_bbox_intersects(out, left_bbox, geom)
 
 
+def _is_axis_rect(g: "G.Geom") -> bool:
+    """True when the geometry is a single closed axis-aligned rectangle
+    ring — for those, envelope overlap IS Intersects, so the exact
+    refine can short-circuit (the reference's envelope-containment
+    shortcut, ``ogrlayer.cpp:4035-4047``, generalized)."""
+    if g.gtype != G.WKB_POLYGON or len(g.rings) != 1:
+        return False
+    r = g.rings[0]
+    if len(r) != 5:
+        return False
+    xs = {r[0, 0], r[1, 0], r[2, 0], r[3, 0]}
+    ys = {r[0, 1], r[1, 1], r[2, 1], r[3, 1]}
+    return len(xs) == 2 and len(ys) == 2
+
+
 def refine_bbox_intersects(candidates: DataFrame, left_bbox, geom="geom") -> DataFrame:
-    """Exact Intersects(rect(left bbox), polygon) refine."""
+    """Exact Intersects(rect(left bbox), polygon) refine.
+
+    Geometry parsed once per distinct polygon per batch; axis-aligned
+    rectangles (the common AOI case) skip the exact test entirely —
+    the join's envelope predicate already decided them."""
     lx0, ly0, lx1, ly1 = left_bbox
     out_schema = candidates.drop(geom).schema
 
@@ -256,6 +275,9 @@ def refine_bbox_intersects(candidates: DataFrame, left_bbox, geom="geom") -> Dat
             keep = np.zeros(len(pdf), dtype=bool)
             for wkb, idx in pdf.groupby(pdf[geom].map(bytes)).indices.items():
                 g = G.parse_wkb(wkb)
+                if _is_axis_rect(g):
+                    keep[idx] = True
+                    continue
                 for i in idx:
                     rect = G.Geom(
                         G.WKB_POLYGON,

@@ -128,6 +128,61 @@ def as_features(images: DataFrame, band: int = 0, sample_stride: int = 1) -> Dat
     return images.mapInPandas(run, schema=schema)
 
 
+def interpolate_at_points(images: DataFrame, points: DataFrame, method: str = "bilinear") -> DataFrame:
+    """``GDALRasterBand::InterpolateAtPoint`` (``gcore/gdal_rasterband.h:625``,
+    ``alg/gdal_interpolateatpoint.cpp``) as a join + sample UDF: points
+    are bbox-joined to the image footprints (pure SQL), then each
+    candidate (point, image) pair samples band 0 at the point's
+    fractional pixel position — bilinear or nearest — in one
+    ``mapInPandas`` pass with decode-once-per-image caching.
+
+    ``points`` needs (pt_id, lon, lat); ``images`` the synth/input_hint
+    schema incl. footprint bounds. Returns (pt_id, image_id, value)."""
+    from gdal_spark.raster.warp import _sample_bilinear, _sample_nearest
+
+    pts = points.select(
+        "pt_id", F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
+    )
+    cand = pts.join(
+        images,
+        (pts["p_lon"] >= images["lon_min"])
+        & (pts["p_lon"] < images["lon_max"])
+        & (pts["p_lat"] >= images["lat_min"])
+        & (pts["p_lat"] < images["lat_max"]),
+        "inner",
+    ).select(
+        "pt_id", "p_lon", "p_lat", "image_id", "bytes", "fmt",
+        "lon_min", "lat_min", "lon_max", "lat_max",
+    ).repartition("image_id")
+
+    schema = "pt_id long, image_id string, value double"
+
+    def run(it):
+        cache: dict[str, np.ndarray] = {}
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = cache.get(r.image_id)
+                if arr is None:
+                    if len(cache) > 4:
+                        cache.clear()
+                    arr = codec.decode_image(r.bytes, r.fmt)
+                    cache[r.image_id] = arr
+                b = arr[:, :, 0] if arr.ndim == 3 else arr
+                h, w = b.shape
+                sx = np.array([(r.p_lon - r.lon_min) / (r.lon_max - r.lon_min) * w])
+                sy = np.array([(r.lat_max - r.p_lat) / (r.lat_max - r.lat_min) * h])
+                if method == "nearest":
+                    v, _ = _sample_nearest(b, sx, sy)
+                else:
+                    v, _ = _sample_bilinear(b, sx, sy)
+                rows.append((r.pt_id, r.image_id, float(v[0])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["pt_id", "image_id", "value"])
+
+    return cand.mapInPandas(run, schema=schema)
+
+
 def band_stats(images: DataFrame) -> DataFrame:
     """Per-image band-0 statistics (ComputeStatistics semantics:
     min/max/mean/std over all pixels, ``gcore/raster_stats.h``)."""

@@ -14,10 +14,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batch granularity: mirrors OGR's default Arrow stream batch of
-# 65,536 features (ogrlayerarrow.cpp:2079). For image-bearing rows we
-# bound far lower so a batch of decoded pixels fits in worker memory.
-DEFAULT_ARROW_BATCH = 1024
+# Arrow batch granularity: OGR's Arrow stream uses 65,536 features
+# (ogrlayerarrow.cpp:2079) for slim vector rows. Image-bearing rows are
+# ~300 KB encoded, so a batch must be far smaller: 256 rows ≈ 75 MB per
+# in-flight batch per task — bounded so (concurrent tasks × batch)
+# stays inside the executor heap (measured: 1024-row batches at 16
+# concurrent tasks thrash an 8g heap 10×).
+DEFAULT_ARROW_BATCH = 256
 
 
 def get_spark(
@@ -65,7 +68,8 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

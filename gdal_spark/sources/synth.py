@@ -68,14 +68,24 @@ FOOT_LON_SQL = _scatter_sql("o_orderkey", LON_MUL, 359000, 1000.0, -179.5)
 FOOT_LAT_SQL = _scatter_sql("o_orderkey", LAT_MUL, 169000, 1000.0, -84.5)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-file parquet reads arrive as ONE partition; a real image
+    table is a many-file Iceberg scan. Spread so downstream pandas-UDF
+    refines/renders parallelize the way they would on a cluster."""
+    target = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query points from ``customer`` (FIXTURES.md §3)."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return c.select(
+    return _spread(c.select(
         F.col("c_custkey").alias("pt_id"),
         F.expr(POINT_LON_SQL).alias("lon"),
         F.expr(POINT_LAT_SQL).alias("lat"),
-    )
+    ))
 
 
 def sites(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +179,7 @@ def aoi(spark: SparkSession, sf_dir: str, with_wkb: bool = True) -> DataFrame:
 def footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image footprints from ``orders`` per FIXTURES.md §1: 0.01° bbox
     centered at the scatter position; w/h/fmt cycles."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _spread(spark.read.parquet(f"{sf_dir}/orders.parquet"))
     lon = F.expr(FOOT_LON_SQL)
     lat = F.expr(FOOT_LAT_SQL)
     return o.select(
@@ -250,11 +260,10 @@ def images(spark: SparkSession, sf_dir: str, where: str | None = None) -> DataFr
     (the pushdown a parquet scan would do automatically)."""
     fp = footprints(spark, sf_dir)
     if where:
-        fp = fp.filter(where)
-    # the orders parquet is one tiny file → one partition; real image
-    # tables are many-file Iceberg scans. Spread synthesis across
-    # cores so the pixel stages parallelize like a real scan would.
-    fp = fp.repartition(spark.sparkContext.defaultParallelism * 2)
+        # re-spread after the filter so pixel synthesis stays balanced
+        fp = fp.filter(where).repartition(
+            spark.sparkContext.defaultParallelism * 2
+        )
 
     def gen(it):
         for pdf in it:

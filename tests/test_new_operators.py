@@ -1,0 +1,355 @@
+"""Layer algebra, gridding, ST_ functions, morton order, streaming,
+interpolate-at-point — correctness vs Python oracles."""
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import geometry as G
+from gdal_spark.functions import tile_math as tm
+from gdal_spark.operators import layer_algebra as la
+from gdal_spark.operators.gridding import grid_interpolate
+from gdal_spark.sources import synth
+
+
+# ---------------------------------------------------------------------------
+# morton / space-filling order
+# ---------------------------------------------------------------------------
+
+
+def test_morton_matches_python(spark):
+    rows = [(tx, ty) for tx in (0, 1, 5, 1023) for ty in (0, 2, 777, 1023)]
+    df = spark.createDataFrame(rows, "tx int, ty int")
+    got = df.select(
+        "tx", "ty", tm.morton_key(F.col("tx"), F.col("ty"), 10).alias("m")
+    ).collect()
+    for r in got:
+        assert r.m == tm.morton_key_py(r.tx, r.ty, 10), (r.tx, r.ty)
+
+
+def test_morton_locality(spark):
+    # adjacent cells differ less in morton distance than far cells (weak check)
+    assert abs(tm.morton_key_py(5, 5, 10) - tm.morton_key_py(5, 6, 10)) < abs(
+        tm.morton_key_py(5, 5, 10) - tm.morton_key_py(900, 900, 10)
+    )
+
+
+def test_hilbert_matches_python(spark):
+    from gdal_spark.functions.hilbert import hilbert_py, with_hilbert
+
+    rows = [(x, y) for x in (0, 1, 37, 65533) for y in (0, 2, 999, 65534)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = with_hilbert(df, F.col("x"), F.col("y")).collect()
+    for r in got:
+        assert r.hilbert == hilbert_py(r.x, r.y), (r.x, r.y)
+
+
+def test_hilbert_locality():
+    from gdal_spark.functions.hilbert import hilbert_py
+
+    # consecutive codes are adjacent cells (defining Hilbert property)
+    seen = {}
+    for x in range(16):
+        for y in range(16):
+            seen[hilbert_py(x << 12, y << 12, 16) >> 24] = (x, y)
+    codes = sorted(seen)
+    for a, b in zip(codes, codes[1:]):
+        (x1, y1), (x2, y2) = seen[a], seen[b]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# rasterize / reclassify
+# ---------------------------------------------------------------------------
+
+
+def test_rasterize_burn_counts(spark, sf_dir):
+    from gdal_spark.raster.rasterize import rasterize
+    from gdal_spark.raster import warp as W
+
+    polys = synth.aoi(spark, sf_dir).withColumn(
+        "burn", (F.col("poly_id") % 200 + 30).cast("double")
+    )
+    out = rasterize(polys, zoom=3).collect()
+    assert out
+    # oracle one tile: recompute burned pixel count directly
+    prows = polys.collect()
+    m = tm.GlobalMercator()
+    r0 = out[0]
+    txv, tyv = r0.x, (1 << 3) - 1 - r0.y
+    minx, miny, maxx, maxy = m.TileBounds(txv, tyv, 3)
+    res = (maxx - minx) / 256
+    mx = minx + (np.arange(256) + 0.5) * res
+    my = maxy - (np.arange(256) + 0.5) * res
+    glon = np.broadcast_to(W.merc_to_lon(mx)[None, :], (256, 256)).ravel()
+    glat = np.broadcast_to(W.merc_to_lat(my)[:, None], (256, 256)).ravel()
+    canvas = np.zeros(256 * 256)
+    for p in prows:
+        inside = (
+            (glon >= p.lon_min) & (glon < p.lon_max)
+            & (glat >= p.lat_min) & (glat < p.lat_max)
+        )
+        canvas[inside] = np.maximum(canvas[inside], float(p.poly_id % 200 + 30))
+    assert int((canvas > 0).sum()) == r0.n_burned_px
+
+
+def test_reclassify(spark, sf_dir):
+    from gdal_spark.raster import codec
+    from gdal_spark.raster.rasterize import reclassify, reclassify_expr
+
+    imgs = synth.images(spark, sf_dir, where="okey % 500 = 0")
+    mapping = [(0, 63, 0), (64, 191, 128), (192, 255, 255)]
+    rows = reclassify(imgs, mapping).collect()
+    assert rows
+    lut = reclassify_expr(mapping)
+    img_rows = {r.image_id: r for r in imgs.collect()}
+    for r in rows[:3]:
+        arr = codec.decode_image(img_rows[r.image_id].bytes, img_rows[r.image_id].fmt)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        from gdal_spark.raster.checksum import checksum_band
+
+        assert r.checksum_after == checksum_band(lut[b])
+        assert r.n_changed == int((lut[b] != b).sum())
+
+
+# ---------------------------------------------------------------------------
+# layer algebra
+# ---------------------------------------------------------------------------
+
+
+def test_clip_boxes(spark, sf_dir):
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False).select(
+        "poly_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    out = la.clip_boxes(fp, aoi).collect()
+    fps = {r.image_id: r for r in fp.collect()}
+    aois = {r.poly_id: r for r in aoi.collect()}
+    # every output rect is the interval intersection and is non-degenerate
+    assert out
+    for r in out:
+        f, a = fps[r.image_id], aois[r.poly_id]
+        assert r.clip_lon_min == max(f.lon_min, a.lon_min)
+        assert r.clip_lon_max == min(f.lon_max, a.lon_max)
+        assert r.clip_lon_min <= r.clip_lon_max
+        assert r.clip_lat_min <= r.clip_lat_max
+    # pair count equals brute-force overlap count
+    n_brute = sum(
+        1
+        for f in fps.values()
+        for a in aois.values()
+        if f.lon_min <= a.lon_max
+        and a.lon_min <= f.lon_max
+        and f.lat_min <= a.lat_max
+        and a.lat_min <= f.lat_max
+    )
+    assert len(out) == n_brute
+
+
+def test_semi_anti_partition(spark, sf_dir):
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    polys = synth.aoi(spark, sf_dir)
+    n_semi = la.spatial_semi_join(fp, polys).count()
+    n_anti = la.spatial_anti_join(fp, polys).count()
+    assert n_semi + n_anti == fp.count()
+    assert n_semi > 0 and n_anti > 0
+
+
+def test_union_layers(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, 3.0)], "id int, b double")
+    u = la.union_layers(a, b)
+    assert u.count() == 2
+    assert set(u.columns) == {"id", "a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# gridding
+# ---------------------------------------------------------------------------
+
+
+def test_grid_idw_vs_bruteforce(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.expr(synth.POINT_LON_SQL).alias("lon"),
+        F.expr(synth.POINT_LAT_SQL).alias("lat"),
+        F.col("c_acctbal"),
+    )
+    bounds = (-180.0, -85.0, 180.0, 85.0)
+    nx, ny = 19, 11
+    out = {
+        (r.gx, r.gy): r.value
+        for r in grid_interpolate(
+            spark, pts, "c_acctbal", bounds, nx, ny, alg="invdist"
+        ).collect()
+    }
+    prows = pts.collect()
+    dx = (bounds[2] - bounds[0]) / nx
+    dy = (bounds[3] - bounds[1]) / ny
+    # brute-force a few cells
+    for gx, gy in [(0, 0), (9, 5), (18, 10), (4, 7)]:
+        glon = bounds[0] + (gx + 0.5) * dx
+        glat = bounds[1] + (gy + 0.5) * dy
+        num = den = 0.0
+        for p in prows:
+            pgx = math.floor((p.lon - bounds[0]) / dx)
+            pgy = math.floor((p.lat - bounds[1]) / dy)
+            if abs(pgx - gx) <= 1 and abs(pgy - gy) <= 1:
+                d2 = (p.lon - glon) ** 2 + (p.lat - glat) ** 2
+                num += p.c_acctbal / d2
+                den += 1.0 / d2
+        if den == 0:
+            assert (gx, gy) not in out
+        else:
+            assert abs(out[(gx, gy)] - num / den) < 1e-4
+
+
+def test_grid_count_total(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.expr(synth.POINT_LON_SQL).alias("lon"),
+        F.expr(synth.POINT_LAT_SQL).alias("lat"),
+        F.lit(1.0).alias("v"),
+    )
+    out = grid_interpolate(
+        spark, pts, "v", (-180.0, -85.0, 180.0, 85.0), 19, 11, alg="count"
+    )
+    # each point is counted in up to 9 neighbor cells (edge cells fewer)
+    total = out.agg(F.sum("value")).collect()[0][0]
+    n = pts.count()
+    assert n <= total <= 9 * n
+
+
+# ---------------------------------------------------------------------------
+# ST_ functions
+# ---------------------------------------------------------------------------
+
+
+def test_st_functions_sql(spark):
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    df = spark.createDataFrame(
+        [(1, bytearray(G.wkb_bbox_polygon(0.0, 0.0, 4.0, 2.0)))], "id int, geom binary"
+    )
+    df.createOrReplaceTempView("t_geoms")
+    r = spark.sql(
+        """
+        SELECT ST_Area(geom) a, ST_GeometryType(geom) t, ST_X(geom) x, ST_Y(geom) y,
+               ST_IsEmpty(geom) e, ST_ContainsPoint(geom, 1.0, 1.0) c1,
+               ST_ContainsPoint(geom, 5.0, 1.0) c2,
+               ST_Distance(geom, 5.0, 1.0) d,
+               ST_AsText(geom) wkt
+        FROM t_geoms
+        """
+    ).collect()[0]
+    assert r.a == pytest.approx(8.0)
+    assert r.t == "POLYGON"
+    assert r.x == pytest.approx(2.0) and r.y == pytest.approx(1.0)
+    assert not r.e and r.c1 and not r.c2
+    assert r.d == pytest.approx(1.0)
+    assert r.wkt.startswith("POLYGON ((0 0,4 0,4 2,0 2,0 0))")
+
+
+def test_st_makepoint_roundtrip(spark):
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    r = spark.sql(
+        "SELECT ST_AsText(ST_MakePoint(1.5, -2.25)) wkt, "
+        "ST_GeometryType(ST_MakeEnvelope(0.0, 0.0, 1.0, 1.0)) t"
+    ).collect()[0]
+    assert r.wkt == "POINT (1.5 -2.25)"
+    assert r.t == "POLYGON"
+
+
+# ---------------------------------------------------------------------------
+# streaming / incremental
+# ---------------------------------------------------------------------------
+
+
+def test_process_new_images_resume(spark, sf_dir):
+    from gdal_spark.streaming.incremental import process_new_images
+
+    imgs = synth.footprints(spark, sf_dir).select("image_id")
+    manifest = imgs.limit(100)
+    remaining = process_new_images(imgs, manifest)
+    assert remaining.count() == imgs.count() - 100
+    assert process_new_images(imgs, None).count() == imgs.count()
+
+
+def test_windowed_event_counts_batch(spark, sf_dir):
+    from gdal_spark.streaming.incremental import windowed_event_counts
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(e)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == e.count()
+
+
+def test_stream_pipeline_available_now(spark, sf_dir):
+    from gdal_spark.streaming.incremental import stream_pipeline
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "src")
+        ckpt = os.path.join(td, "ckpt")
+        sink_dir = os.path.join(td, "out")
+        e.write.parquet(src)
+        seen = []
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink_dir)
+            seen.append(batch_id)
+
+        q = stream_pipeline(
+            spark,
+            src,
+            e.schema,
+            lambda df: df.filter(F.col("value") >= 0),
+            sink,
+            ckpt,
+        )
+        q.awaitTermination(120)
+        assert seen, "no micro-batch fired"
+        got = spark.read.parquet(sink_dir).count()
+        expect = e.filter(F.col("value") >= 0).count()
+        assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# interpolate at point
+# ---------------------------------------------------------------------------
+
+
+def test_interpolate_at_points(spark, sf_dir):
+    from gdal_spark.raster.pipeline import interpolate_at_points
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    pts = (
+        synth.footprints(spark, sf_dir)
+        .filter("okey % 200 = 0")
+        .select(F.col("okey").alias("pt_id"), "lon", "lat")
+    )
+    rows = interpolate_at_points(imgs, pts).collect()
+    assert rows
+    # sampling band 0 at the image center: value must equal the
+    # bilinear sample of the decoded synth array at its center
+    from gdal_spark.raster import codec
+    from gdal_spark.raster.warp import _sample_bilinear
+
+    img_rows = {r.image_id: r for r in imgs.collect()}
+    for r in rows[:5]:
+        src = codec.decode_image(img_rows[r.image_id].bytes, img_rows[r.image_id].fmt)
+        b = src[:, :, 0]
+        h, w = b.shape
+        v, _ = _sample_bilinear(b, np.array([w / 2.0]), np.array([h / 2.0]))
+        assert r.value == pytest.approx(float(v[0]), abs=1e-6)
