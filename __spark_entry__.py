@@ -856,6 +856,14 @@ def _q_band_stats(spark, sf_dir):
     return rp.band_stats(imgs)
 
 
+def _q_band_calc(spark, sf_dir):
+    """gdal raster calc (apps/gdalalg_raster_calc.cpp): NDVI-shaped
+    band expression evaluated per image."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    out = rp.band_calc(imgs, "clip((X1 + X2) / 2 + sqrt(X3), 0, 255)")
+    return out.select("image_id", "w", "h", "checksum")
+
+
 def _q_rasterize(spark, sf_dir):
     """Vector→raster burn (alg/gdalrasterize.cpp): AOI polygons burned
     into z4 mercator tiles, per-tile GDAL checksums."""
@@ -877,7 +885,10 @@ def _q_reclassify(spark, sf_dir):
 
 def _q_tile_pyramid(spark, sf_dir):
     imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
-    pyr = tiler.build_pyramid(imgs, min_zoom=4, max_zoom=6)
+    # z10-12: a 0.01-degree footprint spans 3-30 px/tile — every image
+    # contributes; at z<=6 footprints are sub-pixel and skip-blank
+    # (gdal2tiles exclude_transparent) drops most tiles
+    pyr = tiler.build_pyramid(imgs, min_zoom=10, max_zoom=12)
     return pyr.select("z", "x", "y", "quadkey", "checksum", "n_srcs")
 
 
@@ -945,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_interp_at_points": _q_interp_at_points,
         "rasterize_burn": _q_rasterize,
         "raster_reclassify": _q_reclassify,
+        "raster_band_calc": _q_band_calc,
         "tile_pyramid": _q_tile_pyramid,
     }
 

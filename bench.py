@@ -41,11 +41,15 @@ def run(sf_dir: str, cpus: str | None) -> dict:
         "knn_3",
         "zonal_stats",
         "ogr_first_match_join",
+        "vector_clip",
+        "grid_idw",
+        "hilbert_order",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "text_quality",
         "ann_topk",
         "raster_checksums",
+        "rasterize_burn",
         "tile_pyramid",
     ]
     timings: dict[str, float] = {}

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, BooleanType, DoubleType, StringType
 
 from gdal_spark.functions import geometry as G
 
@@ -54,17 +55,17 @@ def _wkt(g: G.Geom) -> str:
     return g.type_name
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def st_area(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: G.geom_area(G.parse_wkb(b)) if b is not None else None)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def st_geometrytype(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: G.parse_wkb(b).type_name if b is not None else None)
 
 
-@pandas_udf("boolean")
+@pandas_udf(BooleanType())
 def st_isempty(wkb: pd.Series) -> pd.Series:
     def f(b):
         if b is None:
@@ -75,22 +76,22 @@ def st_isempty(wkb: pd.Series) -> pd.Series:
     return wkb.map(f)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def st_centroid_x(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: G.geom_centroid(G.parse_wkb(b))[0] if b is not None else None)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def st_centroid_y(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: G.geom_centroid(G.parse_wkb(b))[1] if b is not None else None)
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def st_astext(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: _wkt(G.parse_wkb(b)) if b is not None else None)
 
 
-@pandas_udf("boolean")
+@pandas_udf(BooleanType())
 def st_contains_point(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
     """Prepared-geometry reuse: parse each distinct WKB once per batch
     (``ogrlayer.cpp:5509-5519`` analogue)."""
@@ -107,7 +108,7 @@ def st_contains_point(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Seri
     return pd.Series(out)
 
 
-@pandas_udf("boolean")
+@pandas_udf(BooleanType())
 def st_intersects_box(
     wkb: pd.Series, xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
 ) -> pd.Series:
@@ -122,12 +123,12 @@ def st_intersects_box(
     )
 
 
-@pandas_udf("binary")
+@pandas_udf(BinaryType())
 def st_makepoint(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series([G.wkb_point(a, b) for a, b in zip(x, y)])
 
 
-@pandas_udf("binary")
+@pandas_udf(BinaryType())
 def st_makeenvelope(
     xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
 ) -> pd.Series:
@@ -136,7 +137,7 @@ def st_makeenvelope(
     )
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def st_distance_point(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
     out = np.zeros(len(wkb), dtype=np.float64)
     px = lon.to_numpy(dtype=np.float64)

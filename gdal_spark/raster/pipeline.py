@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from gdal_spark.raster import codec
 from gdal_spark.raster.checksum import checksum_bands
@@ -181,6 +182,53 @@ def interpolate_at_points(images: DataFrame, points: DataFrame, method: str = "b
                 yield pd.DataFrame(rows, columns=["pt_id", "image_id", "value"])
 
     return cand.mapInPandas(run, schema=schema)
+
+
+_CALC_FUNCS = {
+    "abs": np.abs, "sqrt": np.sqrt, "log10": np.log10, "log": np.log,
+    "exp": np.exp, "min": np.minimum, "max": np.maximum,
+    "floor": np.floor, "ceil": np.ceil, "clip": np.clip,
+}
+
+
+def band_calc(images: DataFrame, expr: str, out_fmt: str = "png") -> DataFrame:
+    """``gdal raster calc`` (apps/gdalalg_raster_calc.cpp:419-585,
+    muparser dialect) / VRT pixel functions incl. user Python
+    (frmts/vrt/vrtderivedrasterband.cpp:485): evaluate an arithmetic
+    expression over bands ``X1..Xn`` per image, vectorized NumPy —
+    GDAL's own precedent for Python-vectorized pixel UDFs.
+
+    ``expr`` example: ``"(X1 + X2) / 2"`` or ``"clip(X1 * 1.5, 0, 255)"``.
+    Returns (image_id, bytes, w, h, fmt, checksum) with the result as a
+    single re-encoded gray band."""
+    code = compile(expr, "<band_calc>", "eval")
+    for name in code.co_names:
+        if name not in _CALC_FUNCS and not (name[0] == "X" and name[1:].isdigit()):
+            raise ValueError(f"band_calc: unknown name {name!r} in expression")
+
+    schema = "image_id string, bytes binary, w int, h int, fmt string, checksum int"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                env = {f"X{i + 1}": arr[:, :, i].astype(np.float64) for i in range(arr.shape[2])}
+                env.update(_CALC_FUNCS)
+                out = eval(code, {"__builtins__": {}}, env)  # noqa: S307 — names whitelisted above
+                out = np.clip(np.floor(np.asarray(out, dtype=np.float64) + 0.5), 0, 255).astype(np.uint8)
+                rows.append(
+                    (r.image_id, codec.encode_image(out, "png"), out.shape[1],
+                     out.shape[0], "png", checksum_bands(out)[0])
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt", "checksum"]
+                )
+
+    return images.mapInPandas(run, schema=schema)
 
 
 def band_stats(images: DataFrame) -> DataFrame:

@@ -325,6 +325,66 @@ def test_stream_pipeline_available_now(spark, sf_dir):
         assert got == expect
 
 
+def test_band_calc(spark, sf_dir):
+    from gdal_spark.raster import codec
+    from gdal_spark.raster.checksum import checksum_band
+    from gdal_spark.raster.pipeline import band_calc
+
+    imgs = synth.images(spark, sf_dir, where="okey % 500 = 0")
+    rows = band_calc(imgs, "clip((X1 + X2) / 2, 0, 255)").collect()
+    assert rows
+    src = {r.image_id: r for r in imgs.collect()}
+    for r in rows[:3]:
+        arr = codec.decode_image(src[r.image_id].bytes, src[r.image_id].fmt)
+        expect = np.clip(
+            np.floor((arr[:, :, 0].astype(np.float64) + arr[:, :, 1]) / 2 + 0.5),
+            0, 255,
+        ).astype(np.uint8)
+        assert r.checksum == checksum_band(expect)
+        # round-trips through the lossless PNG path
+        assert (codec.decode_image(r.bytes, "png") == expect).all()
+
+
+def test_band_calc_rejects_unknown_names(spark, sf_dir):
+    from gdal_spark.raster.pipeline import band_calc
+
+    imgs = synth.images(spark, sf_dir, where="okey % 500 = 0")
+    with pytest.raises(ValueError):
+        band_calc(imgs, "__import__('os')")
+    with pytest.raises(ValueError):
+        band_calc(imgs, "X1 + evil")
+
+
+def test_tile_job_end_to_end_resume(spark, sf_dir, tmp_path):
+    """jobs/tile_job.py: full job twice; second (resumed) run renders 0."""
+    import json as _json
+
+    from jobs.tile_job import main
+
+    out = str(tmp_path / "tiles_out")
+    # zooms where a 0.01-degree footprint spans whole pixels (at z<=6 it
+    # is sub-pixel and skip-blank correctly drops every tile)
+    argv = [
+        "--sf-dir", sf_dir, "--out", out,
+        "--min-zoom", "11", "--max-zoom", "12",
+        "--subset", "okey % 200 = 0",
+    ]
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(argv) == 0
+    first = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert first["n_tiles"] > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(argv + ["--resume"]) == 0
+    second = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert second["n_tiles"] == 0  # idempotent resume (north rule)
+
+
 # ---------------------------------------------------------------------------
 # interpolate at point
 # ---------------------------------------------------------------------------
