@@ -651,8 +651,16 @@ def _q_minhash(spark, sf_dir):
 
 def _minhash_oracle() -> str:
     toks = "string_split(text, ' ')"
+    sh = (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])) "
+        f"ELSE [text] END"
+    )
+    # signatures hash the SHINGLE set (matches the verify feature
+    # space — see dedup.minhash_signatures)
     mh = [
-        f"list_min(list_transform({toks}, x -> md5(concat('{i}|', x)))) AS mh{i}"
+        f"list_min(list_transform(s, x -> md5(concat('{i}|', x)))) AS mh{i}"
         for i in range(dedup.K_MINHASH)
     ]
     rows = dedup.K_MINHASH // dedup.BANDS
@@ -662,14 +670,9 @@ def _minhash_oracle() -> str:
         bands.append(
             f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bkey FROM sig"
         )
-    sh = (
-        f"CASE WHEN len({toks}) >= 3 THEN "
-        f"list_transform(range(1, len({toks}) - 1), "
-        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])) "
-        f"ELSE [text] END"
-    )
     return f"""
-WITH sig AS (SELECT doc_id, {', '.join(mh)} FROM documents),
+WITH shl AS (SELECT doc_id, list_distinct({sh}) AS s FROM documents),
+sig AS (SELECT doc_id, {', '.join(mh)} FROM shl),
 banded AS ({' UNION ALL '.join(bands)}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -45,16 +45,31 @@ def minhash_sig_exprs(k: int = K_MINHASH) -> list[str]:
     ]
 
 
+_SHINGLE_FROM_T = (
+    "CASE WHEN size(_t) >= 3 THEN transform(sequence(1, size(_t) - 2), "
+    "i -> concat_ws(' ', element_at(_t, i), element_at(_t, i + 1), element_at(_t, i + 2))) "
+    "ELSE array(text) END"
+)
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct 3-token shingles, tokenized once."""
+    return docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("_t")
+    ).select("doc_id", F.array_distinct(F.expr(_SHINGLE_FROM_T)).alias("sh"))
+
+
 def minhash_signatures(docs: DataFrame, k: int = K_MINHASH) -> DataFrame:
-    """Tokenize ONCE into a projected column, then derive all k
-    signature elements from it — k× fewer regex splits than inlining
-    ``split(text)`` into every transform (same values either way)."""
-    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+    """Min-wise hashes over the 3-gram SHINGLE set — the same feature
+    space the Jaccard verify uses. (Hashing unigram token sets instead
+    makes every doc over a small vocabulary collide into every bucket:
+    candidate pairs go quadratic. Measured: 178 s → 9 s at sf0.1.)"""
+    sh = with_shingles(docs)
     sigs = [
-        F.expr(f"array_min(transform(_toks, x -> md5(concat('{i}|', x))))").alias(f"mh{i}")
+        F.expr(f"array_min(transform(sh, x -> md5(concat('{i}|', x))))").alias(f"mh{i}")
         for i in range(k)
     ]
-    return toked.select("doc_id", *sigs)
+    return sh.select("doc_id", *sigs)
 
 
 def band_exprs(k: int = K_MINHASH, bands: int = BANDS) -> list[str]:
@@ -102,20 +117,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = (
-        docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("_t"))
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "CASE WHEN size(_t) >= 3 THEN transform(sequence(1, size(_t) - 2), "
-                    "i -> concat_ws(' ', element_at(_t, i), element_at(_t, i + 1), element_at(_t, i + 2))) "
-                    "ELSE array(text) END"
-                )
-            ).alias("sh"),
-        )
-        .persist()
-    )
+    sh = with_shingles(docs).persist()
     pairs = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -70,6 +70,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.faulthandler.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
