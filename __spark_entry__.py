@@ -366,6 +366,91 @@ SELECT 'supplier' AS src, s_suppkey AS key FROM supplier
 """
 
 
+def _q_special_fields(spark, sf_dir):
+    """OGR special fields FID / OGR_GEOMETRY / OGR_GEOM_AREA
+    (ogr/ogr_p.h:133-137; handling ogr_gensql.cpp:829-864) as derived
+    columns over the AOI layer."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    synth.aoi(spark, sf_dir).createOrReplaceTempView("aoi_sf")
+    return spark.sql(
+        """
+        SELECT CAST(poly_id AS BIGINT) AS FID,
+               ST_GeometryType(geom) AS OGR_GEOMETRY,
+               round(ST_Area(geom), 6) AS OGR_GEOM_AREA
+        FROM aoi_sf
+        """
+    )
+
+
+SPECIAL_FIELDS_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id AS FID, 'POLYGON' AS OGR_GEOMETRY,
+       round((lon_max - lon_min) * (lat_max - lat_min), 6) AS OGR_GEOM_AREA
+FROM aoi
+"""
+
+
+def _q_count_distinct(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+COUNT_DISTINCT_ORACLE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def _q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (absent in the reference's own SQL —
+    SURVEY.md §2.5 — present here for free via Spark)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    custs_with = o.select(F.col("o_custkey").alias("k")).distinct()
+    all_custs = c.select(F.col("c_custkey").alias("k"))
+    both = all_custs.intersect(custs_with).withColumn("tag", F.lit("has_orders"))
+    none = all_custs.exceptAll(custs_with).withColumn("tag", F.lit("no_orders"))
+    return both.unionByName(none)
+
+
+SET_OPS_ORACLE = """
+SELECT k, 'has_orders' AS tag FROM (
+  SELECT c_custkey AS k FROM customer INTERSECT SELECT DISTINCT o_custkey FROM orders)
+UNION ALL
+SELECT k, 'no_orders' AS tag FROM (
+  SELECT c_custkey AS k FROM customer EXCEPT SELECT DISTINCT o_custkey FROM orders)
+"""
+
+
+def _q_theta_join(spark, sf_dir):
+    """Theta join (boolean ON expr, ogr_sql_dialect.rst:499-504):
+    non-equi broadcast NL join, counts per customer."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter("c_custkey < 100")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = o.join(
+        F.broadcast(c),
+        (o["o_totalprice"] >= c["c_acctbal"])
+        & (o["o_totalprice"] < c["c_acctbal"] + 5000.0),
+        "inner",
+    )
+    return j.groupBy("c_custkey").agg(F.count("*").cast("long").alias("n"))
+
+
+THETA_ORACLE = """
+SELECT c.c_custkey, CAST(count(*) AS BIGINT) AS n
+FROM orders o JOIN customer c
+  ON o.o_totalprice >= c.c_acctbal AND o.o_totalprice < c.c_acctbal + 5000.0
+WHERE c.c_custkey < 100
+GROUP BY c.c_custkey
+"""
+
+
 def _q_props(spark, sf_dir):
     """HSTORE_GET_VALUE analogue (ogr/ogr_swq.h:65): typed key lookup
     inside a string props column."""
@@ -867,6 +952,15 @@ def _q_band_calc(spark, sf_dir):
     return out.select("image_id", "w", "h", "checksum")
 
 
+def _q_dem(spark, sf_dir):
+    """DEM derivative checksums (gdaldem slope/aspect/hillshade/
+    roughness/TPI/TRI, apps/gdalalg_raster_*.cpp)."""
+    from gdal_spark.raster.dem import dem_metrics
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return dem_metrics(imgs)
+
+
 def _q_rasterize(spark, sf_dir):
     """Vector→raster burn (alg/gdalrasterize.cpp): AOI polygons burned
     into z4 mercator tiles, per-tile GDAL checksums."""
@@ -932,6 +1026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_orderby_limit": _q_topk,
         "ogr_distinct": _q_distinct,
         "ogr_union_all": _q_union_all,
+        "ogr_special_fields": _q_special_fields,
+        "ogr_count_distinct": _q_count_distinct,
+        "ogr_set_ops": _q_set_ops,
+        "ogr_theta_join": _q_theta_join,
         "props_extract": _q_props,
         "events_agg": _q_events_agg,
         "events_windowed": _q_events_windowed,
@@ -960,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_burn": _q_rasterize,
         "raster_reclassify": _q_reclassify,
         "raster_band_calc": _q_band_calc,
+        "raster_dem_metrics": _q_dem,
         "tile_pyramid": _q_tile_pyramid,
     }
 
@@ -978,6 +1077,10 @@ def oracle_sql() -> dict[str, str]:
         "ogr_orderby_limit": TOPK_ORACLE,
         "ogr_distinct": DISTINCT_ORACLE,
         "ogr_union_all": UNION_ALL_ORACLE,
+        "ogr_special_fields": SPECIAL_FIELDS_ORACLE,
+        "ogr_count_distinct": COUNT_DISTINCT_ORACLE,
+        "ogr_set_ops": SET_OPS_ORACLE,
+        "ogr_theta_join": THETA_ORACLE,
         "props_extract": PROPS_ORACLE,
         "events_agg": EVENTS_AGG_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,

@@ -325,6 +325,42 @@ def test_stream_pipeline_available_now(spark, sf_dir):
         assert got == expect
 
 
+def test_dem_metrics(spark, sf_dir):
+    from gdal_spark.raster import codec, dem
+    from gdal_spark.raster.checksum import checksum_band
+
+    imgs = synth.images(spark, sf_dir, where="okey % 500 = 0")
+    rows = dem.dem_metrics(imgs, ops=("slope", "hillshade", "tpi")).collect()
+    assert rows
+    src = {r.image_id: r for r in imgs.collect()}
+    r = rows[0]
+    z = codec.decode_image(src[r.image_id].bytes, src[r.image_id].fmt)[:, :, 0].astype(float)
+    hs = dem.hillshade(z)
+    assert r.cs_hillshade == checksum_band(hs)
+    sl = np.clip(np.floor(np.abs(dem.slope_deg(z)) + 0.5), 0, 255).astype(np.uint8)
+    assert r.cs_slope == checksum_band(sl)
+
+
+def test_dem_flat_surface():
+    from gdal_spark.raster import dem
+
+    z = np.full((10, 10), 42.0)
+    assert (dem.slope_deg(z) == 0).all()
+    assert (dem.roughness(z) == 0).all()
+    assert (dem.tpi(z) == 0).all()
+    assert (dem.tri(z) == 0).all()
+    # flat → hillshade = sin(alt)*255 everywhere
+    hs = dem.hillshade(z)
+    assert (hs == np.clip(np.floor(255 * np.sin(np.radians(45.0)) + 0.5), 0, 255)).all()
+    # tilted plane: constant slope
+    yy, xx = np.mgrid[0:20, 0:20]
+    plane = xx.astype(float)
+    sl = dem.slope_deg(plane)
+    assert np.allclose(sl, 45.0)
+    # elevation rises eastward → downslope faces WEST (aspect 270)
+    assert np.allclose(dem.aspect_deg(plane), 270.0)
+
+
 def test_band_calc(spark, sf_dir):
     from gdal_spark.raster import codec
     from gdal_spark.raster.checksum import checksum_band
