@@ -646,6 +646,29 @@ SELECT image_id, CAST({terms} AS BIGINT) AS morton FROM t
 """
 
 
+def _q_segmentize(spark, sf_dir):
+    """ogr2ogr segmentize step (GeomOperation, ogr2ogr_lib.cpp:69):
+    densify AOI rings to ≤5° segments; vertex counts are closed-form
+    for rectangles → exact SQL oracle."""
+    from gdal_spark.operators.vector_ops import make_segmentize_udf, n_points
+
+    aoi = synth.aoi(spark, sf_dir)
+    seg = make_segmentize_udf(5.0)
+    return aoi.select(
+        F.col("poly_id").cast("long").alias("poly_id"),
+        n_points(seg(F.col("geom"))).cast("int").alias("n_pts"),
+    )
+
+
+SEGMENTIZE_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id,
+       CAST(2 * ceil((lon_max - lon_min) / 5.0)
+            + 2 * ceil((lat_max - lat_min) / 5.0) + 1 AS INTEGER) AS n_pts
+FROM aoi
+"""
+
+
 def _q_hilbert(spark, sf_dir):
     """gdal vector sort hilbert parity (apps/gdalalg_vector_sort.cpp:351):
     16-bit/axis Hilbert code, unrolled into Catalyst projections."""
@@ -1040,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_functions": _q_st_functions,
         "morton_order": _q_morton,
         "hilbert_order": _q_hilbert,
+        "vector_segmentize": _q_segmentize,
         # training-data pipeline ops
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_lsh": _q_minhash,
@@ -1090,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "st_functions": ST_ORACLE,
         "morton_order": _morton_oracle(),
         "hilbert_order": _hilbert_oracle(),
+        "vector_segmentize": SEGMENTIZE_ORACLE,
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

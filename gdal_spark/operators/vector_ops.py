@@ -1,0 +1,205 @@
+"""Vector pipeline steps — the ogr2ogr / `gdal vector` surface.
+
+Re-expresses the per-feature geometry steps of
+``apps/ogr2ogr_lib.cpp`` (GeomOperation segmentize/simplify ``:69-71``)
+and the new-CLI pipeline steps (``apps/gdalalg_vector_pipeline.cpp``:
+swap-xy, segmentize, simplify, explode-collections, make-valid) as
+Arrow-batched WKB transforms. Filter/select/sql/sort/limit steps are
+plain DataFrame methods and need no code here.
+
+Kernels are pure NumPy over the parsed ring arrays
+(``functions/geometry.py``); semantics follow OGR:
+
+- ``segmentize(maxlen)``: insert evenly spaced vertices so no segment
+  exceeds ``maxlen`` (``OGRLineString::segmentize`` splits each segment
+  into ``ceil(len/maxlen)`` pieces).
+- ``simplify(tol)``: Douglas–Peucker (``OGRGeometry::Simplify`` is
+  GEOS DP; topology preservation not attempted, as in GEOS Simplify).
+- ``swap_xy``: coordinate swap (``OGRGeometry::swapXY``).
+- ``explode_collections``: one row per part (ogr2ogr
+  ``-explodecollections``) — a 1→N ``mapInPandas`` UDTF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType, IntegerType
+
+from gdal_spark.functions import geometry as G
+
+
+# ---------------------------------------------------------------------------
+# ring kernels
+# ---------------------------------------------------------------------------
+
+
+def segmentize_ring(ring: np.ndarray, maxlen: float) -> np.ndarray:
+    out = []
+    for i in range(len(ring) - 1):
+        a, b = ring[i], ring[i + 1]
+        seg = np.hypot(b[0] - a[0], b[1] - a[1])
+        n = max(1, int(np.ceil(seg / maxlen)))
+        ts = np.linspace(0.0, 1.0, n, endpoint=False)
+        out.append(a[None, :] * (1 - ts[:, None]) + b[None, :] * ts[:, None])
+    out.append(ring[-1:])
+    return np.vstack(out)
+
+
+def dp_simplify(points: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker on an open polyline (n,2)."""
+    if len(points) < 3:
+        return points
+    keep = np.zeros(len(points), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(points) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = points[i], points[j]
+        ab = b - a
+        ll = float(ab @ ab)
+        seg = points[i + 1 : j]
+        if ll == 0:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            t = np.clip(((seg - a) @ ab) / ll, 0.0, 1.0)
+            proj = a + t[:, None] * ab
+            d = np.hypot(seg[:, 0] - proj[:, 0], seg[:, 1] - proj[:, 1])
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return points[keep]
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """DP on a ring/polyline; closed rings keep closure and are left
+    unchanged when simplification would drop below 3 distinct
+    vertices."""
+    closed = np.array_equal(ring[0], ring[-1])
+    if not closed:
+        return dp_simplify(ring, tol)
+    if len(ring) < 5:
+        return ring
+    pts = dp_simplify(ring, tol)  # anchors first==last, stays closed
+    if len(pts) < 4:
+        return ring
+    return pts
+
+
+def _rebuild(g: G.Geom, ring_fn) -> bytes:
+    if g.gtype == G.WKB_POLYGON:
+        return G.wkb_polygon([ring_fn(r) for r in g.rings])
+    if g.gtype == G.WKB_MULTIPOLYGON:
+        # group rings back into polygons by role (exterior starts one)
+        polys, cur = [], []
+        for r, is_ext in zip(g.rings, g.ring_roles):
+            if is_ext and cur:
+                polys.append(cur)
+                cur = []
+            cur.append(ring_fn(r))
+        if cur:
+            polys.append(cur)
+        return G.wkb_multipolygon(polys)
+    if g.gtype == G.WKB_LINESTRING:
+        return G.wkb_linestring(ring_fn(g.coords[0]))
+    if g.gtype == G.WKB_POINT:
+        x, y = ring_fn(g.coords[0])[0]
+        return G.wkb_point(float(x), float(y))
+    raise ValueError(f"unsupported geometry {g.type_name}")
+
+
+# ---------------------------------------------------------------------------
+# column functions
+# ---------------------------------------------------------------------------
+
+
+def make_segmentize_udf(maxlen: float):
+    @pandas_udf(BinaryType())
+    def seg(wkb: pd.Series) -> pd.Series:
+        return wkb.map(
+            lambda b: _rebuild(G.parse_wkb(b), lambda r: segmentize_ring(r, maxlen))
+            if b is not None
+            else None
+        )
+
+    return seg
+
+
+def make_simplify_udf(tol: float):
+    @pandas_udf(BinaryType())
+    def simp(wkb: pd.Series) -> pd.Series:
+        return wkb.map(
+            lambda b: _rebuild(G.parse_wkb(b), lambda r: simplify_ring(r, tol))
+            if b is not None
+            else None
+        )
+
+    return simp
+
+
+@pandas_udf(BinaryType())
+def swap_xy(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        g = G.parse_wkb(b)
+        return _rebuild(g, lambda r: r[:, ::-1].copy())
+
+    return wkb.map(f)
+
+
+@pandas_udf(IntegerType())
+def n_points(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        g = G.parse_wkb(b)
+        parts = g.rings if g.rings else g.coords
+        return int(sum(len(p) for p in parts))
+
+    return wkb.map(f)
+
+
+def explode_collections(df: DataFrame, geom: str = "geom") -> DataFrame:
+    """One output row per geometry part (multipolygon → polygons),
+    part index appended (ogr2ogr -explodecollections)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [f for f in df.schema.fields] + [StructField("part_idx", LongType())]
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                g = G.parse_wkb(bytes(row[geom]))
+                if g.gtype != G.WKB_MULTIPOLYGON:
+                    d = dict(row)
+                    d["part_idx"] = 0
+                    rows.append(d)
+                    continue
+                polys, cur = [], []
+                for r, is_ext in zip(g.rings, g.ring_roles):
+                    if is_ext and cur:
+                        polys.append(cur)
+                        cur = []
+                    cur.append(r)
+                if cur:
+                    polys.append(cur)
+                for i, rings in enumerate(polys):
+                    d = dict(row)
+                    d[geom] = G.wkb_polygon(rings)
+                    d["part_idx"] = i
+                    rows.append(d)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=schema)

@@ -272,6 +272,68 @@ def test_st_makepoint_roundtrip(spark):
 
 
 # ---------------------------------------------------------------------------
+# vector pipeline steps
+# ---------------------------------------------------------------------------
+
+
+def test_segmentize_and_npoints(spark):
+    from gdal_spark.operators.vector_ops import make_segmentize_udf, n_points
+
+    df = spark.createDataFrame(
+        [(1, bytearray(G.wkb_bbox_polygon(0.0, 0.0, 10.0, 4.0)))], "id int, geom binary"
+    )
+    seg = make_segmentize_udf(3.0)
+    r = df.select(n_points(seg(F.col("geom"))).alias("n")).collect()[0]
+    # edges 10,4,10,4 → ceil(10/3)=4, ceil(4/3)=2 pts each + closing
+    assert r.n == 4 + 2 + 4 + 2 + 1
+    # vertices unchanged at the corners; all segments ≤ 3
+    out = df.select(seg(F.col("geom")).alias("g")).collect()[0].g
+    ring = G.parse_wkb(bytes(out)).rings[0]
+    d = np.hypot(np.diff(ring[:, 0]), np.diff(ring[:, 1]))
+    assert (d <= 3.0 + 1e-12).all()
+
+
+def test_simplify_polyline():
+    from gdal_spark.operators.vector_ops import dp_simplify
+
+    line = np.array([[0, 0], [1, 0.01], [2, -0.02], [3, 0.015], [4, 0]], dtype=float)
+    out = dp_simplify(line, tol=0.1)
+    assert len(out) == 2  # collapses to the endpoints
+    out2 = dp_simplify(line, tol=0.001)
+    assert len(out2) == 5  # keeps everything
+
+
+def test_swap_xy_roundtrip(spark):
+    from gdal_spark.operators.vector_ops import swap_xy
+
+    df = spark.createDataFrame(
+        [(1, bytearray(G.wkb_bbox_polygon(1.0, 2.0, 3.0, 4.0)))], "id int, geom binary"
+    )
+    once = df.select(swap_xy(F.col("geom")).alias("g"))
+    ring = G.parse_wkb(bytes(once.collect()[0].g)).rings[0]
+    assert ring[0, 0] == 2.0 and ring[0, 1] == 1.0  # swapped
+    twice = once.select(swap_xy(F.col("g")).alias("g2")).collect()[0].g2
+    assert G.parse_wkb(bytes(twice)).rings[0][0, 0] == 1.0  # round-trips
+
+
+def test_explode_collections(spark):
+    from gdal_spark.operators.vector_ops import explode_collections
+
+    mp = G.wkb_multipolygon(
+        [
+            [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]],
+            [[(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]],
+        ]
+    )
+    df = spark.createDataFrame([(1, bytearray(mp))], "id int, geom binary")
+    out = explode_collections(df).collect()
+    assert len(out) == 2
+    assert sorted(r.part_idx for r in out) == [0, 1]
+    for r in out:
+        assert G.parse_wkb(bytes(r.geom)).gtype == G.WKB_POLYGON
+
+
+# ---------------------------------------------------------------------------
 # streaming / incremental
 # ---------------------------------------------------------------------------
 
