@@ -646,6 +646,33 @@ SELECT image_id, CAST({terms} AS BIGINT) AS morton FROM t
 """
 
 
+def _q_dissolve(spark, sf_dir):
+    """gdal vector dissolve (groupBy + UnaryUnion): group metrics —
+    count + envelope are the SQL-checkable invariants; exact union
+    area is pytest-verified (tests/test_new_operators.py)."""
+    from gdal_spark.operators.dissolve import dissolve
+
+    aoi = synth.aoi(spark, sf_dir)
+    out = dissolve(aoi, by="category")
+    return out.select(
+        "category",
+        F.col("n_polys").cast("long").alias("n_polys"),
+        "env_lon_min",
+        "env_lat_min",
+        "env_lon_max",
+        "env_lat_max",
+    )
+
+
+DISSOLVE_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT category, CAST(count(*) AS BIGINT) AS n_polys,
+       min(lon_min) AS env_lon_min, min(lat_min) AS env_lat_min,
+       max(lon_max) AS env_lon_max, max(lat_max) AS env_lat_max
+FROM aoi GROUP BY category
+"""
+
+
 def _q_segmentize(spark, sf_dir):
     """ogr2ogr segmentize step (GeomOperation, ogr2ogr_lib.cpp:69):
     densify AOI rings to ≤5° segments; vertex counts are closed-form
@@ -1064,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morton_order": _q_morton,
         "hilbert_order": _q_hilbert,
         "vector_segmentize": _q_segmentize,
+        "vector_dissolve": _q_dissolve,
         # training-data pipeline ops
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_lsh": _q_minhash,
@@ -1115,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "morton_order": _morton_oracle(),
         "hilbert_order": _hilbert_oracle(),
         "vector_segmentize": SEGMENTIZE_ORACLE,
+        "vector_dissolve": DISSOLVE_ORACLE,
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -163,6 +163,39 @@ def test_semi_anti_partition(spark, sf_dir):
     assert n_semi > 0 and n_anti > 0
 
 
+def test_dissolve_union_area():
+    from gdal_spark.operators.dissolve import union_rects_area
+
+    # two overlapping unit rects: union = 2*1 - overlap 0.25
+    rects = np.array([[0, 0, 1, 1], [0.5, 0.5, 1.5, 1.5]], dtype=float)
+    area, _ = union_rects_area(rects)
+    assert area == pytest.approx(2 - 0.25)
+    # disjoint
+    rects = np.array([[0, 0, 1, 1], [5, 5, 6, 7]], dtype=float)
+    assert union_rects_area(rects)[0] == pytest.approx(1 + 2)
+    # contained
+    rects = np.array([[0, 0, 4, 4], [1, 1, 2, 2]], dtype=float)
+    assert union_rects_area(rects)[0] == pytest.approx(16.0)
+
+
+def test_dissolve_groups(spark, sf_dir):
+    from gdal_spark.operators.dissolve import dissolve, union_rects_area
+
+    aoi = synth.aoi(spark, sf_dir)
+    out = {r.category: r for r in dissolve(aoi, by="category").collect()}
+    rows = aoi.collect()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r.category].append([r.lon_min, r.lat_min, r.lon_max, r.lat_max])
+    assert set(out) == set(groups)
+    for cat, rects in groups.items():
+        expect, _ = union_rects_area(np.asarray(rects))
+        assert out[cat].union_area == pytest.approx(expect)
+        assert out[cat].n_polys == len(rects)
+
+
 def test_union_layers(spark):
     a = spark.createDataFrame([(1, "x")], "id int, a string")
     b = spark.createDataFrame([(2, 3.0)], "id int, b double")
