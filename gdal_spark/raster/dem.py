@@ -102,6 +102,9 @@ def dem_metrics(images: DataFrame, ops: tuple = ("slope", "hillshade", "roughnes
     """Per-image DEM derivatives of band 0 (treated as elevation):
     returns checksum of each derivative raster (rounded to uint8 range
     for non-hillshade metrics the way gdaldem writes Byte output)."""
+    from gdal_spark.session import ensure_pixel_batch_size
+
+    ensure_pixel_batch_size(images.sparkSession)
     for op in ops:
         if op not in _DEM_FUNCS:
             raise ValueError(f"unknown DEM op {op!r}")

@@ -22,8 +22,15 @@ from gdal_spark.raster.checksum import checksum_bands
 from gdal_spark.raster.resample import resample
 
 
+def _ensure_batch(df: DataFrame) -> None:
+    from gdal_spark.session import ensure_pixel_batch_size
+
+    ensure_pixel_batch_size(df.sparkSession)
+
+
 def with_checksums(images: DataFrame) -> DataFrame:
     """(image_id, fmt, w, h, caption, phash, checksum_b0/b1/b2)."""
+    _ensure_batch(images)
     schema = (
         "image_id string, fmt string, w int, h int, caption string, phash long, "
         "checksum_b0 int, checksum_b1 int, checksum_b2 int"
@@ -64,6 +71,7 @@ def translate(
     """gdal_translate as a DataFrame op: -srcwin / -outsize / -scale /
     -b band select / -r resampling, re-encoding to ``out_fmt``.
     Returns image_id, bytes, w, h, fmt (+ passthrough caption)."""
+    _ensure_batch(images)
     schema = "image_id string, bytes binary, w int, h int, fmt string, caption string"
 
     def run(it):
@@ -106,6 +114,7 @@ def translate(
 def as_features(images: DataFrame, band: int = 0, sample_stride: int = 1) -> DataFrame:
     """raster → long-form rows (image_id, row, col, value) — the
     ``gdal raster as-features`` explode, 1→N ``mapInPandas`` UDTF."""
+    _ensure_batch(images)
     schema = "image_id string, row int, col int, value int"
 
     def run(it):
@@ -139,6 +148,7 @@ def interpolate_at_points(images: DataFrame, points: DataFrame, method: str = "b
 
     ``points`` needs (pt_id, lon, lat); ``images`` the synth/input_hint
     schema incl. footprint bounds. Returns (pt_id, image_id, value)."""
+    _ensure_batch(images)
     from gdal_spark.raster.warp import _sample_bilinear, _sample_nearest
 
     pts = points.select(
@@ -201,6 +211,7 @@ def band_calc(images: DataFrame, expr: str, out_fmt: str = "png") -> DataFrame:
     ``expr`` example: ``"(X1 + X2) / 2"`` or ``"clip(X1 * 1.5, 0, 255)"``.
     Returns (image_id, bytes, w, h, fmt, checksum) with the result as a
     single re-encoded gray band."""
+    _ensure_batch(images)
     code = compile(expr, "<band_calc>", "eval")
     for name in code.co_names:
         if name not in _CALC_FUNCS and not (name[0] == "X" and name[1:].isdigit()):
@@ -234,6 +245,7 @@ def band_calc(images: DataFrame, expr: str, out_fmt: str = "png") -> DataFrame:
 def band_stats(images: DataFrame) -> DataFrame:
     """Per-image band-0 statistics (ComputeStatistics semantics:
     min/max/mean/std over all pixels, ``gcore/raster_stats.h``)."""
+    _ensure_batch(images)
     schema = "image_id string, min_v int, max_v int, mean_v double, std_v double"
 
     def run(it):

@@ -103,6 +103,9 @@ def reclassify_expr(mapping: list[tuple[int, int, int]]):
 def reclassify(images: DataFrame, mapping: list[tuple[int, int, int]]) -> DataFrame:
     """Apply a value-range reclassification to band 0 of each image;
     returns (image_id, checksum_before, checksum_after, n_changed)."""
+    from gdal_spark.session import ensure_pixel_batch_size
+
+    ensure_pixel_batch_size(images.sparkSession)
     from gdal_spark.raster import codec
 
     lut = reclassify_expr(mapping)

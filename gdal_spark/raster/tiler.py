@@ -82,6 +82,9 @@ def render_base_tiles(
     lat_max). Returns (z, tx, ty, x, y, quadkey, tile(png RGBA),
     checksum, n_srcs).
     """
+    from gdal_spark.session import ensure_pixel_batch_size
+
+    ensure_pixel_batch_size(images.sparkSession)
     m = tm.GlobalMercator(tile_size)
     # rename helper cols: pandas itertuples mangles leading-underscore names
     work = (

@@ -23,6 +23,24 @@ from pyspark.sql import SparkSession
 DEFAULT_ARROW_BATCH = 256
 
 
+def ensure_pixel_batch_size(spark: SparkSession, max_rows: int = DEFAULT_ARROW_BATCH) -> None:
+    """Clamp Arrow batch size before a pixel-bearing pandas-UDF stage.
+
+    Pixel operators must work inside ANY caller's session (the
+    correctness driver builds its own). Spark's default
+    ``maxRecordsPerBatch`` is 10,000 — at ~300 KB encoded per row that
+    is a ~3 GB Arrow batch per task. The conf is runtime-settable, so
+    clamp it here; slim-row operators are unaffected by a smaller
+    batch (it only bounds, not pads)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    try:
+        cur = int(spark.conf.get(key, "10000"))
+    except ValueError:
+        cur = 10000
+    if cur <= 0 or cur > max_rows:
+        spark.conf.set(key, str(max_rows))
+
+
 def get_spark(
     app_name: str = "gdal_spark",
     master: str | None = None,

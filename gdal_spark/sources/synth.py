@@ -258,6 +258,9 @@ def images(spark: SparkSession, sf_dir: str, where: str | None = None) -> DataFr
     ``where`` (SQL over footprint cols, e.g. ``okey % 20 = 0``) filters
     BEFORE pixel synthesis — pixels for excluded rows are never built
     (the pushdown a parquet scan would do automatically)."""
+    from gdal_spark.session import ensure_pixel_batch_size
+
+    ensure_pixel_batch_size(spark)
     fp = footprints(spark, sf_dir)
     if where:
         # re-spread after the filter so pixel synthesis stays balanced
