@@ -1030,6 +1030,37 @@ def _q_reclassify(spark, sf_dir):
     return reclassify(imgs, [(0, 63, 0), (64, 191, 128), (192, 255, 255)])
 
 
+def _q_color_map(spark, sf_dir):
+    from gdal_spark.raster.composite import color_map
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return color_map(imgs)
+
+
+def _q_mosaic_blend(spark, sf_dir):
+    """gdal raster blend/stack: pair up images by okey bucket."""
+    from gdal_spark.raster.composite import blend_pair
+
+    imgs = synth.images(spark, sf_dir, where="okey % 100 = 0").withColumn(
+        "pair_id", (F.abs(F.xxhash64("image_id")) % 50).cast("long")
+    )
+    return blend_pair(imgs)
+
+
+def _q_psnr_gate(spark, sf_dir):
+    """gdal raster compare PSNR metric (apps/gdalalg_raster_compare.cpp
+    :1094): lossless round-trip exactness + lossy PSNR >= 40 dB — the
+    BASELINE.json per-row invariant as a first-class query. All rows
+    must have ok = true."""
+    from gdal_spark.raster.composite import lossy_psnr_gate
+
+    imgs = synth.images(spark, sf_dir, where="okey % 50 = 0")
+    out = lossy_psnr_gate(imgs)
+    return out.select(
+        "image_id", "fmt", "lossless_exact", F.round("psnr_db", 2).alias("psnr_db"), "ok"
+    )
+
+
 def _q_tile_pyramid(spark, sf_dir):
     imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
     # z10-12: a 0.01-degree footprint spans 3-30 px/tile — every image
@@ -1111,6 +1142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_reclassify": _q_reclassify,
         "raster_band_calc": _q_band_calc,
         "raster_dem_metrics": _q_dem,
+        "raster_color_map": _q_color_map,
+        "raster_blend": _q_mosaic_blend,
+        "raster_psnr_gate": _q_psnr_gate,
         "tile_pyramid": _q_tile_pyramid,
     }
 

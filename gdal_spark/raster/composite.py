@@ -1,0 +1,163 @@
+"""Mosaic / stack / blend / color-map / compare — multi-image and
+palette operators.
+
+Reference surfaces:
+- ``gdal raster mosaic`` (``apps/gdalalg_raster_mosaic.cpp``) — the
+  per-tile first-wins composite already lives in ``tiler.compose_tiles``;
+  here ``mosaic_group`` generalizes it to arbitrary grouping keys.
+- ``gdal raster stack`` (``apps/gdalalg_raster_stack.cpp``) — images →
+  one multi-band raster (bands in input order).
+- ``gdal raster blend`` (``apps/gdalalg_raster_blend.cpp``) — alpha
+  blend of two aligned rasters.
+- ``gdal raster color-map`` (``apps/gdalalg_raster_color_map.cpp``) —
+  gray → RGB palette LUT (``np.take`` over a 256×3 table).
+- ``gdal raster compare`` (``apps/gdalalg_raster_compare.cpp:74,
+  1094-1098``) — per-pair checksum equality + RMSD/PSNR metrics; the
+  in-repo precedent for the PSNR≥40dB lossy gate (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from gdal_spark.raster import codec
+from gdal_spark.raster.checksum import checksum_band
+
+
+def _ensure(images: DataFrame) -> None:
+    from gdal_spark.session import ensure_pixel_batch_size
+
+    ensure_pixel_batch_size(images.sparkSession)
+
+
+# 256-entry viridis-ish deterministic palette (analytic, not sampled)
+def default_palette() -> np.ndarray:
+    i = np.arange(256, dtype=np.float64) / 255.0
+    r = np.clip(np.floor(255 * np.sqrt(i) + 0.5), 0, 255)
+    g = np.clip(np.floor(255 * i**1.5 + 0.5), 0, 255)
+    b = np.clip(np.floor(255 * (1 - i) + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=1).astype(np.uint8)
+
+
+def color_map(images: DataFrame, palette: np.ndarray | None = None) -> DataFrame:
+    """Band-0 gray → RGB via palette LUT. Returns image_id + per-band
+    checksums of the mapped raster."""
+    _ensure(images)
+    pal = default_palette() if palette is None else np.asarray(palette, dtype=np.uint8)
+    schema = "image_id string, cs_r int, cs_g int, cs_b int"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                b = arr[:, :, 0] if arr.ndim == 3 else arr
+                rgb = pal[b]  # (h, w, 3) LUT gather
+                rows.append(
+                    (r.image_id, checksum_band(rgb[:, :, 0]),
+                     checksum_band(rgb[:, :, 1]), checksum_band(rgb[:, :, 2]))
+                )
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "cs_r", "cs_g", "cs_b"])
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def blend_pair(images: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Blend consecutive image pairs (grouped by a `pair_id` column):
+    out = a*first + (1-a)*second, resized to the first's shape.
+    Returns (pair_id, checksum, w, h, n_members)."""
+    _ensure(images)
+    from gdal_spark.raster.resample import resize_nearest
+
+    schema = "pair_id long, checksum int, w int, h int, n_members int"
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id")
+        arrs = [codec.decode_image(r.bytes, r.fmt) for r in pdf.itertuples()]
+        base = arrs[0][:, :, 0] if arrs[0].ndim == 3 else arrs[0]
+        acc = base.astype(np.float64) * alpha
+        rest_w = 1.0 - alpha
+        others = arrs[1:]
+        if others:
+            w_each = rest_w / len(others)
+            for a in others:
+                g = a[:, :, 0] if a.ndim == 3 else a
+                if g.shape != base.shape:
+                    g = resize_nearest(g, base.shape[0], base.shape[1])
+                acc += g.astype(np.float64) * w_each
+        out = np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
+        return pd.DataFrame(
+            [{
+                "pair_id": int(key[0]),
+                "checksum": checksum_band(out),
+                "w": out.shape[1],
+                "h": out.shape[0],
+                "n_members": len(pdf),
+            }]
+        )
+
+    return images.groupBy("pair_id").applyInPandas(run, schema=schema)
+
+
+def stack_bands(images: DataFrame, group_col: str = "pair_id") -> DataFrame:
+    """gdal raster stack: group members become bands of one raster
+    (aligned to the first member's shape). Returns per-group band
+    count + per-band checksums (first 4)."""
+    _ensure(images)
+    from gdal_spark.raster.resample import resize_nearest
+
+    schema = f"{group_col} long, n_bands int, cs_b0 int, cs_b1 int, cs_b2 int, cs_b3 int"
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("image_id")
+        bands = []
+        base_shape = None
+        for r in pdf.itertuples():
+            arr = codec.decode_image(r.bytes, r.fmt)
+            g = arr[:, :, 0] if arr.ndim == 3 else arr
+            if base_shape is None:
+                base_shape = g.shape
+            elif g.shape != base_shape:
+                g = resize_nearest(g, base_shape[0], base_shape[1])
+            bands.append(g)
+        cs = [checksum_band(b) for b in bands[:4]]
+        cs += [0] * (4 - len(cs))
+        return pd.DataFrame(
+            [{group_col: int(key[0]), "n_bands": len(bands),
+              "cs_b0": cs[0], "cs_b1": cs[1], "cs_b2": cs[2], "cs_b3": cs[3]}]
+        )
+
+    return images.groupBy(group_col).applyInPandas(run, schema=schema)
+
+
+def lossy_psnr_gate(images: DataFrame, min_db: float = 40.0) -> DataFrame:
+    """gdal raster compare metrics per image: re-encode through the
+    lossy stub and measure PSNR vs the original (the BASELINE.json
+    per-row invariant: PSNR ≥ 40 dB for lossy codecs; checksum-exact
+    for PNG). Returns (image_id, fmt, lossless_exact, psnr_db, ok)."""
+    _ensure(images)
+    schema = "image_id string, fmt string, lossless_exact boolean, psnr_db double, ok boolean"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                if r.fmt == "png":
+                    rt = codec.png_decode(codec.png_encode(arr, 1))
+                    exact = bool((rt == arr).all())
+                    rows.append((r.image_id, r.fmt, exact, float("inf"), exact))
+                else:
+                    rt = codec.fake_lossy_decode(codec.fake_lossy_encode(arr, r.fmt))
+                    p = codec.psnr(arr, rt)
+                    rows.append((r.image_id, r.fmt, False, p, bool(p >= min_db)))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "fmt", "lossless_exact", "psnr_db", "ok"],
+                )
+
+    return images.mapInPandas(run, schema=schema)

@@ -486,6 +486,42 @@ def test_band_calc_rejects_unknown_names(spark, sf_dir):
         band_calc(imgs, "X1 + evil")
 
 
+def test_color_map_and_psnr(spark, sf_dir):
+    from gdal_spark.raster import codec
+    from gdal_spark.raster.checksum import checksum_band
+    from gdal_spark.raster.composite import color_map, default_palette, lossy_psnr_gate
+
+    imgs = synth.images(spark, sf_dir, where="okey % 500 = 0")
+    rows = color_map(imgs).collect()
+    src = {r.image_id: r for r in imgs.collect()}
+    pal = default_palette()
+    r = rows[0]
+    b = codec.decode_image(src[r.image_id].bytes, src[r.image_id].fmt)[:, :, 0]
+    assert r.cs_r == checksum_band(pal[b][:, :, 0])
+    # PSNR gate: every synthetic image passes (lossless exact for png;
+    # fake-lossy quant step 4 → PSNR ~45 dB ≥ 40)
+    gate = lossy_psnr_gate(imgs).collect()
+    assert gate and all(g.ok for g in gate)
+    assert any(g.fmt == "png" and g.lossless_exact for g in gate)
+    assert any(g.fmt != "png" and g.psnr_db >= 40.0 for g in gate)
+
+
+def test_blend_and_stack(spark, sf_dir):
+    from gdal_spark.raster.composite import blend_pair, stack_bands
+
+    imgs = synth.images(spark, sf_dir, where="okey % 300 = 0").withColumn(
+        "pair_id", (F.abs(F.xxhash64("image_id")) % 2).cast("long")
+    )
+    b = blend_pair(imgs).collect()
+    assert b and all(r.n_members >= 1 for r in b)
+    s = {r.pair_id: r for r in stack_bands(imgs).collect()}
+    counts = {r.pair_id: 0 for r in b}
+    for row in imgs.select("pair_id").collect():
+        counts[row.pair_id] += 1
+    for pid, row in s.items():
+        assert row.n_bands == counts[pid]
+
+
 def test_tile_job_end_to_end_resume(spark, sf_dir, tmp_path):
     """jobs/tile_job.py: full job twice; second (resumed) run renders 0."""
     import json as _json
