@@ -727,8 +727,10 @@ def _q_events_windowed(spark, sf_dir):
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = windowed_event_counts(e)
+    # epoch seconds, not TIMESTAMP: collected timestamp rendering
+    # depends on the caller's session timezone; the instant does not
     return out.select(
-        "window_start",
+        F.unix_timestamp("window_start").cast("long").alias("window_start_s"),
         "event_type",
         F.col("n").cast("long").alias("n"),
         F.round("sum_v", 4).alias("sum_v"),
@@ -736,7 +738,7 @@ def _q_events_windowed(spark, sf_dir):
 
 
 EVENTS_WINDOWED_ORACLE = """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s, event_type,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_v
 FROM events GROUP BY 1, 2
 """
