@@ -34,6 +34,14 @@ def run(sf_dir: str, cpus: str | None) -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     qs = em.queries()
 
+    # warmup: spawn the Python-worker pool + JIT the codec paths on a
+    # tiny slice so the first timed pixel query isn't charged the
+    # one-time ~15-30s worker-spawn storm (see BENCH.md methodology)
+    from gdal_spark.raster import pipeline as _rp
+
+    _rp.with_checksums(synth.images(spark, sf_dir, where="okey % 1000 = 0")).count()
+    synth.aoi(spark, sf_dir).count()
+
     bench_queries = [
         "pip_join",
         "bbox_join",

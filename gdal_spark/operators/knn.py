@@ -124,9 +124,11 @@ def knn_join(
         # anti-join on DONE queries: a query with zero candidates in
         # this ring appears in neither done nor topk and must stay
         # pending for the wider ring (semi-join on not-done would
-        # silently drop it)
+        # silently drop it). Persist: each later round (and the final
+        # union) re-reads pending — without it the whole join+window
+        # lineage of every earlier round is recomputed per round.
         done_q = done.select(F.col(query_id).alias("_qid")).distinct()
-        pending = pending.join(done_q, "_qid", "left_anti")
+        pending = pending.join(done_q, "_qid", "left_anti").persist()
         if last:
             break
         # cheap emptiness probe once the ring is already wide

@@ -92,15 +92,33 @@ def warp_lonlat_to_merc_tile(
     res = (maxx - minx) / tile_size
     mx = minx + (np.arange(tile_size) + 0.5) * res
     my = maxy - (np.arange(tile_size) + 0.5) * res
-    lon = merc_to_lon(mx)[None, :]
-    lat = merc_to_lat(my)[:, None]
+    lon1d = merc_to_lon(mx)
+    lat1d = merc_to_lat(my)
     h, w = src.shape[:2]
+
+    # geo_query windowing (gdal2tiles.py:2968): restrict sampling to
+    # the tile sub-window the footprint can touch — a 0.01° footprint
+    # covers ~30² px of a z12 tile, so sampling all 256² wastes ~50×
+    cols = np.nonzero((lon1d >= lon_min) & (lon1d <= lon_max))[0]
+    rows = np.nonzero((lat1d >= lat_min) & (lat1d <= lat_max))[0]
+    shape = (tile_size, tile_size) if src.ndim == 2 else (tile_size, tile_size, src.shape[2])
+    out = np.zeros(shape, dtype=src.dtype)
+    valid = np.zeros((tile_size, tile_size), dtype=bool)
+    if len(cols) == 0 or len(rows) == 0:
+        return out, valid
+    c0, c1 = cols[0], cols[-1] + 1
+    r0, r1 = rows[0], rows[-1] + 1
+    lon = lon1d[c0:c1][None, :]
+    lat = lat1d[r0:r1][:, None]
     sx = (lon - lon_min) / (lon_max - lon_min) * w
     sy = (lat_max - lat) / (lat_max - lat_min) * h
-    sx = np.broadcast_to(sx, (tile_size, tile_size)).copy()
-    sy = np.broadcast_to(sy, (tile_size, tile_size)).copy()
+    sub = (r1 - r0, c1 - c0)
+    sx = np.broadcast_to(sx, sub).copy()
+    sy = np.broadcast_to(sy, sub).copy()
     if resampling in ("near", "nearest"):
-        out, valid = _sample_nearest(src, sx, sy)
+        o, v = _sample_nearest(src, sx, sy)
     else:
-        out, valid = _sample_bilinear(src, sx, sy)
+        o, v = _sample_bilinear(src, sx, sy)
+    out[r0:r1, c0:c1] = o
+    valid[r0:r1, c0:c1] = v
     return out, valid
