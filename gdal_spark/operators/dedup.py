@@ -97,6 +97,9 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: LSH band-bucket candidates + exact shingle
     Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard) with
     doc_a < doc_b, each pair once."""
+    from gdal_spark.cache import release_all, track_persist
+
+    release_all()
     sig = minhash_signatures(docs, k)
     b_exprs = band_exprs(k, bands)
     banded = sig.select(
@@ -105,11 +108,12 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(i).alias("band"), F.expr(e).alias("bkey")) for i, e in enumerate(b_exprs)])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
-    # persist both self-join inputs: without it Spark recomputes the
-    # full md5-signature lineage on each side of the join (and again
-    # under distinct) — at 10^12 scale you'd materialize these to a
-    # table; persist is the single-job analogue
-    banded = banded.persist()
+    # persist both self-join inputs (tracked; released on the next
+    # operator call): without it Spark recomputes the full
+    # md5-signature lineage on each side of the join (and again under
+    # distinct) — at 10^12 scale you'd materialize these to a table;
+    # persist is the single-job analogue
+    banded = track_persist(banded)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bkey"])
@@ -117,7 +121,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = with_shingles(docs).persist()
+    sh = track_persist(with_shingles(docs))
     pairs = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

@@ -6,8 +6,12 @@ Distributed analogue of GDAL's quadtree nearest-neighbour search
 search radius inside one quadtree, each round joins the pending
 queries against all sites within a (2r+1)×(2r+1) block of grid cells
 and keeps a query's top-k once the k-th distance is provably inside
-the ring guarantee (``kth_dist <= r * cell_size``: any site outside
-the block is at least ``r * cell_size`` away).
+the ring guarantee (``kth_dist < r * cell_size``, strict: any site
+outside the block is at least ``r * cell_size`` away, and an exact
+boundary tie must be re-ranked in a wider ring). Queries still
+pending once the block spans the whole grid (or after ``max_rounds``)
+finish with an explicit pending × all-sites join — exact for any
+site spacing, never best-effort.
 
 Metric: planar Euclidean on (lon, lat) degrees over a geodetic
 (plate-carrée) cell grid — matching the reference's gdalgrid search,
@@ -81,29 +85,47 @@ def knn_join(
         _geodetic_tile(F.col(q_lon) + F.lit(180.0), zoom).alias("_qtx"),
         _geodetic_tile(F.col(q_lat) + F.lit(90.0), zoom).alias("_qty"),
     )
+    from gdal_spark.cache import release_all, track_persist
+
+    release_all()  # drop cached blocks left by a previous operator call
     results = []
     r = 1
-    for round_no in range(max_rounds):
-        last = round_no == max_rounds - 1
-        # all cells within chebyshev distance r of the query cell
-        cand = (
-            pending.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-            .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-            .join(
-                sts,
-                (F.col("_stx") == F.col("_qtx") + F.col("_dx"))
-                & (F.col("_sty") == F.col("_qty") + F.col("_dy")),
-                "left" if last else "inner",
+    # once the chebyshev block spans the whole geodetic grid (x cells
+    # 0..2^(z+1)-1) the ring join IS a full scan — switch to an
+    # explicit pending × all-sites join and accept its top-k as exact.
+    # This replaces the old "best effort on final round" hazard: the
+    # result is now exact for ANY site spacing, with bounded rounds.
+    world_r = 1 << (zoom + 1)
+    round_no = 0
+    while True:
+        exact_all = r >= world_r or round_no == max_rounds - 1
+        if exact_all:
+            cand = pending.crossJoin(sts)
+        else:
+            # all cells within chebyshev distance r of the query cell
+            cand = (
+                pending.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                .join(
+                    sts,
+                    (F.col("_stx") == F.col("_qtx") + F.col("_dx"))
+                    & (F.col("_sty") == F.col("_qty") + F.col("_dy")),
+                    "inner",
+                )
             )
-            .withColumn(
-                "_d2",
-                # explicit multiplication (not pow): bit-identical to the
-                # DuckDB oracle's (a-b)*(a-b)
-                (F.col("_slon") - F.col("_qlon")) * (F.col("_slon") - F.col("_qlon"))
-                + (F.col("_slat") - F.col("_qlat")) * (F.col("_slat") - F.col("_qlat")),
-            )
+        cand = cand.withColumn(
+            "_d2",
+            # explicit multiplication (not pow): bit-identical to the
+            # DuckDB oracle's (a-b)*(a-b)
+            (F.col("_slon") - F.col("_qlon")) * (F.col("_slon") - F.col("_qlon"))
+            + (F.col("_slat") - F.col("_qlat")) * (F.col("_slat") - F.col("_qlat")),
         )
-        w = Window.partitionBy("_qid").orderBy(F.col("_d2").asc(), F.col("_sid").asc())
+        # nulls_last guards: inner/cross joins produce no nulls today,
+        # but ascending NULLS FIRST would silently rank null padding
+        # above real neighbors if a null row ever slipped in
+        w = Window.partitionBy("_qid").orderBy(
+            F.col("_d2").asc_nulls_last(), F.col("_sid").asc_nulls_last()
+        )
         topk = (
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
@@ -111,9 +133,14 @@ def knn_join(
             .withColumn("_kthd2", F.max("_d2").over(Window.partitionBy("_qid")))
         )
         guarantee = float(r * s) ** 2
-        done_filter = (F.col("_cnt") >= k) & (F.col("_kthd2") <= F.lit(guarantee))
-        if last:
-            done_filter = F.lit(True)  # accept best effort on final round
+        if exact_all:
+            done_filter = F.lit(True)  # full scan: top-k is exact
+        else:
+            # STRICT inequality: an unseen site outside the block can
+            # lie at exactly r*cell_size; a boundary tie must be
+            # resolved in a wider ring so (d2, site_id) tie-breaks
+            # rank against the full candidate set
+            done_filter = (F.col("_cnt") >= k) & (F.col("_kthd2") < F.lit(guarantee))
         done = topk.filter(done_filter).select(
             F.col("_qid").alias(query_id),
             F.col("_sid").alias(site_id),
@@ -121,20 +148,22 @@ def knn_join(
             F.col("_rn").alias("rank"),
         )
         results.append(done)
+        if exact_all:
+            break
         # anti-join on DONE queries: a query with zero candidates in
         # this ring appears in neither done nor topk and must stay
         # pending for the wider ring (semi-join on not-done would
-        # silently drop it). Persist: each later round (and the final
-        # union) re-reads pending — without it the whole join+window
-        # lineage of every earlier round is recomputed per round.
+        # silently drop it). Persist (tracked): each later round (and
+        # the final union) re-reads pending — without it the whole
+        # join+window lineage of every earlier round is recomputed
+        # per round.
         done_q = done.select(F.col(query_id).alias("_qid")).distinct()
-        pending = pending.join(done_q, "_qid", "left_anti").persist()
-        if last:
-            break
+        pending = track_persist(pending.join(done_q, "_qid", "left_anti"))
         # cheap emptiness probe once the ring is already wide
         if r >= 4 and pending.isEmpty():
             break
         r *= 2
+        round_no += 1
     out = results[0]
     for d in results[1:]:
         out = out.unionByName(d)

@@ -28,29 +28,33 @@ def clip_boxes(
     clip_df: DataFrame,
     left_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
     clip_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    broadcast_clip: bool = True,
 ) -> DataFrame:
     """``OGRLayer::Clip`` for box×box: one output row per intersecting
     (left, clip) pair with the intersection rectangle — closed-form
     greatest/least, no UDF (the rectangle case of
-    ``clip_ring_to_bbox``)."""
+    ``clip_ring_to_bbox``).
+
+    Candidates come from the cell equi-join of
+    ``bbox_intersection_join`` (reference-cell dedup, no distinct) —
+    never a cross product, so the plan survives a wide/large clip
+    layer at 100× scale. ``broadcast_clip=False`` drops the broadcast
+    hint for a non-dim clip side and lets AQE pick the strategy."""
     lx0, ly0, lx1, ly1 = left_bbox
-    cx0, cy0, cx1, cy1 = clip_bbox
-    c = clip_df
-    ren = {}
-    for col in (cx0, cy0, cx1, cy1):
-        if col in left.columns:
-            ren[col] = f"c_{col}"
-            c = c.withColumnRenamed(col, f"c_{col}")
-    cx0, cy0, cx1, cy1 = (ren.get(x, x) for x in (cx0, cy0, cx1, cy1))
-    j = left.crossJoin(F.broadcast(c)) if len(c.columns) <= 8 else left.join(c)
-    j = j.filter(
-        (F.col(lx0) <= F.col(cx1))
-        & (F.col(cx0) <= F.col(lx1))
-        & (F.col(ly0) <= F.col(cy1))
-        & (F.col(cy0) <= F.col(ly1))
+    pairs = bbox_intersection_join(
+        left,
+        clip_df,
+        left_bbox=left_bbox,
+        poly_bbox=clip_bbox,
+        refine=False,
+        broadcast_polys=broadcast_clip,
+    )
+    # bbox_intersection_join prefixes colliding clip bbox cols with q_
+    cx0, cy0, cx1, cy1 = (
+        f"q_{c}" if c in left.columns else c for c in clip_bbox
     )
     return (
-        j.withColumn("clip_lon_min", F.greatest(F.col(lx0), F.col(cx0)))
+        pairs.withColumn("clip_lon_min", F.greatest(F.col(lx0), F.col(cx0)))
         .withColumn("clip_lat_min", F.greatest(F.col(ly0), F.col(cy0)))
         .withColumn("clip_lon_max", F.least(F.col(lx1), F.col(cx1)))
         .withColumn("clip_lat_max", F.least(F.col(ly1), F.col(cy1)))

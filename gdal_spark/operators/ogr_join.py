@@ -46,7 +46,11 @@ def first_match_left_join(
             first = first.withColumnRenamed(c, f"{prefix}{c}")
         right_on = f"{prefix}{right_on}"
     cond = primary[left_on] == first[right_on]
-    return primary.join(F.broadcast(first), cond, "left").drop(first[right_on])
+    # no broadcast hint: the deduped secondary is one row per DISTINCT
+    # key — for a key like orderkey that is the primary's cardinality,
+    # and a forced broadcast would OOM at 100× scale. Catalyst/AQE
+    # picks broadcast automatically when the build side is small.
+    return primary.join(first, cond, "left").drop(first[right_on])
 
 
 def summary_aggregates(df: DataFrame, column: str) -> DataFrame:

@@ -49,7 +49,16 @@ def segmentize_ring(ring: np.ndarray, maxlen: float) -> np.ndarray:
 
 
 def dp_simplify(points: np.ndarray, tol: float) -> np.ndarray:
-    """Douglas–Peucker on an open polyline (n,2)."""
+    """Douglas–Peucker on an open polyline (n,2).
+
+    Deliberately the *segment*-distance variant (offsets clamped to
+    the chord, ``np.clip(t, 0, 1)``): a vertex beyond a chord endpoint
+    measures its distance to the endpoint, not the infinite line. GEOS
+    Douglas–Peucker (``OGRGeometry::Simplify``) uses perpendicular
+    *line* distance, so polylines that backtrack past a chord endpoint
+    may keep/drop different vertices than GEOS — the segment variant
+    never drops a vertex that is far from the retained geometry, which
+    is the property our tests assert."""
     if len(points) < 3:
         return points
     keep = np.zeros(len(points), dtype=bool)

@@ -38,6 +38,17 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in p, "cartesian product in plan:\n" + p[:4000]
 
 
+def assert_no_nested_loop(df: DataFrame) -> None:
+    """No CartesianProduct AND no BroadcastNestedLoopJoin — the two
+    unbounded-comparison join shapes that do not survive a 100× scale-up
+    (VERDICT r01 'what's wrong' §1/§4)."""
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p, "cartesian product in plan:\n" + p[:4000]
+    assert "BroadcastNestedLoopJoin" not in p, (
+        "BroadcastNestedLoopJoin in plan:\n" + p[:4000]
+    )
+
+
 def assert_column_pruned(df: DataFrame, column: str) -> None:
     """Check a column (e.g. the pixel `bytes`) never reaches a scan's
     ReadSchema in this plan."""

@@ -66,8 +66,12 @@ def color_map(images: DataFrame, palette: np.ndarray | None = None) -> DataFrame
 
 
 def blend_pair(images: DataFrame, alpha: float = 0.5) -> DataFrame:
-    """Blend consecutive image pairs (grouped by a `pair_id` column):
-    out = a*first + (1-a)*second, resized to the first's shape.
+    """N-way weighted composite per ``pair_id`` group: the first member
+    (by image_id order) gets weight ``alpha`` and the remaining n−1
+    members split ``1−alpha`` evenly, all resized to the first's shape.
+    For a 2-member group this is exactly the two-image
+    ``gdal raster blend`` ``out = a*first + (1-a)*second``; larger
+    groups generalize it to a deterministic multi-image blend.
     Returns (pair_id, checksum, w, h, n_members)."""
     _ensure(images)
     from gdal_spark.raster.resample import resize_nearest

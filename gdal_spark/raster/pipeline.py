@@ -147,24 +147,39 @@ def interpolate_at_points(images: DataFrame, points: DataFrame, method: str = "b
     ``mapInPandas`` pass with decode-once-per-image caching.
 
     ``points`` needs (pt_id, lon, lat); ``images`` the synth/input_hint
-    schema incl. footprint bounds. Returns (pt_id, image_id, value)."""
+    schema incl. footprint bounds. Returns (pt_id, image_id, value).
+
+    Plan shape (SCALE.md): point-cell = footprint-cell EQUI-join — the
+    ``with_point_cell``/``explode_bbox_cells`` machinery of the spatial
+    join — with the slim point side broadcast, then an exact range
+    refine. The image side (with its pixel ``bytes`` payloads) is
+    never shuffled and never enters a BroadcastNestedLoopJoin."""
     _ensure_batch(images)
+    from gdal_spark.operators.spatial_join import (
+        DEFAULT_ZOOM,
+        explode_bbox_cells,
+        with_point_cell,
+    )
     from gdal_spark.raster.warp import _sample_bilinear, _sample_nearest
 
-    pts = points.select(
-        "pt_id", F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
-    )
-    cand = pts.join(
-        images,
-        (pts["p_lon"] >= images["lon_min"])
-        & (pts["p_lon"] < images["lon_max"])
-        & (pts["p_lat"] >= images["lat_min"])
-        & (pts["p_lat"] < images["lat_max"]),
-        "inner",
+    pts = with_point_cell(
+        points.select(
+            "pt_id", F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat")
+        ),
+        lon="p_lon",
+        lat="p_lat",
+        zoom=DEFAULT_ZOOM,
+    ).select("pt_id", "p_lon", "p_lat", "cell")
+    img_cells = explode_bbox_cells(images, zoom=DEFAULT_ZOOM).drop("_tx", "_ty")
+    cand = img_cells.join(F.broadcast(pts), "cell", "inner").filter(
+        (F.col("p_lon") >= F.col("lon_min"))
+        & (F.col("p_lon") < F.col("lon_max"))
+        & (F.col("p_lat") >= F.col("lat_min"))
+        & (F.col("p_lat") < F.col("lat_max"))
     ).select(
         "pt_id", "p_lon", "p_lat", "image_id", "bytes", "fmt",
         "lon_min", "lat_min", "lon_max", "lat_max",
-    ).repartition("image_id")
+    )
 
     schema = "pt_id long, image_id string, value double"
 
