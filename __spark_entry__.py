@@ -970,7 +970,39 @@ FROM r WHERE rn <= {k}
 """
 
 
-# --- raster (non-SQL-expressible → rows-only driver check) ----------------
+# --- raster queries: golden-row oracles -----------------------------------
+# The pixel semantics are not SQL-expressible, so the oracle is the
+# reference's own method (alg/gdalchecksum.cpp:48, autotest golden
+# checksums): tools/make_golden.py recomputes every raster query's
+# expected rows SINGLE-PROCESS (plain pyarrow/NumPy driver loop, no
+# Spark) from the same parquet inputs and writes golden/<sf>/*.parquet;
+# DuckDB serves those rows back. A distributed run must match the
+# single-process reference bit-for-bit.
+
+import os as _os
+
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
+
+GOLDEN_QUERIES = [
+    "raster_checksums",
+    "raster_translate",
+    "raster_as_features",
+    "raster_band_stats",
+    "raster_interp_at_points",
+    "rasterize_burn",
+    "raster_reclassify",
+    "raster_band_calc",
+    "raster_dem_metrics",
+    "raster_color_map",
+    "raster_blend",
+    "raster_psnr_gate",
+    "tile_pyramid",
+]
+
+
+def _golden_oracle(name: str, sf_name: str = "sf0.01") -> str:
+    path = _os.path.join(_REPO_DIR, "golden", sf_name, f"{name}.parquet")
+    return f"SELECT * FROM read_parquet('{path}')"
 
 
 def _q_raster_checksums(spark, sf_dir):
@@ -1043,8 +1075,12 @@ def _q_mosaic_blend(spark, sf_dir):
     """gdal raster blend/stack: pair up images by okey bucket."""
     from gdal_spark.raster.composite import blend_pair
 
+    # pair key derived from the image_id digits (engine-portable —
+    # the golden oracle recomputes it as okey % 50; xxhash64 would be
+    # Spark-only)
     imgs = synth.images(spark, sf_dir, where="okey % 100 = 0").withColumn(
-        "pair_id", (F.abs(F.xxhash64("image_id")) % 50).cast("long")
+        "pair_id",
+        F.expr("CAST(substring(image_id, 4, 12) AS BIGINT) div 100 % 50"),
     )
     return blend_pair(imgs)
 
@@ -1187,4 +1223,5 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_oracle(),
         "text_fingerprint": FINGERPRINT_ORACLE,
         "ann_topk": _ann_oracle(),
+        **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

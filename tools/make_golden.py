@@ -1,0 +1,476 @@
+"""Golden-row generator for the raster queries (the non-SQL ops).
+
+Mirrors the reference's own golden-checksum test method
+(``alg/gdalchecksum.cpp:48``, ``autotest/utilities/test_gdal_translate.py:52``):
+every raster query's expected output rows are precomputed HERE by a
+single-process, Spark-free driver loop over plain pyarrow/NumPy —
+reusing the in-repo pixel kernels (codec/checksum/dem/warp/resample)
+but none of the distribution machinery — and written to
+``golden/<sf>/<query>.parquet``.  ``__spark_entry__.oracle_sql`` then
+points DuckDB at these files, so the driver's rows+schema+value-hash
+gate covers the raster queries too: a distributed run must reproduce
+the single-process reference bit-for-bit (checksums, stats, PSNR).
+
+What this independently checks: partitioning, Arrow batching, shuffle,
+compose grouping, and resume logic cannot change any pixel or any
+row — the exact property GDAL's autotest checksums pin down.
+
+Usage: python tools/make_golden.py [sf_dir ...]
+  default: /root/testdata/sf0.01 and /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gdal_spark.functions import geometry as G  # noqa: E402
+from gdal_spark.functions import tile_math as tm  # noqa: E402
+from gdal_spark.raster import codec  # noqa: E402
+from gdal_spark.raster import dem  # noqa: E402
+from gdal_spark.raster.checksum import checksum_band, checksum_bands  # noqa: E402
+from gdal_spark.raster.composite import default_palette  # noqa: E402
+from gdal_spark.raster.rasterize import reclassify_expr  # noqa: E402
+from gdal_spark.raster.resample import block_reduce, resize_nearest  # noqa: E402
+from gdal_spark.raster.warp import _sample_bilinear, warp_lonlat_to_merc_tile  # noqa: E402
+from gdal_spark.sources import synth  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+W_CYCLE = [64, 128, 256, 512]
+H_CYCLE = [128, 64, 512, 256]
+FMT_CYCLE = ["png", "jpeg", "webp"]
+
+
+# ---------------------------------------------------------------------------
+# single-process mirrors of the synthetic layers (same IEEE op order)
+# ---------------------------------------------------------------------------
+
+
+def footprint(okey: int) -> dict:
+    """Python mirror of synth.FOOT_LON_SQL/FOOT_LAT_SQL + w/h/fmt cycles."""
+    lon = -179.5 + ((okey * synth.LON_MUL) % 359000) / 1000.0
+    lat = -84.5 + ((okey * synth.LAT_MUL) % 169000) / 1000.0
+    return {
+        "okey": okey,
+        "image_id": f"img{okey:012d}",
+        "lon": lon,
+        "lat": lat,
+        "lon_min": lon - 0.005,
+        "lat_min": lat - 0.005,
+        "lon_max": lon + 0.005,
+        "lat_max": lat + 0.005,
+        "w": W_CYCLE[okey % 4],
+        "h": H_CYCLE[okey % 4],
+        "fmt": FMT_CYCLE[okey % 3],
+    }
+
+
+def decoded_pixels(fp: dict) -> np.ndarray:
+    """Exactly what the Spark pipeline sees: synth → encode(fmt) →
+    decode. The lossy stub round-trip is part of the semantics."""
+    arr = synth.synth_pixels(fp["image_id"], fp["w"], fp["h"])
+    return codec.decode_image(codec.encode_image(arr, fp["fmt"], compress_level=1))
+
+
+def order_keys(sf_dir: str) -> list[int]:
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    return sorted(int(v) for v in t.column("o_orderkey").to_pylist())
+
+
+def aoi_rows(sf_dir: str) -> list[dict]:
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    out = []
+    for nk in sorted(int(v) for v in t.column("n_nationkey").to_pylist()):
+        x0, y0, x1, y1 = synth.aoi_sql_bounds(nk)
+        out.append(
+            {
+                "poly_id": nk,
+                "lon_min": x0,
+                "lat_min": y0,
+                "lon_max": x1,
+                "lat_max": y1,
+                "wkb": G.wkb_bbox_polygon(x0, y0, x1, y1),
+                "burn": float(nk % 200 + 30),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-query golden builders → (pyarrow schema, rows)
+# ---------------------------------------------------------------------------
+
+I32, I64, F64, STR, BOOL = pa.int32(), pa.int64(), pa.float64(), pa.string(), pa.bool_()
+
+
+def g_raster_checksums(sf_dir):
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 20:
+            continue
+        fp = footprint(okey)
+        cs = checksum_bands(decoded_pixels(fp))
+        rows.append(
+            (fp["image_id"], fp["fmt"], fp["w"], fp["h"], cs[0],
+             cs[1] if len(cs) > 1 else cs[0], cs[2] if len(cs) > 2 else cs[0])
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("fmt", STR), ("w", I32), ("h", I32),
+         ("checksum_b0", I32), ("checksum_b1", I32), ("checksum_b2", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_translate(sf_dir):
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 100:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)[0:48, 0:48]
+        arr = np.clip(arr.astype(np.float64) * 0.5 + 10.0, 0, 255)
+        arr = np.floor(arr + 0.5).astype(np.uint8)
+        rt = codec.decode_image(codec.encode_image(arr, "png"))
+        rows.append((fp["image_id"], rt.shape[1], rt.shape[0], checksum_bands(rt)[0]))
+    schema = pa.schema(
+        [("image_id", STR), ("w", I32), ("h", I32), ("checksum_b0", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_as_features(sf_dir):
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 500:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = (arr[:, :, 0] if arr.ndim == 3 else arr)[::64, ::64]
+        h, w = b.shape
+        for rr in range(h):
+            for cc in range(w):
+                rows.append((fp["image_id"], rr * 64, cc * 64, int(b[rr, cc])))
+    schema = pa.schema(
+        [("image_id", STR), ("row", I32), ("col", I32), ("value", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_band_stats(sf_dir):
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 100:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        rows.append(
+            (fp["image_id"], int(b.min()), int(b.max()), float(b.mean()), float(b.std()))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("min_v", I32), ("max_v", I32),
+         ("mean_v", F64), ("std_v", F64)]
+    )
+    return schema, rows
+
+
+def g_raster_interp_at_points(sf_dir):
+    keys = [k for k in order_keys(sf_dir) if k % 500 == 0]
+    fps = [footprint(k) for k in keys]
+    rows = []
+    for pt in fps:  # each footprint center is a query point (pt_id = okey)
+        for img in fps:
+            if not (
+                img["lon_min"] <= pt["lon"] < img["lon_max"]
+                and img["lat_min"] <= pt["lat"] < img["lat_max"]
+            ):
+                continue
+            arr = decoded_pixels(img)
+            b = arr[:, :, 0] if arr.ndim == 3 else arr
+            h, w = b.shape
+            sx = np.array([(pt["lon"] - img["lon_min"]) / (img["lon_max"] - img["lon_min"]) * w])
+            sy = np.array([(img["lat_max"] - pt["lat"]) / (img["lat_max"] - img["lat_min"]) * h])
+            v, _ = _sample_bilinear(b, sx, sy)
+            rows.append((pt["okey"], img["image_id"], round(float(v[0]), 4)))
+    schema = pa.schema([("pt_id", I64), ("image_id", STR), ("value", F64)])
+    return schema, rows
+
+
+def g_rasterize_burn(sf_dir, zoom=4, tile_size=256):
+    m = tm.GlobalMercator(tile_size)
+    from gdal_spark.raster.warp import merc_to_lat, merc_to_lon
+
+    tiles: dict[tuple[int, int], list[dict]] = {}
+    for a in aoi_rows(sf_dir):
+        tx0, ty0 = m.LatLonToTile(a["lat_min"], a["lon_min"], zoom)
+        tx1, ty1 = m.LatLonToTile(a["lat_max"], a["lon_max"], zoom)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                tiles.setdefault((tx, ty), []).append(a)
+    rows = []
+    for (tx, ty), polys in sorted(tiles.items()):
+        minx, miny, maxx, maxy = m.TileBounds(tx, ty, zoom)
+        res = (maxx - minx) / tile_size
+        mx = minx + (np.arange(tile_size) + 0.5) * res
+        my = maxy - (np.arange(tile_size) + 0.5) * res
+        lon = merc_to_lon(mx)
+        lat = merc_to_lat(my)
+        glon = np.broadcast_to(lon[None, :], (tile_size, tile_size)).ravel()
+        glat = np.broadcast_to(lat[:, None], (tile_size, tile_size)).ravel()
+        canvas = np.zeros(tile_size * tile_size, dtype=np.float64)
+        for p in polys:
+            g = G.parse_wkb(p["wkb"])
+            inside = G.points_in_rings(glon, glat, g.rings)
+            canvas[inside] = np.maximum(canvas[inside], p["burn"])
+        arr = np.clip(canvas, 0, 255).reshape(tile_size, tile_size).astype(np.uint8)
+        rows.append(
+            (zoom, tx, (1 << zoom) - 1 - ty, checksum_band(arr),
+             int((arr > 0).sum()), len(polys))
+        )
+    schema = pa.schema(
+        [("z", I32), ("x", I32), ("y", I32), ("checksum", I32),
+         ("n_burned_px", I64), ("n_polys", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_reclassify(sf_dir):
+    lut = reclassify_expr([(0, 63, 0), (64, 191, 128), (192, 255, 255)])
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        out = lut[b]
+        rows.append(
+            (fp["image_id"], checksum_band(b), checksum_band(out), int((out != b).sum()))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("checksum_before", I32), ("checksum_after", I32),
+         ("n_changed", I64)]
+    )
+    return schema, rows
+
+
+def g_raster_band_calc(sf_dir):
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        x1 = arr[:, :, 0].astype(np.float64)
+        x2 = arr[:, :, 1].astype(np.float64) if arr.shape[2] > 1 else x1
+        x3 = arr[:, :, 2].astype(np.float64) if arr.shape[2] > 2 else x1
+        out = np.clip((x1 + x2) / 2 + np.sqrt(x3), 0, 255)
+        out = np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+        rows.append((fp["image_id"], out.shape[1], out.shape[0], checksum_bands(out)[0]))
+    schema = pa.schema(
+        [("image_id", STR), ("w", I32), ("h", I32), ("checksum", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_dem_metrics(sf_dir):
+    ops = ("slope", "hillshade", "roughness", "tpi", "tri", "aspect")
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        z = (arr[:, :, 0] if arr.ndim == 3 else arr).astype(np.float64)
+        vals = [fp["image_id"]]
+        for op in ops:
+            out = dem._DEM_FUNCS[op](z)
+            if out.dtype != np.uint8:
+                out = np.clip(np.floor(np.abs(out) + 0.5), 0, 255).astype(np.uint8)
+            vals.append(checksum_band(out))
+        rows.append(tuple(vals))
+    schema = pa.schema([("image_id", STR)] + [(f"cs_{op}", I32) for op in ops])
+    return schema, rows
+
+
+def g_raster_color_map(sf_dir):
+    pal = default_palette()
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        rgb = pal[b]
+        rows.append(
+            (fp["image_id"], checksum_band(rgb[:, :, 0]),
+             checksum_band(rgb[:, :, 1]), checksum_band(rgb[:, :, 2]))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("cs_r", I32), ("cs_g", I32), ("cs_b", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_blend(sf_dir, alpha=0.5):
+    groups: dict[int, list[dict]] = {}
+    for okey in order_keys(sf_dir):
+        if okey % 100:
+            continue
+        fp = footprint(okey)
+        groups.setdefault((okey // 100) % 50, []).append(fp)
+    rows = []
+    for pid, fps in sorted(groups.items()):
+        fps = sorted(fps, key=lambda f: f["image_id"])
+        arrs = [decoded_pixels(f) for f in fps]
+        base = arrs[0][:, :, 0] if arrs[0].ndim == 3 else arrs[0]
+        acc = base.astype(np.float64) * alpha
+        others = arrs[1:]
+        if others:
+            w_each = (1.0 - alpha) / len(others)
+            for a in others:
+                gg = a[:, :, 0] if a.ndim == 3 else a
+                if gg.shape != base.shape:
+                    gg = resize_nearest(gg, base.shape[0], base.shape[1])
+                acc += gg.astype(np.float64) * w_each
+        out = np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
+        rows.append((pid, checksum_band(out), out.shape[1], out.shape[0], len(fps)))
+    schema = pa.schema(
+        [("pair_id", I64), ("checksum", I32), ("w", I32), ("h", I32),
+         ("n_members", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_psnr_gate(sf_dir, min_db=40.0):
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 50:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        if fp["fmt"] == "png":
+            rt = codec.png_decode(codec.png_encode(arr, 1))
+            exact = bool((rt == arr).all())
+            rows.append((fp["image_id"], fp["fmt"], exact, float("inf"), exact))
+        else:
+            rt = codec.fake_lossy_decode(codec.fake_lossy_encode(arr, fp["fmt"]))
+            p = round(codec.psnr(arr, rt), 2)
+            rows.append((fp["image_id"], fp["fmt"], False, p, bool(p >= min_db)))
+    schema = pa.schema(
+        [("image_id", STR), ("fmt", STR), ("lossless_exact", BOOL),
+         ("psnr_db", F64), ("ok", BOOL)]
+    )
+    return schema, rows
+
+
+def g_tile_pyramid(sf_dir, min_zoom=10, max_zoom=12, tile_size=256):
+    m = tm.GlobalMercator(tile_size)
+    fps = [footprint(k) for k in order_keys(sf_dir) if k % 100 == 0]
+
+    # base level: per-tile partial renders, first-wins compose by image_id
+    partials: dict[tuple[int, int], list[tuple[str, np.ndarray]]] = {}
+    for fp in fps:
+        arr = decoded_pixels(fp)
+        tx0, ty0 = m.LatLonToTile(fp["lat_min"], fp["lon_min"], max_zoom)
+        tx1, ty1 = m.LatLonToTile(fp["lat_max"], fp["lon_max"], max_zoom)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                tb = m.TileBounds(tx, ty, max_zoom)
+                tile, valid = warp_lonlat_to_merc_tile(
+                    arr, fp["lon_min"], fp["lat_min"], fp["lon_max"], fp["lat_max"],
+                    tb, tile_size, "near",
+                )
+                if not valid.any():
+                    continue
+                if tile.ndim == 2:
+                    tile = np.repeat(tile[:, :, None], 3, axis=2)
+                rgba = np.dstack([tile, (valid * 255).astype(np.uint8)])
+                partials.setdefault((tx, ty), []).append((fp["image_id"], rgba))
+
+    rows = []
+    level: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
+    for (tx, ty), parts in partials.items():
+        canvas = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
+        for _, part in sorted(parts, key=lambda p: p[0]):
+            put = (part[:, :, 3] > 0) & (canvas[:, :, 3] == 0)
+            canvas[put] = part[put]
+        level[(tx, ty)] = (canvas, len(parts))
+
+    def emit(z, lv):
+        for (tx, ty), (canvas, n) in sorted(lv.items()):
+            rows.append(
+                (z, tx, (1 << z) - 1 - ty, m.QuadTree(tx, ty, z),
+                 checksum_band(canvas[:, :, 0]), n)
+            )
+
+    emit(max_zoom, level)
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        nxt: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
+        groups: dict[tuple[int, int], list[tuple[int, int, np.ndarray]]] = {}
+        for (tx, ty), (canvas, _) in level.items():
+            groups.setdefault((tx >> 1, ty >> 1), []).append((tx, ty, canvas))
+        for (ptx, pty), children in groups.items():
+            big = np.zeros((2 * tile_size, 2 * tile_size, 4), dtype=np.uint8)
+            for tx, ty, child in children:
+                ox = (tx - 2 * ptx) * tile_size
+                oy = (1 - (ty - 2 * pty)) * tile_size
+                big[oy : oy + tile_size, ox : ox + tile_size] = child
+            rgb = block_reduce(big[:, :, :3], tile_size, tile_size, "average")
+            alpha = block_reduce(big[:, :, 3], tile_size, tile_size, "max")
+            nxt[(ptx, pty)] = (np.dstack([rgb, alpha]), len(children))
+        emit(z, nxt)
+        level = nxt
+
+    schema = pa.schema(
+        [("z", I32), ("x", I32), ("y", I32), ("quadkey", STR),
+         ("checksum", I32), ("n_srcs", I32)]
+    )
+    return schema, rows
+
+
+GOLDEN_BUILDERS = {
+    "raster_checksums": g_raster_checksums,
+    "raster_translate": g_raster_translate,
+    "raster_as_features": g_raster_as_features,
+    "raster_band_stats": g_raster_band_stats,
+    "raster_interp_at_points": g_raster_interp_at_points,
+    "rasterize_burn": g_rasterize_burn,
+    "raster_reclassify": g_raster_reclassify,
+    "raster_band_calc": g_raster_band_calc,
+    "raster_dem_metrics": g_raster_dem_metrics,
+    "raster_color_map": g_raster_color_map,
+    "raster_blend": g_raster_blend,
+    "raster_psnr_gate": g_raster_psnr_gate,
+    "tile_pyramid": g_tile_pyramid,
+}
+
+
+def write_golden(sf_dir: str, only: set[str] | None = None) -> None:
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(REPO, "golden", sf_name)
+    os.makedirs(out_dir, exist_ok=True)
+    for name, build in GOLDEN_BUILDERS.items():
+        if only and name not in only:
+            continue
+        schema, rows = build(sf_dir)
+        cols = [pa.array([r[i] for r in rows], type=f.type) for i, f in enumerate(schema)]
+        table = pa.Table.from_arrays(cols, schema=schema)
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        print(f"{sf_name}/{name}: {len(rows)} rows")
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    for d in dirs:
+        write_golden(d)
