@@ -757,6 +757,42 @@ def _q_interp_at_points(spark, sf_dir):
     return out.select("pt_id", "image_id", F.round("value", 4).alias("value"))
 
 
+# --- SRS reprojection (general transform chain) ---------------------------
+
+
+def _q_reproject_utm(spark, sf_dir):
+    """ogr2ogr -t_srs EPSG:32631 / OGRWarpedLayer column form
+    (apps/ogr2ogr_lib.cpp:440, ogrwarpedlayer.h:33): reproject the
+    footprint centers falling in UTM zone 31 (lon [0,6)) through the
+    Krueger-series transverse mercator — pure SQL expressions (no UDF,
+    whole-stage codegen). Coordinates rounded to 0.1 mm: far above the
+    cross-engine libm ulp noise, far below geodetic tolerance."""
+    from gdal_spark.functions import srs as S
+
+    fp = synth.footprints(spark, sf_dir).filter("lon >= 0.0 AND lon < 6.0")
+    out = S.reproject_cols(fp, 4326, 32631, "lon", "lat", "easting", "northing")
+    return out.select(
+        "image_id",
+        F.round("easting", 4).alias("easting"),
+        F.round("northing", 4).alias("northing"),
+    )
+
+
+def _reproject_utm_oracle() -> str:
+    from gdal_spark.functions import srs as S
+
+    e_sql, n_sql = S.utm_sql("lon", "lat", 31, south=False)
+    return f"""
+WITH fpc AS (
+  SELECT printf('img%012d', o_orderkey) AS image_id,
+         {F_LON} AS lon, {F_LAT} AS lat
+  FROM orders
+)
+SELECT image_id, round({e_sql}, 4) AS easting, round({n_sql}, 4) AS northing
+FROM fpc WHERE lon >= 0.0 AND lon < 6.0
+"""
+
+
 # --- training-data pipeline ops -------------------------------------------
 
 
@@ -996,6 +1032,7 @@ GOLDEN_QUERIES = [
     "raster_color_map",
     "raster_blend",
     "raster_psnr_gate",
+    "raster_warp_utm",
     "tile_pyramid",
 ]
 
@@ -1099,6 +1136,13 @@ def _q_psnr_gate(spark, sf_dir):
     )
 
 
+def _q_warp_utm(spark, sf_dir):
+    """gdalwarp to per-image UTM grid (alg/gdaltransformer.cpp:3087
+    chain; golden-checksum oracle recomputes single-process)."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return rp.warp_to_utm(imgs)
+
+
 def _q_tile_pyramid(spark, sf_dir):
     imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
     # z10-12: a 0.01-degree footprint spans 3-30 px/tile — every image
@@ -1161,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_order": _q_hilbert,
         "vector_segmentize": _q_segmentize,
         "vector_dissolve": _q_dissolve,
+        "reproject_utm": _q_reproject_utm,
         # training-data pipeline ops
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_lsh": _q_minhash,
@@ -1183,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_color_map": _q_color_map,
         "raster_blend": _q_mosaic_blend,
         "raster_psnr_gate": _q_psnr_gate,
+        "raster_warp_utm": _q_warp_utm,
         "tile_pyramid": _q_tile_pyramid,
     }
 
@@ -1223,5 +1269,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_oracle(),
         "text_fingerprint": FINGERPRINT_ORACLE,
         "ann_topk": _ann_oracle(),
+        "reproject_utm": _reproject_utm_oracle(),
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gdal_spark.raster import codec
-from gdal_spark.raster.checksum import checksum_bands
+from gdal_spark.raster.checksum import checksum_band, checksum_bands
 from gdal_spark.raster.resample import resample
 
 
@@ -207,6 +207,49 @@ def interpolate_at_points(images: DataFrame, points: DataFrame, method: str = "b
                 yield pd.DataFrame(rows, columns=["pt_id", "image_id", "value"])
 
     return cand.mapInPandas(run, schema=schema)
+
+
+def warp_to_utm(images: DataFrame, out_size: tuple[int, int] = (64, 64), resampling: str = "near") -> DataFrame:
+    """``gdalwarp -t_srs EPSG:326xx/327xx`` per image (the general-SRS
+    reprojection the round-1 engine lacked; ``apps/gdalwarp_lib.cpp``,
+    transformer chain ``alg/gdaltransformer.cpp:3087``).
+
+    Zone is chosen from the footprint center (standard UTM zoning);
+    the target grid is the forward-projected footprint envelope at
+    ``out_size``. Returns (image_id, epsg, w, h, checksum) — checksum
+    of band 0 of the warped raster, the golden-test currency."""
+    _ensure_batch(images)
+    from gdal_spark.functions import srs as S
+    from gdal_spark.raster.warp import warp_lonlat_to_grid
+
+    ow, oh = out_size
+    schema = "image_id string, epsg int, w int, h int, checksum int"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                zone = int((r.lon + 180.0) // 6) + 1
+                south = r.lat < 0
+                epsg = (32700 if south else 32600) + zone
+                ce, cn = S.utm_forward_np(
+                    [r.lon_min, r.lon_max, r.lon_min, r.lon_max],
+                    [r.lat_min, r.lat_min, r.lat_max, r.lat_max],
+                    zone,
+                    south,
+                )
+                bounds = (float(ce.min()), float(cn.min()), float(ce.max()), float(cn.max()))
+                out, valid = warp_lonlat_to_grid(
+                    arr, r.lon_min, r.lat_min, r.lon_max, r.lat_max,
+                    bounds, epsg, ow, oh, resampling,
+                )
+                b = out[:, :, 0] if out.ndim == 3 else out
+                rows.append((r.image_id, epsg, ow, oh, checksum_band(b)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "epsg", "w", "h", "checksum"])
+
+    return images.mapInPandas(run, schema=schema)
 
 
 _CALC_FUNCS = {

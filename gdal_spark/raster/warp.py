@@ -72,6 +72,44 @@ def _sample_bilinear(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, nodata=0):
     return out, valid
 
 
+def warp_lonlat_to_grid(
+    src: np.ndarray,
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    dst_bounds: tuple[float, float, float, float],
+    dst_epsg: int,
+    out_w: int,
+    out_h: int,
+    resampling: str = "near",
+):
+    """General gdalwarp target-grid path: render a lon/lat-gridded
+    source into a regular grid of ANY supported destination SRS
+    (``functions/srs.py``: 4326 / 3857 / UTM).
+
+    The transformer chain of ``GDALGenImgProjTransform``
+    (``alg/gdaltransformer.cpp:3087``) — dst pixel → dst SRS → src SRS
+    → src pixel — evaluated exactly on every target pixel center
+    (vectorized, so no ApproxTransformer error bound is needed).
+    Returns (out HxW[xC], valid HxW bool)."""
+    from gdal_spark.functions import srs as _srs
+
+    x0, y0, x1, y1 = dst_bounds
+    xs = x0 + (np.arange(out_w) + 0.5) * (x1 - x0) / out_w
+    ys = y1 - (np.arange(out_h) + 0.5) * (y1 - y0) / out_h
+    gx, gy = np.meshgrid(xs, ys)
+    lon, lat = _srs.transform_np(gx.ravel(), gy.ravel(), dst_epsg, 4326)
+    lon = lon.reshape(out_h, out_w)
+    lat = lat.reshape(out_h, out_w)
+    h, w = src.shape[:2]
+    sx = (lon - lon_min) / (lon_max - lon_min) * w
+    sy = (lat_max - lat) / (lat_max - lat_min) * h
+    if resampling in ("near", "nearest"):
+        return _sample_nearest(src, sx, sy)
+    return _sample_bilinear(src, sx, sy)
+
+
 def warp_lonlat_to_merc_tile(
     src: np.ndarray,
     lon_min: float,

@@ -374,6 +374,37 @@ def g_raster_psnr_gate(sf_dir, min_db=40.0):
     return schema, rows
 
 
+def g_raster_warp_utm(sf_dir, out_w=64, out_h=64):
+    from gdal_spark.functions import srs as S
+    from gdal_spark.raster.warp import warp_lonlat_to_grid
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        zone = int((fp["lon"] + 180.0) // 6) + 1
+        south = fp["lat"] < 0
+        epsg = (32700 if south else 32600) + zone
+        ce, cn = S.utm_forward_np(
+            [fp["lon_min"], fp["lon_max"], fp["lon_min"], fp["lon_max"]],
+            [fp["lat_min"], fp["lat_min"], fp["lat_max"], fp["lat_max"]],
+            zone, south,
+        )
+        bounds = (float(ce.min()), float(cn.min()), float(ce.max()), float(cn.max()))
+        out, _ = warp_lonlat_to_grid(
+            arr, fp["lon_min"], fp["lat_min"], fp["lon_max"], fp["lat_max"],
+            bounds, epsg, out_w, out_h, "near",
+        )
+        b = out[:, :, 0] if out.ndim == 3 else out
+        rows.append((fp["image_id"], epsg, out_w, out_h, checksum_band(b)))
+    schema = pa.schema(
+        [("image_id", STR), ("epsg", I32), ("w", I32), ("h", I32), ("checksum", I32)]
+    )
+    return schema, rows
+
+
 def g_tile_pyramid(sf_dir, min_zoom=10, max_zoom=12, tile_size=256):
     m = tm.GlobalMercator(tile_size)
     fps = [footprint(k) for k in order_keys(sf_dir) if k % 100 == 0]
@@ -452,6 +483,7 @@ GOLDEN_BUILDERS = {
     "raster_color_map": g_raster_color_map,
     "raster_blend": g_raster_blend,
     "raster_psnr_gate": g_raster_psnr_gate,
+    "raster_warp_utm": g_raster_warp_utm,
     "tile_pyramid": g_tile_pyramid,
 }
 
