@@ -614,6 +614,104 @@ SELECT poly_id, 'POLYGON' AS gtype,
 FROM aoi
 """
 
+def _q_st_predicates(spark, sf_dir):
+    """Full geom×geom predicate surface (ST_Intersects/Within/Contains/
+    Touches/Overlaps/Equals/Disjoint, ogrsqlitesqlfunctions.cpp:
+    1188-1240) over all AOI polygon pairs; the DuckDB oracle evaluates
+    the closed-form interval arithmetic the rect kernel uses, so every
+    boolean is value-checked."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    synth.aoi(spark, sf_dir).createOrReplaceTempView("aoi_p")
+    return spark.sql(
+        """
+        SELECT CAST(a.poly_id AS BIGINT) AS id_a, CAST(b.poly_id AS BIGINT) AS id_b,
+               ST_Intersects(a.geom, b.geom) AS intersects,
+               ST_Disjoint(a.geom, b.geom) AS disjoint,
+               ST_Contains(a.geom, b.geom) AS contains,
+               ST_Within(a.geom, b.geom) AS within,
+               ST_Touches(a.geom, b.geom) AS touches,
+               ST_Overlaps(a.geom, b.geom) AS overlaps,
+               ST_Equals(a.geom, b.geom) AS equals
+        FROM aoi_p a JOIN aoi_p b ON a.poly_id < b.poly_id
+        """
+    )
+
+
+ST_PRED_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT a.poly_id AS id_a, b.poly_id AS id_b,
+       (a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+        AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max) AS intersects,
+       NOT (a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+        AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max) AS disjoint,
+       (a.lon_min <= b.lon_min AND b.lon_max <= a.lon_max
+        AND a.lat_min <= b.lat_min AND b.lat_max <= a.lat_max) AS contains,
+       (b.lon_min <= a.lon_min AND a.lon_max <= b.lon_max
+        AND b.lat_min <= a.lat_min AND a.lat_max <= b.lat_max) AS within,
+       ((a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+         AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max)
+        AND NOT (greatest(a.lon_min, b.lon_min) < least(a.lon_max, b.lon_max)
+         AND greatest(a.lat_min, b.lat_min) < least(a.lat_max, b.lat_max))) AS touches,
+       ((greatest(a.lon_min, b.lon_min) < least(a.lon_max, b.lon_max)
+         AND greatest(a.lat_min, b.lat_min) < least(a.lat_max, b.lat_max))
+        AND NOT (a.lon_min <= b.lon_min AND b.lon_max <= a.lon_max
+         AND a.lat_min <= b.lat_min AND b.lat_max <= a.lat_max)
+        AND NOT (b.lon_min <= a.lon_min AND a.lon_max <= b.lon_max
+         AND b.lat_min <= a.lat_min AND a.lat_max <= b.lat_max)) AS overlaps,
+       (a.lon_min = b.lon_min AND a.lon_max = b.lon_max
+        AND a.lat_min = b.lat_min AND a.lat_max = b.lat_max) AS equals
+FROM aoi a JOIN aoi b ON a.poly_id < b.poly_id
+"""
+
+
+def _q_st_constructive(spark, sf_dir):
+    """Constructive ST_ surface: Length (perimeter), Buffer (rect with
+    quarter-circle corners: area has a closed form), GeomFromText
+    round-trip, IsValid, NPoints, Envelope — per AOI polygon."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    synth.aoi(spark, sf_dir).createOrReplaceTempView("aoi_c")
+    return spark.sql(
+        """
+        SELECT CAST(poly_id AS BIGINT) AS poly_id,
+               ST_Length(geom) AS perimeter,
+               round(ST_Area(ST_Buffer(geom, 0.5)), 6) AS buf_area,
+               ST_NPoints(ST_Buffer(geom, 0.5)) AS buf_npts,
+               ST_X(ST_GeomFromText(concat('POINT (', CAST(poly_id AS STRING), ' 5)'))) AS wkt_x,
+               ST_IsValid(geom) AS valid,
+               round(ST_Area(ST_Envelope(geom)), 6) AS env_area
+        FROM aoi_c
+        """
+    )
+
+
+def _st_constructive_oracle() -> str:
+    import math
+
+    # rounded-rect buffer area: rect + perimeter*d + area of the 4
+    # quarter-circle fans as the POLYGON the kernel emits (inscribed
+    # (quadsegs+1)-vertex fan, not the ideal circle): each corner fan
+    # contributes quadsegs triangles of area 0.5*d^2*sin(pi/2/quadsegs)
+    quadsegs = 8
+    fan = quadsegs * 0.5 * math.sin(math.pi / 2 / quadsegs)
+    return f"""
+WITH {AOI_CTE}
+SELECT poly_id,
+       (((lon_max - lon_min) + (lat_max - lat_min)) + (lon_max - lon_min)) + (lat_max - lat_min) AS perimeter,
+       round((lon_max - lon_min) * (lat_max - lat_min)
+             + ((((lon_max - lon_min) + (lat_max - lat_min)) + (lon_max - lon_min)) + (lat_max - lat_min)) * 0.5
+             + 4.0 * {fan!r} * 0.5 * 0.5, 6) AS buf_area,
+       CAST({4 * (quadsegs + 1) + 1} AS INTEGER) AS buf_npts,
+       CAST(poly_id AS DOUBLE) AS wkt_x,
+       TRUE AS valid,
+       round((lon_max - lon_min) * (lat_max - lat_min), 6) AS env_area
+FROM aoi
+"""
+
+
 MORTON_ZOOM = 10
 
 
@@ -1201,6 +1299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_erase": _q_erase,
         "grid_idw": _q_grid_idw,
         "st_functions": _q_st_functions,
+        "st_predicates": _q_st_predicates,
+        "st_constructive": _q_st_constructive,
         "morton_order": _q_morton,
         "hilbert_order": _q_hilbert,
         "vector_segmentize": _q_segmentize,
@@ -1258,6 +1358,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_erase": ERASE_ORACLE,
         "grid_idw": _grid_idw_oracle(),
         "st_functions": ST_ORACLE,
+        "st_predicates": ST_PRED_ORACLE,
+        "st_constructive": _st_constructive_oracle(),
         "morton_order": _morton_oracle(),
         "hilbert_order": _hilbert_oracle(),
         "vector_segmentize": SEGMENTIZE_ORACLE,

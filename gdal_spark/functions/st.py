@@ -13,7 +13,11 @@ Registered names (call ``register_st_functions(spark)`` once):
 
     ST_Area, ST_GeometryType, ST_IsEmpty, ST_X, ST_Y (centroid),
     ST_AsText, ST_ContainsPoint, ST_IntersectsBox, ST_MakePoint,
-    ST_MakeEnvelope, ST_Distance (point-to-geom)
+    ST_MakeEnvelope, ST_Distance (point-to-geom),
+    ST_Intersects/Disjoint/Within/Contains/Touches/Overlaps/Crosses/
+    ST_Equals (geom × geom), ST_Length, ST_GeomFromText, ST_AsBinary,
+    ST_IsValid, ST_Buffer, ST_Intersection, ST_Union, ST_Difference,
+    ST_Centroid, ST_Envelope, ST_NPoints, ST_SRID
 """
 
 from __future__ import annotations
@@ -22,7 +26,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, BooleanType, DoubleType, StringType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+)
 
 from gdal_spark.functions import geometry as G
 
@@ -150,6 +160,167 @@ def st_distance_point(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Seri
     return pd.Series(out)
 
 
+# --- binary predicates / constructive ops (geom × geom over WKB) ----------
+# ogrsqlitesqlfunctions.cpp:1188-1240 registers the full ST_ predicate
+# and set-op surface; kernels live in functions/predicates.py (exact
+# closed form for axis rectangles, vertex/edge kernel otherwise).
+
+from gdal_spark.functions import predicates as P  # noqa: E402
+
+
+def _make_predicate_udf(name: str):
+    @pandas_udf(BooleanType())
+    def pred(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        # parse each distinct WKB once per batch (prepared-geometry
+        # reuse, ogrlayer.cpp:5509-5519)
+        cache: dict[bytes, object] = {}
+
+        def get(b):
+            k = bytes(b)
+            g = cache.get(k)
+            if g is None:
+                g = cache[k] = G.parse_wkb(k)
+            return g
+
+        return pd.Series(
+            [
+                None if (a is None or b is None) else P.predicate(get(a), get(b), name)
+                for a, b in zip(wa, wb)
+            ]
+        )
+
+    return pred
+
+
+st_intersects = _make_predicate_udf("intersects")
+st_disjoint = _make_predicate_udf("disjoint")
+st_within = _make_predicate_udf("within")
+st_contains = _make_predicate_udf("contains")
+st_touches = _make_predicate_udf("touches")
+st_overlaps = _make_predicate_udf("overlaps")
+st_crosses = _make_predicate_udf("crosses")
+st_equals = _make_predicate_udf("equals")
+
+
+@pandas_udf(DoubleType())
+def st_length(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: P.geom_length(G.parse_wkb(bytes(b))) if b is not None else None)
+
+
+@pandas_udf(BinaryType())
+def st_geomfromtext(txt: pd.Series) -> pd.Series:
+    return txt.map(lambda t: P.parse_wkt(t) if t is not None else None)
+
+
+@pandas_udf(BinaryType())
+def st_asbinary(wkb: pd.Series) -> pd.Series:
+    return wkb  # WKB IS the storage form (ST_AsBinary identity)
+
+
+@pandas_udf(BooleanType())
+def st_isvalid(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: P.is_valid(G.parse_wkb(bytes(b))) if b is not None else None)
+
+
+@pandas_udf(BinaryType())
+def st_buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if b is None else P.buffer_geom(G.parse_wkb(bytes(b)), float(d))
+            for b, d in zip(wkb, dist)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def st_intersection(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if (a is None or b is None)
+            else P.intersection_geom(G.parse_wkb(bytes(a)), G.parse_wkb(bytes(b)))
+            for a, b in zip(wa, wb)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def st_union(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    def f(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        ga, gb = G.parse_wkb(bytes(a)), G.parse_wkb(bytes(b))
+        ra, rb = P.as_rect(ga), P.as_rect(gb)
+        if ra is None or rb is None:
+            raise NotImplementedError("general polygon union needs GEOS")
+        return P.union_rects_polygons(np.asarray([ra, rb], dtype=np.float64))
+
+    return pd.Series([f(a, b) for a, b in zip(wa, wb)])
+
+
+@pandas_udf(BinaryType())
+def st_difference(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    def f(a, b):
+        if a is None:
+            return None
+        if b is None:
+            return a
+        ga, gb = G.parse_wkb(bytes(a)), G.parse_wkb(bytes(b))
+        ra, rb = P.as_rect(ga), P.as_rect(gb)
+        if ra is None or rb is None:
+            raise NotImplementedError("general polygon difference needs GEOS")
+        parts = P.difference_rects(ra, rb)
+        if not parts:
+            return None
+        return G.wkb_multipolygon(
+            [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]] for x0, y0, x1, y1 in parts]
+        )
+
+    return pd.Series([f(a, b) for a, b in zip(wa, wb)])
+
+
+@pandas_udf(BinaryType())
+def st_centroid(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        cx, cy = G.geom_centroid(G.parse_wkb(bytes(b)))
+        return G.wkb_point(cx, cy)
+
+    return wkb.map(f)
+
+
+@pandas_udf(BinaryType())
+def st_envelope(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        x0, y0, x1, y1 = G.geom_bbox(G.parse_wkb(bytes(b)))
+        return G.wkb_bbox_polygon(x0, y0, x1, y1)
+
+    return wkb.map(f)
+
+
+@pandas_udf(IntegerType())
+def st_npoints(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        g = G.parse_wkb(bytes(b))
+        return int(sum(len(p) for p in (g.rings or g.coords)))
+
+    return wkb.map(f)
+
+
+@pandas_udf(IntegerType())
+def st_srid(wkb: pd.Series) -> pd.Series:
+    # plain (non-EWKB) WKB carries no SRID; OGR reports the layer SRS.
+    # The engine's layers are EPSG:4326 by construction.
+    return pd.Series([None if b is None else 4326 for b in wkb])
+
+
 _REGISTRY = {
     "ST_Area": st_area,
     "ST_GeometryType": st_geometrytype,
@@ -162,6 +333,28 @@ _REGISTRY = {
     "ST_MakePoint": st_makepoint,
     "ST_MakeEnvelope": st_makeenvelope,
     "ST_Distance": st_distance_point,
+    # geom × geom predicates (ogrsqlitesqlfunctions.cpp:1188-1240)
+    "ST_Intersects": st_intersects,
+    "ST_Disjoint": st_disjoint,
+    "ST_Within": st_within,
+    "ST_Contains": st_contains,
+    "ST_Touches": st_touches,
+    "ST_Overlaps": st_overlaps,
+    "ST_Crosses": st_crosses,
+    "ST_Equals": st_equals,
+    # constructive / scalar
+    "ST_Length": st_length,
+    "ST_GeomFromText": st_geomfromtext,
+    "ST_AsBinary": st_asbinary,
+    "ST_IsValid": st_isvalid,
+    "ST_Buffer": st_buffer,
+    "ST_Intersection": st_intersection,
+    "ST_Union": st_union,
+    "ST_Difference": st_difference,
+    "ST_Centroid": st_centroid,
+    "ST_Envelope": st_envelope,
+    "ST_NPoints": st_npoints,
+    "ST_SRID": st_srid,
 }
 
 

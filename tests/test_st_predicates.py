@@ -1,0 +1,112 @@
+"""Predicate/constructive kernel tests — ports the semantics of the
+``autotest/ogr/ogr_sql_sqlite.py`` ST_ cases to the engine's kernel
+(rect closed form + general vertex/edge path)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from gdal_spark.functions import geometry as G
+from gdal_spark.functions import predicates as P
+
+
+def rect(x0, y0, x1, y1):
+    return G.parse_wkb(G.wkb_bbox_polygon(x0, y0, x1, y1))
+
+
+def tri(pts):
+    return G.parse_wkb(G.wkb_polygon([pts]))
+
+
+A = rect(0, 0, 10, 10)
+B = rect(2, 2, 8, 8)       # inside A
+C = rect(10, 0, 20, 10)    # shares an edge with A
+D = rect(5, 5, 15, 15)     # overlaps A
+E = rect(30, 30, 40, 40)   # disjoint from A
+
+
+@pytest.mark.parametrize(
+    "ga,gb,name,expect",
+    [
+        (A, B, "contains", True),
+        (B, A, "within", True),
+        (A, B, "intersects", True),
+        (A, C, "touches", True),
+        (A, C, "overlaps", False),
+        (A, D, "overlaps", True),
+        (A, D, "touches", False),
+        (A, E, "disjoint", True),
+        (A, A, "equals", True),
+        (A, D, "equals", False),
+        (A, D, "crosses", False),
+        (A, B, "touches", False),  # interiors intersect
+    ],
+)
+def test_rect_predicates(ga, gb, name, expect):
+    assert P.predicate(ga, gb, name) is expect
+
+
+def test_general_polygon_predicates():
+    t1 = tri([(0, 0), (4, 0), (2, 3), (0, 0)])
+    t2 = tri([(1, 0.5), (3, 0.5), (2, 2), (1, 0.5)])   # inside t1
+    t3 = tri([(10, 10), (12, 10), (11, 12), (10, 10)])  # disjoint
+    t4 = tri([(2, -1), (6, -1), (4, 2), (2, -1)])       # overlaps t1
+    assert P.predicate(t1, t2, "contains")
+    assert P.predicate(t2, t1, "within")
+    assert P.predicate(t1, t3, "disjoint")
+    assert P.predicate(t1, t4, "intersects")
+    assert P.predicate(t1, t4, "overlaps")
+    assert not P.predicate(t1, t4, "touches")
+
+
+def test_length_and_buffer():
+    assert P.geom_length(A) == 40.0
+    buf = G.parse_wkb(P.buffer_geom(A, 1.0))
+    # rounded rect: area = rect + perimeter*d + inscribed corner fans
+    fan = 8 * 0.5 * math.sin(math.pi / 16)
+    expect = 100.0 + 40.0 * 1.0 + 4.0 * fan
+    assert abs(G.geom_area(buf) - expect) < 1e-9
+    # point buffer: 32-gon of radius 2
+    pbuf = G.parse_wkb(P.buffer_geom(G.parse_wkb(G.wkb_point(5.0, 5.0)), 2.0))
+    assert len(pbuf.rings[0]) == 33
+    assert abs(G.geom_area(pbuf) - 0.5 * 32 * 4.0 * math.sin(2 * math.pi / 32)) < 1e-9
+
+
+def test_intersection_and_difference():
+    w = P.intersection_geom(D, A)  # D clipped by rect A
+    g = G.parse_wkb(w)
+    assert abs(G.geom_area(g) - 25.0) < 1e-12  # overlap 5x5
+    assert P.intersection_geom(E, A) is None
+    parts = P.difference_rects((0, 0, 10, 10), (2, 2, 8, 8))
+    assert abs(sum((x1 - x0) * (y1 - y0) for x0, y0, x1, y1 in parts) - (100 - 36)) < 1e-12
+    # hole case leaves 4 pieces; disjoint subtrahend leaves the rect
+    assert len(parts) == 4
+    assert P.difference_rects((0, 0, 1, 1), (5, 5, 6, 6)) == [(0, 0, 1, 1)]
+
+
+def test_union_rects_polygons():
+    rects = np.array([[0, 0, 10, 10], [5, 5, 15, 15]], dtype=np.float64)
+    g = G.parse_wkb(P.union_rects_polygons(rects))
+    assert abs(G.geom_area(g) - (100 + 100 - 25)) < 1e-9
+
+
+def test_wkt_roundtrip():
+    g = G.parse_wkb(P.parse_wkt("POINT (3.5 -2)"))
+    assert g.coords[0][0, 0] == 3.5 and g.coords[0][0, 1] == -2.0
+    g = G.parse_wkb(P.parse_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+    assert G.geom_area(g) == 16.0
+    g = G.parse_wkb(
+        P.parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))")
+    )
+    assert abs(G.geom_area(g) - 2.0) < 1e-12
+    ls = G.parse_wkb(P.parse_wkt("LINESTRING (0 0, 3 4)"))
+    assert P.geom_length(ls) == 5.0
+
+
+def test_is_valid():
+    assert P.is_valid(A)
+    bowtie = tri([(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)])
+    assert not P.is_valid(bowtie)
