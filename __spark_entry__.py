@@ -614,6 +614,35 @@ SELECT poly_id, 'POLYGON' AS gtype,
 FROM aoi
 """
 
+def _q_intersection_geom(spark, sf_dir):
+    """OGRLayer::Intersection with geometry output (ogrlayer.cpp:5565,
+    5589-5592): the clipped geometry's area is the value-checkable
+    invariant — for box×box pairs the oracle computes it closed-form."""
+    from gdal_spark.operators.spatial_join import spatial_intersection_join
+
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    aoi = synth.aoi(spark, sf_dir)
+    out = spatial_intersection_join(fp, aoi)
+    return out.select(
+        "image_id",
+        F.col("poly_id").cast("long").alias("poly_id"),
+        F.round("int_area", 9).alias("int_area"),
+    )
+
+
+INTERSECTION_GEOM_ORACLE = f"""
+WITH {FP_CTE}, {AOI_CTE}
+SELECT f.image_id, a.poly_id,
+       round((least(f.lon_max, a.lon_max) - greatest(f.lon_min, a.lon_min))
+             * (least(f.lat_max, a.lat_max) - greatest(f.lat_min, a.lat_min)), 9) AS int_area
+FROM fp f JOIN aoi a
+  ON greatest(f.lon_min, a.lon_min) < least(f.lon_max, a.lon_max)
+ AND greatest(f.lat_min, a.lat_min) < least(f.lat_max, a.lat_max)
+"""
+
+
 def _q_st_predicates(spark, sf_dir):
     """Full geom×geom predicate surface (ST_Intersects/Within/Contains/
     Touches/Overlaps/Equals/Disjoint, ogrsqlitesqlfunctions.cpp:
@@ -1297,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layer algebra / gridding / ST_ / spatial order (§2.6-2.10)
         "vector_clip": _q_clip,
         "spatial_erase": _q_erase,
+        "intersection_geom": _q_intersection_geom,
         "grid_idw": _q_grid_idw,
         "st_functions": _q_st_functions,
         "st_predicates": _q_st_predicates,
@@ -1356,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": EVENTS_WINDOWED_ORACLE,
         "vector_clip": CLIP_ORACLE,
         "spatial_erase": ERASE_ORACLE,
+        "intersection_geom": INTERSECTION_GEOM_ORACLE,
         "grid_idw": _grid_idw_oracle(),
         "st_functions": ST_ORACLE,
         "st_predicates": ST_PRED_ORACLE,

@@ -18,9 +18,11 @@ approximate:
    equals the true union (pieces share edges instead of being
    merged — area/containment-equivalent to GEOS UnaryUnion output).
 
-Non-rectangular members raise ``NotImplementedError`` — the general
-path needs a polygon clipper (GEOS/shapely on a real cluster; the
-module boundary is the same either way).
+Groups containing non-rectangular members take the general path:
+``predicates.union_area_polygons`` — exact vertical-slab decomposition
+(slab boundaries at every vertex and edge-crossing x; union measure is
+linear within a slab, so the midpoint sample integrates each slab
+exactly). Both paths are exact; the rect path is just cheaper.
 """
 
 from __future__ import annotations
@@ -32,21 +34,19 @@ from pyspark.sql import DataFrame
 from gdal_spark.functions import geometry as G
 
 
-def _rects_of(pdf: pd.DataFrame, geom: str) -> np.ndarray:
-    rects = []
-    for b in pdf[geom]:
-        g = G.parse_wkb(bytes(b))
-        from gdal_spark.operators.spatial_join import _is_axis_rect
+def _parse_group(pdf: pd.DataFrame, geom: str):
+    """(rects array | None, parsed geoms). rects is None when any
+    member is non-rectangular → the general slab-union path applies."""
+    from gdal_spark.operators.spatial_join import _is_axis_rect
 
+    geoms = [G.parse_wkb(bytes(b)) for b in pdf[geom]]
+    rects = []
+    for g in geoms:
         if not _is_axis_rect(g):
-            raise NotImplementedError(
-                "dissolve: non-rectangular member needs a GEOS-backed union"
-            )
+            return None, geoms
         r = g.rings[0]
-        rects.append(
-            (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
-        )
-    return np.asarray(rects, dtype=np.float64)
+        rects.append((r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()))
+    return np.asarray(rects, dtype=np.float64), geoms
 
 
 def union_rects_area(rects: np.ndarray) -> tuple[float, int]:
@@ -84,18 +84,26 @@ def dissolve(
     )
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rects = _rects_of(pdf, geom)
-        area, _ = union_rects_area(rects)
+        rects, geoms = _parse_group(pdf, geom)
+        if rects is not None:
+            area, _ = union_rects_area(rects)
+            env = (rects[:, 0].min(), rects[:, 1].min(), rects[:, 2].max(), rects[:, 3].max())
+        else:
+            from gdal_spark.functions.predicates import union_area_polygons
+
+            area = union_area_polygons(geoms)
+            boxes = np.asarray([G.geom_bbox(g) for g in geoms], dtype=np.float64)
+            env = (boxes[:, 0].min(), boxes[:, 1].min(), boxes[:, 2].max(), boxes[:, 3].max())
         return pd.DataFrame(
             [
                 {
                     by: key[0],
                     "n_polys": len(pdf),
                     "union_area": area,
-                    "env_lon_min": float(rects[:, 0].min()),
-                    "env_lat_min": float(rects[:, 1].min()),
-                    "env_lon_max": float(rects[:, 2].max()),
-                    "env_lat_max": float(rects[:, 3].max()),
+                    "env_lon_min": float(env[0]),
+                    "env_lat_min": float(env[1]),
+                    "env_lon_max": float(env[2]),
+                    "env_lat_max": float(env[3]),
                 }
             ]
         )

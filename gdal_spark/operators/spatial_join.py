@@ -199,11 +199,14 @@ def bbox_intersection_join(
     zoom: int = DEFAULT_ZOOM,
     refine: bool = True,
     broadcast_polys: bool = True,
+    keep_geom: bool = False,
 ) -> DataFrame:
     """Bbox-footprint × polygon Intersects join with reference-cell
     dedup (each intersecting pair emitted in exactly one cell — no
     distinct stage). ``refine=False`` returns envelope-overlap pairs
-    (the reference's envelope-only fast path, ``ogrlayer.cpp:4027``)."""
+    (the reference's envelope-only fast path, ``ogrlayer.cpp:4027``);
+    ``keep_geom`` retains the polygon WKB on the unrefined output (for
+    a downstream geometry-producing stage)."""
     lx0, ly0, lx1, ly1 = left_bbox
     qx0, qy0, qx1, qy1 = poly_bbox
     # disambiguate: prefix poly bbox cols if names collide
@@ -240,8 +243,86 @@ def bbox_intersection_join(
     rcols = [c for c in q.columns if c not in lcols]
     out = j.select(*[F.col(f"l.{c}") for c in lcols], *[F.col(f"r.{c}") for c in rcols])
     if not refine or geom not in rcols:
-        return out.drop(geom) if geom in out.columns and not refine else out
+        if not refine and geom in out.columns and not keep_geom:
+            out = out.drop(geom)
+        return out
     return refine_bbox_intersects(out, left_bbox, geom)
+
+
+def spatial_intersection_join(
+    left: DataFrame,
+    polys: DataFrame,
+    left_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    poly_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    geom: str = "geom",
+    zoom: int = DEFAULT_ZOOM,
+    broadcast_polys: bool = True,
+) -> DataFrame:
+    """``OGRLayer::Intersection`` with the intersected *geometry*
+    output (``ogrlayer.cpp:5565,5589-5592``) — not just matched pairs.
+
+    Candidates come from the cell equi-join (reference-cell dedup);
+    the refine stage clips the polygon's rings against the left row's
+    bbox rectangle (Sutherland–Hodgman, exact for any polygon × box)
+    and emits rows with ``int_geom`` (WKB) + ``int_area`` (shoelace of
+    the clipped rings, holes subtracted). Pair membership is decided
+    by STRICT envelope overlap (positive width × height) — evaluated
+    JVM-side with the same greatest/least arithmetic an oracle uses —
+    so a sliver thinner than double resolution still yields a row
+    (area 0.0 after clipping) instead of silently vanishing; only
+    pairs whose polygon clip is truly empty are dropped."""
+    cand = bbox_intersection_join(
+        left, polys, left_bbox, poly_bbox, geom=geom, zoom=zoom,
+        refine=False, broadcast_polys=broadcast_polys, keep_geom=True,
+    )
+    lx0, ly0, lx1, ly1 = left_bbox
+    qx0, qy0, qx1, qy1 = (
+        f"q_{c}" if c in left.columns else c for c in poly_bbox
+    )
+    cand = cand.filter(
+        (F.greatest(F.col(lx0), F.col(qx0)) < F.least(F.col(lx1), F.col(qx1)))
+        & (F.greatest(F.col(ly0), F.col(qy0)) < F.least(F.col(ly1), F.col(qy1)))
+    )
+    from pyspark.sql.types import BinaryType, DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in cand.schema.fields]
+        + [StructField("int_geom", BinaryType()), StructField("int_area", DoubleType())]
+    )
+
+    def clip(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            geoms, areas = [], []
+            for r in pdf.itertuples():
+                g = G.parse_wkb(bytes(getattr(r, geom)))
+                rings = []
+                area = 0.0
+                for ring, is_ext in zip(g.rings, g.ring_roles):
+                    c = G.clip_ring_to_bbox(
+                        ring,
+                        getattr(r, lx0), getattr(r, ly0),
+                        getattr(r, lx1), getattr(r, ly1),
+                    )
+                    if len(c) >= 4:
+                        rings.append(c)
+                        a = abs(G.ring_signed_area(c))
+                        area += a if is_ext else -a
+                if rings:
+                    geoms.append(G.wkb_polygon(rings))
+                    areas.append(area)
+                else:
+                    geoms.append(None)
+                    areas.append(None)
+            pdf = pdf.copy()
+            pdf["int_geom"] = geoms
+            pdf["int_area"] = areas
+            pdf = pdf[pdf["int_geom"].notna()]
+            if len(pdf):
+                yield pdf
+
+    return cand.mapInPandas(clip, schema=out_schema)
 
 
 def _is_axis_rect(g: "G.Geom") -> bool:

@@ -110,3 +110,47 @@ def test_is_valid():
     assert P.is_valid(A)
     bowtie = tri([(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)])
     assert not P.is_valid(bowtie)
+
+
+def test_union_area_general_matches_rect_path():
+    from gdal_spark.operators.dissolve import union_rects_area
+
+    rects = np.array(
+        [[0, 0, 10, 10], [5, 5, 15, 15], [20, 0, 30, 5]], dtype=np.float64
+    )
+    geoms = [rect(*r) for r in rects]
+    exact, _ = union_rects_area(rects)
+    assert abs(P.union_area_polygons(geoms) - exact) < 1e-9
+
+
+def test_union_area_general_triangles():
+    # two triangles overlapping in a known quadrilateral:
+    # t1 = (0,0)(4,0)(0,4): area 8 ; t2 = (1,1)(5,1)(1,5): area 8
+    # overlap = triangle (1,1)(3,1)(1,3) area 2 -> union 14
+    t1 = tri([(0, 0), (4, 0), (0, 4), (0, 0)])
+    t2 = tri([(1, 1), (5, 1), (1, 5), (1, 1)])
+    assert abs(P.union_area_polygons([t1, t2]) - 14.0) < 1e-9
+
+
+def test_union_area_with_hole():
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    hole = [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]
+    g = G.parse_wkb(G.wkb_polygon([outer, hole]))
+    assert abs(P.union_area_polygons([g]) - 96.0) < 1e-9
+
+
+def test_dissolve_general_polygons(spark):
+    """General (non-rect) dissolve path end-to-end through Spark."""
+    from gdal_spark.operators.dissolve import dissolve
+
+    rows = [
+        ("a", bytearray(G.wkb_polygon([[(0, 0), (4, 0), (0, 4), (0, 0)]]))),
+        ("a", bytearray(G.wkb_polygon([[(1, 1), (5, 1), (1, 5), (1, 1)]]))),
+        ("b", bytearray(G.wkb_bbox_polygon(0, 0, 2, 2))),
+    ]
+    df = spark.createDataFrame(rows, "category string, geom binary")
+    out = {r.category: r for r in dissolve(df, by="category").collect()}
+    assert abs(out["a"].union_area - 14.0) < 1e-9
+    assert out["a"].n_polys == 2
+    assert out["b"].union_area == 4.0
+    assert out["a"].env_lon_max == 5.0
