@@ -1133,6 +1133,115 @@ FROM r WHERE rn <= {k}
 """
 
 
+def _q_ann_lsh(spark, sf_dir):
+    """The ANN scale path (hyperplane-LSH bucketed top-k, ann.lsh_topk)
+    as a first-class driver query: at 10^12 rows the bucket equi-join
+    replaces the brute-force cross product. Deterministic md5-derived
+    planes → DuckDB reproduces the same buckets, so the result is
+    value-checked, not just row-counted."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.lsh_topk(e, n_queries=8, k=10)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _ann_lsh_oracle(k: int = 10, n_queries: int = 8) -> str:
+    sig = ann.signature_expr("embedding", accessor="{emb}[{i}]")
+    dot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    na = norm.format(e="a.embedding")
+    nb = norm.format(e="b.embedding")
+    return f"""
+WITH s AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         round({dot} / ({na} * {nb}), 6) AS score
+  FROM s a JOIN s b ON a.sig = b.sig AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {n_queries}
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM d
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       score, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {k}
+"""
+
+
+def _q_simhash_neardup(spark, sf_dir):
+    """Hamming-bucketed SimHash near-dup pairs (cluster-first: distinct
+    signatures pair, members don't — the 10^12-scale shape). Banding
+    guarantee bands-1=3 makes the result exactly all distinct-sig
+    pairs within Hamming 3, which the oracle computes directly."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.simhash(d)
+    pairs = dedup.hamming_neardup_pairs(
+        sh, "doc_id", "simhash", bits=32, bands=4, max_hamming=3
+    )
+    return pairs.select(
+        "sig_a",
+        "sig_b",
+        "hamming",
+        F.col("keep_a").cast("long").alias("keep_a"),
+        F.col("keep_b").cast("long").alias("keep_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+def _simhash_neardup_oracle() -> str:
+    base = _simhash_oracle()  # SELECT doc_id, simhash FROM ...
+    return f"""
+WITH sh AS ({base}),
+cl AS (
+  SELECT simhash AS s, CAST(min(doc_id) AS BIGINT) AS keep, CAST(count(*) AS BIGINT) AS n
+  FROM sh GROUP BY simhash
+)
+SELECT a.s AS sig_a, b.s AS sig_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming,
+       a.keep AS keep_a, b.keep AS keep_b, a.n AS n_a, b.n AS n_b
+FROM cl a JOIN cl b ON a.s < b.s
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
+
+
+def _q_phash_dedup(spark, sf_dir):
+    """Multimodal exact dedup on the image phash column (input_hint
+    schema): linear hash-groupBy clustering — the stage that must run
+    before any pairwise image comparison at scale."""
+    imgs = synth.images(spark, sf_dir, where="okey % 20 = 0").select("image_id", "phash")
+    return dedup.signature_clusters(imgs, "image_id", "phash").select(
+        "phash", "keep_id", F.col("n").cast("long").alias("n")
+    )
+
+
+def _q_phash_neardup(spark, sf_dir):
+    """phash-based image near-dup: Hamming-banded pairs between
+    DISTINCT phash clusters (16-bit chunks, guarantee h<=3)."""
+    imgs = synth.images(spark, sf_dir, where="okey % 20 = 0").select("image_id", "phash")
+    pairs = dedup.hamming_neardup_pairs(
+        imgs, "image_id", "phash", bits=64, bands=4, max_hamming=3
+    )
+    return pairs.select(
+        "sig_a", "sig_b", "hamming", "keep_a", "keep_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
 # --- raster queries: golden-row oracles -----------------------------------
 # The pixel semantics are not SQL-expressible, so the oracle is the
 # reference's own method (alg/gdalchecksum.cpp:48, autotest golden
@@ -1160,6 +1269,8 @@ GOLDEN_QUERIES = [
     "raster_blend",
     "raster_psnr_gate",
     "raster_warp_utm",
+    "image_phash_dedup",
+    "image_phash_neardup",
     "tile_pyramid",
 ]
 
@@ -1344,6 +1455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
+        "ann_lsh": _q_ann_lsh,
+        "simhash_neardup": _q_simhash_neardup,
+        "image_phash_dedup": _q_phash_dedup,
+        "image_phash_neardup": _q_phash_neardup,
         # raster kernels (rows-only; pixel semantics tested in pytest
         # against the GDAL checksum formula, alg/gdalchecksum.cpp:48)
         "raster_checksums": _q_raster_checksums,
@@ -1402,6 +1517,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_oracle(),
         "text_fingerprint": FINGERPRINT_ORACLE,
         "ann_topk": _ann_oracle(),
+        "ann_lsh": _ann_lsh_oracle(),
+        "simhash_neardup": _simhash_neardup_oracle(),
         "reproject_utm": _reproject_utm_oracle(),
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

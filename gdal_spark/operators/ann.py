@@ -74,13 +74,17 @@ def plane_sign_expr(plane: int, i: int) -> str:
     )
 
 
-def signature_expr(emb: str, n_planes: int = N_PLANES) -> str:
+def signature_expr(emb: str, n_planes: int = N_PLANES, accessor: str = "element_at({emb}, {i})") -> str:
     """B-bit hyperplane signature of an embedding column as a string
-    of 0/1 digits (string keeps it engine-portable)."""
+    of 0/1 digits (string keeps it engine-portable). ``accessor``
+    formats 1-based element access — default Spark ``element_at``;
+    pass ``"{emb}[{i}]"`` for the DuckDB oracle. The ``+`` fold order
+    is identical in both engines, and the ±1 factors are exact, so
+    the projections (and therefore the buckets) match bit-for-bit."""
     bits = []
     for p in range(n_planes):
         terms = " + ".join(
-            f"CAST(element_at({emb}, {i + 1}) AS DOUBLE) * ({plane_sign_expr(p, i)})"
+            f"CAST({accessor.format(emb=emb, i=i + 1)} AS DOUBLE) * ({plane_sign_expr(p, i)})"
             for i in range(DIM)
         )
         bits.append(f"(CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END)")

@@ -136,6 +136,78 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def signature_clusters(df: DataFrame, key: str, sig: str) -> DataFrame:
+    """Exact-dedup clustering on a hash signature (phash/simhash):
+    one row per distinct signature with a deterministic representative
+    and the cluster size. This LINEAR cardinality reduction runs
+    BEFORE any pairwise stage — the step that keeps near-dup tractable
+    when signatures are heavily duplicated (at 10^12 images a popular
+    phash can have millions of members; pairing members would be
+    quadratic, pairing signatures is not)."""
+    return df.groupBy(sig).agg(
+        F.min(key).alias("keep_id"), F.count("*").alias("n")
+    )
+
+
+def hamming_neardup_pairs(
+    df: DataFrame,
+    key: str,
+    sig: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-bucketed near-duplicate pairs over an integer signature
+    column (64-bit phash or 32-bit simhash).
+
+    Pipeline: cluster identical signatures (``signature_clusters``) →
+    band each DISTINCT signature into ``bands`` contiguous bit chunks
+    → candidate pairs by (band, chunk) equi-join → exact popcount
+    verify ``bit_count(a ^ b) <= max_hamming``.
+
+    Completeness: by pigeonhole, any pair within Hamming distance
+    ``bands - 1`` shares at least one identical chunk, so with the
+    default ``max_hamming = bands - 1`` the result is EXACTLY the set
+    of distinct-signature pairs within the threshold (no LSH recall
+    loss). Returns (sig_a, sig_b, hamming, keep_a, keep_b, n_a, n_b).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding guarantee "
+            f"(bands-1={bands - 1}); raise bands or lower the threshold"
+        )
+    cl = signature_clusters(df, key, sig)
+    bw = bits // bands
+    mask = (1 << bw) - 1
+    parts = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.expr(f"shiftrightunsigned({sig}, {i * bw}) & {mask}").alias("bval"),
+        )
+        for i in range(bands)
+    ]
+    banded = cl.select(
+        F.col(sig).alias("s"), "keep_id", "n", F.explode(F.array(*parts)).alias("bb")
+    ).select("s", "keep_id", "n", "bb.band", "bb.bval")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bval"])
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(
+            F.col("a.s").alias("sig_a"),
+            F.col("b.s").alias("sig_b"),
+            F.col("a.keep_id").alias("keep_a"),
+            F.col("b.keep_id").alias("keep_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
 def simhash_bit_expr(i: int) -> str:
     """±1 contribution of a token to simhash bit i: high bit of the
     i-th md5 hex digit (md5 is identical in Spark and DuckDB)."""

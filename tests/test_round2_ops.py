@@ -1,0 +1,90 @@
+"""Round-2 operator tests: exact kNN termination, Hamming near-dup,
+intersection-geometry join."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import geometry as G
+from gdal_spark.operators import dedup
+from gdal_spark.operators.knn import knn_join
+
+
+def test_knn_exact_with_isolated_far_point(spark):
+    """Worst-case spacing: a query in one corner, its nearest sites
+    across the grid. The old best-effort final round silently returned
+    wrong/NULL neighbors here; the exact pending × all-sites round
+    must return the true top-k for ANY max_rounds."""
+    queries = spark.createDataFrame([(1, -179.0, -84.0)], "pt_id long, lon double, lat double")
+    sites = spark.createDataFrame(
+        [(10, 179.0, 84.0), (11, 170.0, 80.0), (12, 0.0, 0.0)],
+        "site_id long, lon double, lat double",
+    )
+    for max_rounds in (1, 2, 6):
+        out = knn_join(queries, sites, k=2, max_rounds=max_rounds).collect()
+        got = sorted((r.site_id, r.rank) for r in out)
+        # true distances: site 12 (~197.6), 11 (~384.3), 10 (~395.2)
+        assert got == [(11, 2), (12, 1)], (max_rounds, got)
+
+
+def test_knn_zero_sites_in_first_rings(spark):
+    """Sites exist but far outside every early ring: still exact."""
+    queries = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(5)], "pt_id long, lon double, lat double"
+    )
+    sites = spark.createDataFrame([(99, 150.0, 70.0)], "site_id long, lon double, lat double")
+    out = knn_join(queries, sites, k=1).collect()
+    assert len(out) == 5
+    assert all(r.site_id == 99 and r.rank == 1 for r in out)
+
+
+def test_hamming_neardup_guarantee(spark):
+    """Band-join must find exactly the distinct-sig pairs within the
+    pigeonhole guarantee (bands-1)."""
+    rows = [
+        (1, 0b0000),             # baseline
+        (2, 0b0001),             # hamming 1 from sig 0
+        (3, 0b0001),             # duplicate signature (clusters)
+        (4, 0b111100001111000),  # far away
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    pairs = dedup.hamming_neardup_pairs(df, "doc_id", "sig", bits=64, bands=4, max_hamming=3)
+    got = {(r.sig_a, r.sig_b): (r.hamming, r.n_a, r.n_b) for r in pairs.collect()}
+    assert got == {(0, 1): (1, 1, 2)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.hamming_neardup_pairs(df, "doc_id", "sig", bands=4, max_hamming=5)
+
+
+def test_signature_clusters(spark):
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 7), ("c", 9)], "image_id string, phash long"
+    )
+    got = {r.phash: (r.keep_id, r.n) for r in dedup.signature_clusters(df, "image_id", "phash").collect()}
+    assert got == {7: ("a", 2), 9: ("c", 1)}
+
+
+def test_intersection_join_emits_clipped_geometry(spark):
+    from gdal_spark.operators.spatial_join import spatial_intersection_join
+
+    left = spark.createDataFrame(
+        [("L1", 0.0, 0.0, 10.0, 10.0)],
+        "id string, lon_min double, lat_min double, lon_max double, lat_max double",
+    )
+    # a triangle poking into the box: (5,5) (12,5) (5,12)
+    tri = G.wkb_polygon([[(5, 5), (12, 5), (5, 12), (5, 5)]])
+    polys = spark.createDataFrame(
+        [(7, 5.0, 5.0, 12.0, 12.0, bytearray(tri))],
+        "poly_id long, lon_min double, lat_min double, lon_max double, lat_max double, geom binary",
+    )
+    out = spatial_intersection_join(left, polys).collect()
+    assert len(out) == 1
+    r = out[0]
+    # triangle ∩ box [0,10]² = {x,y ∈ [5,10], x+y ≤ 17}
+    # = 5×5 square minus the corner triangle past x+y=17 (legs 3)
+    # = 25 − 4.5 = 20.5
+    g = G.parse_wkb(bytes(r.int_geom))
+    assert abs(r.int_area - G.geom_area(g)) < 1e-12
+    assert abs(r.int_area - 20.5) < 1e-9

@@ -374,6 +374,43 @@ def g_raster_psnr_gate(sf_dir, min_db=40.0):
     return schema, rows
 
 
+def _phash_clusters(sf_dir):
+    clusters: dict[int, list[str]] = {}
+    for okey in order_keys(sf_dir):
+        if okey % 20:
+            continue
+        fp = footprint(okey)
+        # phash is computed on the ORIGINAL pixels (before the codec
+        # round trip), exactly as sources/synth.images does
+        ph = synth.phash64(synth.synth_pixels(fp["image_id"], fp["w"], fp["h"]))
+        clusters.setdefault(ph, []).append(fp["image_id"])
+    return clusters
+
+
+def g_image_phash_dedup(sf_dir):
+    rows = [
+        (ph, min(ids), len(ids)) for ph, ids in sorted(_phash_clusters(sf_dir).items())
+    ]
+    schema = pa.schema([("phash", I64), ("keep_id", STR), ("n", I64)])
+    return schema, rows
+
+
+def g_image_phash_neardup(sf_dir, max_hamming=3):
+    cl = _phash_clusters(sf_dir)
+    sigs = sorted(cl)
+    rows = []
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            h = bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= max_hamming:
+                rows.append((a, b, h, min(cl[a]), min(cl[b]), len(cl[a]), len(cl[b])))
+    schema = pa.schema(
+        [("sig_a", I64), ("sig_b", I64), ("hamming", I32), ("keep_a", STR),
+         ("keep_b", STR), ("n_a", I64), ("n_b", I64)]
+    )
+    return schema, rows
+
+
 def g_raster_warp_utm(sf_dir, out_w=64, out_h=64):
     from gdal_spark.functions import srs as S
     from gdal_spark.raster.warp import warp_lonlat_to_grid
@@ -484,6 +521,8 @@ GOLDEN_BUILDERS = {
     "raster_blend": g_raster_blend,
     "raster_psnr_gate": g_raster_psnr_gate,
     "raster_warp_utm": g_raster_warp_utm,
+    "image_phash_dedup": g_image_phash_dedup,
+    "image_phash_neardup": g_image_phash_neardup,
     "tile_pyramid": g_tile_pyramid,
 }
 
