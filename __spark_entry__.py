@@ -586,6 +586,92 @@ FROM j GROUP BY gx, gy
 """
 
 
+def _grid_join_cte() -> str:
+    """Shared DuckDB CTE: the scattered-point × grid-cell join."""
+    lon_min, lat_min, lon_max, lat_max = GRID_BOUNDS
+    dx = repr((lon_max - lon_min) / GRID_NX)
+    dy = repr((lat_max - lat_min) / GRID_NY)
+    return f"""
+g1 AS (SELECT unnest(range(0, {GRID_NX})) AS gx),
+g AS (
+  SELECT gx, gy,
+         CAST({lon_min} AS DOUBLE) + (gx + 0.5) * {dx} AS glon,
+         CAST({lat_min} AS DOUBLE) + (gy + 0.5) * {dy} AS glat
+  FROM (SELECT gx, unnest(range(0, {GRID_NY})) AS gy FROM g1) t
+),
+p AS (
+  SELECT {P_LON} AS plon, {P_LAT} AS plat, c_acctbal AS pv,
+         CAST(floor(({P_LON} - CAST({lon_min} AS DOUBLE)) / {dx}) AS INTEGER) AS pgx,
+         CAST(floor(({P_LAT} - CAST({lat_min} AS DOUBLE)) / {dy}) AS INTEGER) AS pgy
+  FROM customer
+),
+j AS (
+  SELECT g.gx, g.gy, p.pv, p.plon, p.plat, g.glon, g.glat,
+         (p.plon - g.glon) * (p.plon - g.glon) + (p.plat - g.glat) * (p.plat - g.glat) AS d2
+  FROM g JOIN p
+    ON p.pgx BETWEEN g.gx - 1 AND g.gx + 1
+   AND p.pgy BETWEEN g.gy - 1 AND g.gy + 1
+)"""
+
+
+def _q_grid_invdistnn(spark, sf_dir):
+    """gdalgrid invdistnn (alg/gdalgrid.cpp:261-277): IDW over the k=4
+    nearest candidates only."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.expr(P_LON).alias("lon"), F.expr(P_LAT).alias("lat"), F.col("c_acctbal")
+    )
+    out = grid_interpolate(
+        spark, pts, "c_acctbal", GRID_BOUNDS, GRID_NX, GRID_NY, alg="invdistnn"
+    )
+    return out.select(F.col("gx").cast("int"), F.col("gy").cast("int"), "value")
+
+
+def _grid_invdistnn_oracle() -> str:
+    return f"""
+WITH {_grid_join_cte()},
+rk AS (
+  SELECT gx, gy, pv, d2,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY d2 ASC, pv ASC) AS rn
+  FROM j
+)
+SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+       round(sum(pv / d2) / sum(1.0 / d2), 6) AS value
+FROM rk WHERE rn <= 4 GROUP BY gx, gy
+"""
+
+
+def _q_grid_metrics(spark, sf_dir):
+    """gdalgrid data metrics (alg/gdalgrid.h:30-40): min/max/range/
+    count/average_distance per cell."""
+    from gdal_spark.operators.gridding import grid_data_metrics
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.expr(P_LON).alias("lon"), F.expr(P_LAT).alias("lat"), F.col("c_acctbal")
+    )
+    out = grid_data_metrics(spark, pts, "c_acctbal", GRID_BOUNDS, GRID_NX, GRID_NY)
+    return out.select(
+        F.col("gx").cast("int"),
+        F.col("gy").cast("int"),
+        "min_v",
+        "max_v",
+        "range_v",
+        F.col("n").cast("long").alias("n"),
+        "avg_dist",
+    )
+
+
+def _grid_metrics_oracle() -> str:
+    return f"""
+WITH {_grid_join_cte()}
+SELECT CAST(gx AS INTEGER) AS gx, CAST(gy AS INTEGER) AS gy,
+       min(pv) AS min_v, max(pv) AS max_v, max(pv) - min(pv) AS range_v,
+       CAST(count(*) AS BIGINT) AS n, round(avg(sqrt(d2)), 6) AS avg_dist
+FROM j GROUP BY gx, gy
+"""
+
+
 def _q_st_functions(spark, sf_dir):
     """ST_ scalar surface (ogrsqlitesqlfunctions.cpp:1188-1240) through
     spark.sql over a registered view — the ExecuteSQL dialect path."""
@@ -737,6 +823,39 @@ SELECT poly_id,
        CAST(poly_id AS DOUBLE) AS wkt_x,
        TRUE AS valid,
        round((lon_max - lon_min) * (lat_max - lat_min), 6) AS env_area
+FROM aoi
+"""
+
+
+def _q_hull_valid(spark, sf_dir):
+    """ogr2ogr convex-hull + make-valid pipeline steps
+    (apps/gdalalg_vector_pipeline.cpp): hull of the densified ring
+    collapses back to the 4 corners; make-valid is the identity on
+    valid input (area-preserving)."""
+    from gdal_spark.functions.st import st_area
+    from gdal_spark.operators.vector_ops import (
+        convex_hull,
+        make_segmentize_udf,
+        make_valid,
+        n_points,
+    )
+
+    aoi = synth.aoi(spark, sf_dir)
+    seg = make_segmentize_udf(5.0)
+    hull = convex_hull(seg(F.col("geom")))
+    return aoi.select(
+        F.col("poly_id").cast("long").alias("poly_id"),
+        n_points(hull).cast("int").alias("n_hull_pts"),
+        F.round(st_area(hull), 6).alias("hull_area"),
+        F.round(st_area(make_valid(F.col("geom"))), 6).alias("valid_area"),
+    )
+
+
+HULL_VALID_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id, CAST(5 AS INTEGER) AS n_hull_pts,
+       round((lon_max - lon_min) * (lat_max - lat_min), 6) AS hull_area,
+       round((lon_max - lon_min) * (lat_max - lat_min), 6) AS valid_area
 FROM aoi
 """
 
@@ -1271,6 +1390,11 @@ GOLDEN_QUERIES = [
     "raster_warp_utm",
     "image_phash_dedup",
     "image_phash_neardup",
+    "raster_proximity",
+    "raster_sieve",
+    "raster_fillnodata",
+    "raster_polygonize",
+    "raster_contour",
     "tile_pyramid",
 ]
 
@@ -1381,6 +1505,51 @@ def _q_warp_utm(spark, sf_dir):
     return rp.warp_to_utm(imgs)
 
 
+def _q_proximity(spark, sf_dir):
+    """gdal_proximity (alg/gdalproximity.cpp): exact EDT to pixels
+    >= 200, byte-scaled at maxdist 64."""
+    from gdal_spark.raster.morphology import proximity
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return proximity(imgs)
+
+
+def _q_sieve(spark, sf_dir):
+    """gdal_sieve (alg/gdalsievefilter.cpp): drop 4-connected
+    components < 32 px of the 64-quantized band."""
+    from gdal_spark.raster.morphology import sieve
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return sieve(imgs)
+
+
+def _q_fillnodata(spark, sf_dir):
+    """gdal_fillnodata (alg/rasterfill.cpp): directional IDW fill of
+    band0 < 16 treated as nodata."""
+    from gdal_spark.raster.morphology import fill_nodata
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return fill_nodata(imgs)
+
+
+def _q_polygonize(spark, sf_dir):
+    """gdal_polygonize (alg/polygonize.cpp): 4-connected regions of
+    the 64-quantized band, one row per region >= 64 px."""
+    from gdal_spark.raster.vectorize import polygonize
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return polygonize(imgs)
+
+
+def _q_contour(spark, sf_dir):
+    """gdal_contour (alg/contour.cpp): marching-squares segment count
+    + total length at levels 64/128/192."""
+    from gdal_spark.raster.vectorize import contour
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return contour(imgs)
+
+
 def _q_tile_pyramid(spark, sf_dir):
     imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
     # z10-12: a 0.01-degree footprint spans 3-30 px/tile — every image
@@ -1439,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_erase": _q_erase,
         "intersection_geom": _q_intersection_geom,
         "grid_idw": _q_grid_idw,
+        "grid_invdistnn": _q_grid_invdistnn,
+        "grid_metrics": _q_grid_metrics,
         "st_functions": _q_st_functions,
         "st_predicates": _q_st_predicates,
         "st_constructive": _q_st_constructive,
@@ -1446,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_order": _q_hilbert,
         "vector_segmentize": _q_segmentize,
         "vector_dissolve": _q_dissolve,
+        "vector_hull_valid": _q_hull_valid,
         "reproject_utm": _q_reproject_utm,
         # training-data pipeline ops
         "dedup_exact": _q_exact_dedup,
@@ -1474,6 +1646,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_blend": _q_mosaic_blend,
         "raster_psnr_gate": _q_psnr_gate,
         "raster_warp_utm": _q_warp_utm,
+        "raster_proximity": _q_proximity,
+        "raster_sieve": _q_sieve,
+        "raster_fillnodata": _q_fillnodata,
+        "raster_polygonize": _q_polygonize,
+        "raster_contour": _q_contour,
         "tile_pyramid": _q_tile_pyramid,
     }
 
@@ -1503,6 +1680,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_erase": ERASE_ORACLE,
         "intersection_geom": INTERSECTION_GEOM_ORACLE,
         "grid_idw": _grid_idw_oracle(),
+        "grid_invdistnn": _grid_invdistnn_oracle(),
+        "grid_metrics": _grid_metrics_oracle(),
         "st_functions": ST_ORACLE,
         "st_predicates": ST_PRED_ORACLE,
         "st_constructive": _st_constructive_oracle(),
@@ -1510,6 +1689,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_order": _hilbert_oracle(),
         "vector_segmentize": SEGMENTIZE_ORACLE,
         "vector_dissolve": DISSOLVE_ORACLE,
+        "vector_hull_valid": HULL_VALID_ORACLE,
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

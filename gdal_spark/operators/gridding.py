@@ -111,6 +111,24 @@ def grid_interpolate(
                 F.sum(F.col("pv") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2")), 6
             ).alias("value")
         )
+    elif alg == "invdistnn":
+        # GDALGridInverseDistanceToAPowerNearestNeighbor
+        # (alg/gdalgrid.cpp:261-277): IDW restricted to the k nearest
+        # candidates — window-rank then the same weighted aggregate
+        k = 4
+        wnn = Window.partitionBy("gx", "gy").orderBy(
+            F.col("d2").asc(), F.col("pv").asc()
+        )
+        agg = (
+            j.withColumn("_rn", F.row_number().over(wnn))
+            .filter(F.col("_rn") <= k)
+            .groupBy("gx", "gy")
+            .agg(
+                F.round(
+                    F.sum(F.col("pv") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2")), 6
+                ).alias("value")
+            )
+        )
     elif alg == "average":
         agg = j.groupBy("gx", "gy").agg(F.round(F.avg("pv"), 6).alias("value"))
     elif alg == "count":
@@ -127,3 +145,60 @@ def grid_interpolate(
     else:
         raise ValueError(f"unknown gridding alg {alg!r}")
     return agg
+
+
+def grid_data_metrics(
+    spark: SparkSession,
+    points: DataFrame,
+    value_col: str,
+    bounds: tuple[float, float, float, float],
+    nx: int,
+    ny: int,
+    radius_cells: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """gdalgrid data metrics (``alg/gdalgrid.h:30-40``): minimum /
+    maximum / range / count / average_distance per grid cell, one
+    pass over the same scattered-point equi-join as the interpolators.
+    Returns (gx, gy, min_v, max_v, range_v, n, avg_dist)."""
+    lon_min, lat_min, lon_max, lat_max = bounds
+    dx = (lon_max - lon_min) / nx
+    dy = (lat_max - lat_min) / ny
+    grid = make_grid(spark, *bounds, nx, ny)
+    r = radius_cells
+    pts = points.select(
+        F.col(lon).alias("plon"),
+        F.col(lat).alias("plat"),
+        F.col(value_col).alias("pv"),
+        F.floor((F.col(lon) - F.lit(lon_min)) / F.lit(dx)).cast("int").alias("pgx"),
+        F.floor((F.col(lat) - F.lit(lat_min)) / F.lit(dy)).cast("int").alias("pgy"),
+    ).filter(
+        (F.col("pgx") >= -r) & (F.col("pgx") < nx + r)
+        & (F.col("pgy") >= -r) & (F.col("pgy") < ny + r)
+    )
+    scattered = (
+        pts.withColumn("_ox", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("_oy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .select(
+            (F.col("pgx") + F.col("_ox")).alias("gx"),
+            (F.col("pgy") + F.col("_oy")).alias("gy"),
+            "plon",
+            "plat",
+            "pv",
+        )
+    )
+    j = grid.join(scattered, ["gx", "gy"], "inner").withColumn(
+        "dist",
+        F.sqrt(
+            (F.col("plon") - F.col("glon")) * (F.col("plon") - F.col("glon"))
+            + (F.col("plat") - F.col("glat")) * (F.col("plat") - F.col("glat"))
+        ),
+    )
+    return j.groupBy("gx", "gy").agg(
+        F.min("pv").alias("min_v"),
+        F.max("pv").alias("max_v"),
+        (F.max("pv") - F.min("pv")).alias("range_v"),
+        F.count("*").alias("n"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+    )

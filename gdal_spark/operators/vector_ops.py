@@ -43,7 +43,11 @@ def segmentize_ring(ring: np.ndarray, maxlen: float) -> np.ndarray:
         seg = np.hypot(b[0] - a[0], b[1] - a[1])
         n = max(1, int(np.ceil(seg / maxlen)))
         ts = np.linspace(0.0, 1.0, n, endpoint=False)
-        out.append(a[None, :] * (1 - ts[:, None]) + b[None, :] * ts[:, None])
+        # a + t·(b−a), NOT a·(1−t)+b·t: on axis-parallel edges the
+        # constant coordinate stays bit-exact (b−a is exactly 0), so
+        # densified edges remain exactly collinear — the convex hull
+        # of a densified rectangle collapses back to its 4 corners
+        out.append(a[None, :] + ts[:, None] * (b - a)[None, :])
     out.append(ring[-1:])
     return np.vstack(out)
 
@@ -172,6 +176,98 @@ def n_points(wkb: pd.Series) -> pd.Series:
         g = G.parse_wkb(b)
         parts = g.rings if g.rings else g.coords
         return int(sum(len(p) for p in parts))
+
+    return wkb.map(f)
+
+
+def convex_hull_points(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain (exact, public algorithm) → closed ring
+    CCW. The ``OGRGeometry::ConvexHull`` / ``gdal vector`` convex-hull
+    step (apps/gdalalg_vector_pipeline.cpp)."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return np.vstack([pts, pts[:1]])
+    # lexicographic sort (x, then y)
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[order]
+
+    def half(points):
+        out = []
+        for pt in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (pt[1] - o[1]) - (a[1] - o[1]) * (pt[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(pt)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    ring = np.asarray(lower[:-1] + upper[:-1] + [lower[0]], dtype=np.float64)
+    return ring
+
+
+@pandas_udf(BinaryType())
+def convex_hull(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        if b is None:
+            return None
+        g = G.parse_wkb(bytes(b))
+        pts = np.vstack([p for p in (g.rings or g.coords)])
+        return G.wkb_polygon([convex_hull_points(pts)])
+
+    return wkb.map(f)
+
+
+def make_buffer_udf(dist: float, quadsegs: int = 8):
+    """ogr2ogr buffer step — delegates to the ST_Buffer kernel
+    (point + axis-rect classes, functions/predicates.py)."""
+    from gdal_spark.functions import predicates as P
+
+    @pandas_udf(BinaryType())
+    def buf(wkb: pd.Series) -> pd.Series:
+        return wkb.map(
+            lambda b: P.buffer_geom(G.parse_wkb(bytes(b)), dist, quadsegs)
+            if b is not None
+            else None
+        )
+
+    return buf
+
+
+@pandas_udf(BinaryType())
+def make_valid(wkb: pd.Series) -> pd.Series:
+    """ogr2ogr make-valid step (structural repairs): close unclosed
+    rings, drop degenerate (<3 distinct vertex) rings; already-valid
+    input passes through unchanged (OGRGeometry::MakeValid identity
+    case). Self-crossing rings are returned as-is — node-splitting
+    them needs GEOS; ``ST_IsValid`` still reports them."""
+
+    def f(b):
+        if b is None:
+            return None
+        g = G.parse_wkb(bytes(b))
+        if not g.rings:
+            return bytes(b)
+        polys, cur = [], []
+        for r, is_ext in zip(g.rings, g.ring_roles):
+            if len(r) and not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            if len(np.unique(r[:-1], axis=0)) < 3:
+                continue  # degenerate ring
+            if is_ext and cur:
+                polys.append(cur)
+                cur = []
+            cur.append(r)
+        if cur:
+            polys.append(cur)
+        if not polys:
+            return None
+        if len(polys) == 1:
+            return G.wkb_polygon(polys[0])
+        return G.wkb_multipolygon(polys)
 
     return wkb.map(f)
 

@@ -375,21 +375,54 @@ def build_pyramid(
 # ---------------------------------------------------------------------------
 
 
+def iceberg_available(spark: SparkSession, catalog: str = "iceberg") -> bool:
+    """True when an Iceberg catalog is configured in this session
+    (``spark.sql.catalog.<name>`` set and the classes on the
+    classpath). This sandbox ships no Iceberg jars, so tests exercise
+    the parquet fallback; on a cluster, setting the catalog conf flips
+    every sink to ``writeTo``/``partitionedBy`` with no code change."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    except Exception:
+        impl = None
+    if not impl:
+        return False
+    try:
+        spark.sql(f"SHOW NAMESPACES IN {catalog}")
+        return True
+    except Exception:
+        return False
+
+
 def write_tiles(
     spark: SparkSession,
     tiles: DataFrame,
     out_dir: str,
     run_id: str | None = None,
+    iceberg_table: str | None = None,
 ) -> dict:
     """Write tiles partitioned by z, update the manifest, and append
     per-partition lineage/metrics rows. Idempotent: rerunning with
     ``read_manifest(out_dir)`` passed as ``resume_manifest`` renders
-    zero new tiles."""
+    zero new tiles.
+
+    ``iceberg_table`` (e.g. ``iceberg.db.tiles``): when an Iceberg
+    catalog is configured, tiles append transactionally via
+    ``writeTo(...).partitionedBy(z)`` — the north-rule exactly-once
+    sink (snapshot isolation replaces the directory-append layout).
+    Without a catalog the parquet ``partitionBy(z)`` layout below is
+    the fallback; the manifest/metrics paths are identical in both."""
     run_id = run_id or uuid.uuid4().hex[:12]
     t0 = time.time()
     tiles = tiles.cache()
     n = tiles.count()
-    tiles.write.mode("append").partitionBy("z").parquet(f"{out_dir}/tiles")
+    if iceberg_table and iceberg_available(spark, iceberg_table.split(".")[0]):
+        try:
+            tiles.writeTo(iceberg_table).partitionedBy(F.col("z")).createOrReplace()
+        except Exception:
+            tiles.writeTo(iceberg_table).append()
+    else:
+        tiles.write.mode("append").partitionBy("z").parquet(f"{out_dir}/tiles")
     manifest = tiles.select("z", "tx", "ty", "x", "y", "quadkey", "checksum")
     manifest.write.mode("append").parquet(f"{out_dir}/manifest")
     # per-partition metrics (progress-callback analogue,

@@ -88,3 +88,21 @@ def test_intersection_join_emits_clipped_geometry(spark):
     g = G.parse_wkb(bytes(r.int_geom))
     assert abs(r.int_area - G.geom_area(g)) < 1e-12
     assert abs(r.int_area - 20.5) < 1e-9
+
+
+def test_write_tiles_iceberg_gate_falls_back(spark, tmp_path):
+    """No Iceberg catalog in this sandbox: the gated sink must detect
+    that and use the parquet partitionBy(z) layout, same manifest."""
+    from gdal_spark.raster import tiler
+
+    assert tiler.iceberg_available(spark) is False
+    rows = [(12, 1, 2, 1, 4093, "q", bytes(b"png"), 7, 1)]
+    tiles = spark.createDataFrame(
+        rows,
+        "z int, tx int, ty int, x int, y int, quadkey string, tile binary, checksum int, n_srcs int",
+    )
+    out = str(tmp_path / "ice_out")
+    info = tiler.write_tiles(spark, tiles, out, iceberg_table="iceberg.db.tiles")
+    assert info["n_tiles"] == 1
+    assert spark.read.parquet(f"{out}/tiles").count() == 1
+    assert tiler.read_manifest(spark, out).count() == 1

@@ -442,6 +442,100 @@ def g_raster_warp_utm(sf_dir, out_w=64, out_h=64):
     return schema, rows
 
 
+def g_raster_proximity(sf_dir, target_min=200, maxdist=64.0):
+    from gdal_spark.raster.morphology import edt
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        d = np.minimum(edt(b >= target_min), maxdist)
+        out = np.floor(d / maxdist * 255.0 + 0.5).astype(np.uint8)
+        rows.append((fp["image_id"], checksum_band(out), int((d == 0).sum())))
+    schema = pa.schema([("image_id", STR), ("checksum", I32), ("n_target", I64)])
+    return schema, rows
+
+
+def g_raster_sieve(sf_dir, threshold=32, quant=64):
+    from gdal_spark.raster.morphology import sieve_array
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        q = (b // quant).astype(np.uint8)
+        out = sieve_array(q, threshold)
+        rows.append(
+            (fp["image_id"], checksum_band(q), checksum_band(out), int((out != q).sum()))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("checksum_before", I32), ("checksum_after", I32),
+         ("n_changed", I64)]
+    )
+    return schema, rows
+
+
+def g_raster_fillnodata(sf_dir, nodata_below=16):
+    from gdal_spark.raster.morphology import fill_nodata_array
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        masked = np.where(b < nodata_below, 0, b).astype(np.uint8)
+        out = fill_nodata_array(masked, 0)
+        rows.append((fp["image_id"], checksum_band(out), int((masked == 0).sum())))
+    schema = pa.schema([("image_id", STR), ("checksum", I32), ("n_filled", I64)])
+    return schema, rows
+
+
+def g_raster_polygonize(sf_dir, quant=64, min_px=64):
+    from gdal_spark.raster.vectorize import polygonize_array
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        q = (b // quant).astype(np.uint8)
+        for t in polygonize_array(q, min_px=min_px):
+            rows.append((fp["image_id"], *t))
+    schema = pa.schema(
+        [("image_id", STR), ("value", I32), ("n_pixels", I64), ("xmin", I32),
+         ("ymin", I32), ("xmax", I32), ("ymax", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_contour(sf_dir, levels=(64.0, 128.0, 192.0)):
+    from gdal_spark.raster.vectorize import contour_stats
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        for level, n, ln in contour_stats(b, levels):
+            rows.append((fp["image_id"], level, n, round(ln, 4)))
+    schema = pa.schema(
+        [("image_id", STR), ("level", F64), ("n_segments", I64), ("total_len", F64)]
+    )
+    return schema, rows
+
+
 def g_tile_pyramid(sf_dir, min_zoom=10, max_zoom=12, tile_size=256):
     m = tm.GlobalMercator(tile_size)
     fps = [footprint(k) for k in order_keys(sf_dir) if k % 100 == 0]
@@ -523,6 +617,11 @@ GOLDEN_BUILDERS = {
     "raster_warp_utm": g_raster_warp_utm,
     "image_phash_dedup": g_image_phash_dedup,
     "image_phash_neardup": g_image_phash_neardup,
+    "raster_proximity": g_raster_proximity,
+    "raster_sieve": g_raster_sieve,
+    "raster_fillnodata": g_raster_fillnodata,
+    "raster_polygonize": g_raster_polygonize,
+    "raster_contour": g_raster_contour,
     "tile_pyramid": g_tile_pyramid,
 }
 
