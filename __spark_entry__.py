@@ -467,6 +467,32 @@ FROM events
 """
 
 
+def _q_hstore(spark, sf_dir):
+    """HSTORE_GET_VALUE round trip (ogr/ogr_swq.h:65): build an hstore
+    string from events columns, extract keys back through
+    str_to_map + element_at (the native-SQL path; missing key → NULL)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = e.withColumn(
+        "hs",
+        F.expr(
+            "concat('type=>', event_type, ', user=>', CAST(user_id AS STRING))"
+        ),
+    )
+    return h.select(
+        "event_id",
+        T.hstore_get_value("hs", "type").alias("htype"),
+        T.hstore_get_value("hs", "user").cast("long").alias("huser"),
+        T.hstore_get_value("hs", "missing").alias("hmissing"),
+    )
+
+
+HSTORE_ORACLE = """
+SELECT event_id, event_type AS htype, CAST(user_id AS BIGINT) AS huser,
+       CAST(NULL AS VARCHAR) AS hmissing
+FROM events
+"""
+
+
 def _q_events_agg(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return e.groupBy("event_type").agg(
@@ -1601,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_set_ops": _q_set_ops,
         "ogr_theta_join": _q_theta_join,
         "props_extract": _q_props,
+        "hstore_extract": _q_hstore,
         "events_agg": _q_events_agg,
         "events_windowed": _q_events_windowed,
         # layer algebra / gridding / ST_ / spatial order (§2.6-2.10)
@@ -1674,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "ogr_set_ops": SET_OPS_ORACLE,
         "ogr_theta_join": THETA_ORACLE,
         "props_extract": PROPS_ORACLE,
+        "hstore_extract": HSTORE_ORACLE,
         "events_agg": EVENTS_AGG_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,
         "vector_clip": CLIP_ORACLE,

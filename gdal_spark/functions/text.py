@@ -25,6 +25,16 @@ LANG_MARKERS = {
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
 
+def hstore_get_value(col: str, key: str) -> Column:
+    """``HSTORE_GET_VALUE`` (``ogr/ogr_swq.h:65``; SQLite version
+    ``ogrsqlitesqlfunctions.cpp:1066``): typed key lookup in a
+    PostgreSQL-hstore-style ``'k=>v, k2=>v2'`` string, via the native
+    ``str_to_map`` + ``element_at`` pair (SURVEY §2.2's intended
+    mapping — no regexp, no UDF). Missing key → NULL, matching OGR."""
+    m = f"str_to_map(regexp_replace({col}, ' *, *', ','), ',', '=>')"
+    return F.expr(f"element_at({m}, '{key}')")
+
+
 def _marker_count(lang: str) -> str:
     lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
     return f"size(filter({TOKENS}, x -> x IN ({lst})))"

@@ -345,7 +345,16 @@ def refine_bbox_intersects(candidates: DataFrame, left_bbox, geom="geom") -> Dat
 
     Geometry parsed once per distinct polygon per batch; axis-aligned
     rectangles (the common AOI case) skip the exact test entirely —
-    the join's envelope predicate already decided them."""
+    the join's envelope predicate already decided them.
+
+    Non-rect polygons are decided in three vectorized passes over ALL
+    rows of that polygon at once (no per-row Python except the rare
+    final residual):
+      1. any rect corner inside the polygon (4 batched ray casts),
+      2. any polygon vertex inside the rect (broadcast compare),
+      3. residual rows only: exact edge-crossing test per row —
+         reached only when rect and polygon interleave without
+         containing each other's vertices."""
     lx0, ly0, lx1, ly1 = left_bbox
     out_schema = candidates.drop(geom).schema
 
@@ -354,28 +363,47 @@ def refine_bbox_intersects(candidates: DataFrame, left_bbox, geom="geom") -> Dat
             if len(pdf) == 0:
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
+            x0a = pdf[lx0].to_numpy(dtype=np.float64)
+            y0a = pdf[ly0].to_numpy(dtype=np.float64)
+            x1a = pdf[lx1].to_numpy(dtype=np.float64)
+            y1a = pdf[ly1].to_numpy(dtype=np.float64)
             for wkb, idx in pdf.groupby(pdf[geom].map(bytes)).indices.items():
                 g = G.parse_wkb(wkb)
                 if _is_axis_rect(g):
                     keep[idx] = True
                     continue
-                for i in idx:
+                x0, y0, x1, y1 = x0a[idx], y0a[idx], x1a[idx], y1a[idx]
+                # (1) any rect corner inside the polygon
+                inside = (
+                    G.points_in_geom(x0, y0, g)
+                    | G.points_in_geom(x1, y0, g)
+                    | G.points_in_geom(x1, y1, g)
+                    | G.points_in_geom(x0, y1, g)
+                )
+                # (2) any polygon vertex inside the rect
+                verts = np.vstack([r[:-1] for r in g.rings])
+                vx, vy = verts[:, 0][None, :], verts[:, 1][None, :]
+                inside |= (
+                    (vx >= x0[:, None]) & (vx <= x1[:, None])
+                    & (vy >= y0[:, None]) & (vy <= y1[:, None])
+                ).any(axis=1)
+                # (3) residual: exact edge-crossing per undecided row
+                for j in np.nonzero(~inside)[0]:
                     rect = G.Geom(
                         G.WKB_POLYGON,
                         rings=[
                             np.array(
                                 [
-                                    (pdf[lx0].iat[i], pdf[ly0].iat[i]),
-                                    (pdf[lx1].iat[i], pdf[ly0].iat[i]),
-                                    (pdf[lx1].iat[i], pdf[ly1].iat[i]),
-                                    (pdf[lx0].iat[i], pdf[ly1].iat[i]),
-                                    (pdf[lx0].iat[i], pdf[ly0].iat[i]),
+                                    (x0[j], y0[j]), (x1[j], y0[j]),
+                                    (x1[j], y1[j]), (x0[j], y1[j]),
+                                    (x0[j], y0[j]),
                                 ]
                             )
                         ],
                         ring_roles=[True],
                     )
-                    keep[i] = G.geoms_intersect(rect, g)
+                    inside[j] = G.geoms_intersect(rect, g)
+                keep[idx] = inside
             res = pdf.loc[keep].drop(columns=[geom])
             if len(res):
                 yield res
