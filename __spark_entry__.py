@@ -564,6 +564,52 @@ WHERE NOT EXISTS (
 )
 """
 
+def _q_layer_identity(spark, sf_dir):
+    """OGRLayer::Identity geometry pieces (ogrsf_frmts.h:331-352) for
+    box×box: intersection piece + exact difference strips per
+    overlapping pair; SymDifference/Update are selections of the same
+    pieces."""
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False).select(
+        "poly_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    out = la.identity_boxes(fp, aoi)
+    return out.select(
+        "image_id",
+        F.col("poly_id").cast("long").alias("poly_id"),
+        "part",
+        "px0",
+        "py0",
+        "px1",
+        "py1",
+    )
+
+
+LAYER_IDENTITY_ORACLE = f"""
+WITH {FP_CTE}, {AOI_CTE},
+pr AS (
+  SELECT f.image_id, a.poly_id,
+         f.lon_min AS fx0, f.lat_min AS fy0, f.lon_max AS fx1, f.lat_max AS fy1,
+         greatest(f.lon_min, a.lon_min) AS ix0, greatest(f.lat_min, a.lat_min) AS iy0,
+         least(f.lon_max, a.lon_max) AS ix1, least(f.lat_max, a.lat_max) AS iy1
+  FROM fp f JOIN aoi a
+    ON greatest(f.lon_min, a.lon_min) < least(f.lon_max, a.lon_max)
+   AND greatest(f.lat_min, a.lat_min) < least(f.lat_max, a.lat_max)
+)
+SELECT image_id, poly_id, 'int' AS part, ix0 AS px0, iy0 AS py0, ix1 AS px1, iy1 AS py1 FROM pr
+UNION ALL
+SELECT image_id, poly_id, 'diff', fx0, fy0, fx1, iy0 FROM pr WHERE fy0 < iy0
+UNION ALL
+SELECT image_id, poly_id, 'diff', fx0, iy1, fx1, fy1 FROM pr WHERE iy1 < fy1
+UNION ALL
+SELECT image_id, poly_id, 'diff', fx0, iy0, ix0, iy1 FROM pr WHERE fx0 < ix0
+UNION ALL
+SELECT image_id, poly_id, 'diff', ix1, iy0, fx1, iy1 FROM pr WHERE ix1 < fx1
+"""
+
+
 GRID_NX, GRID_NY = 73, 37  # primes: cell centers never hit the 1e-3 coord grid
 GRID_BOUNDS = (-180.0, -85.0, 180.0, 85.0)
 
@@ -1634,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_clip": _q_clip,
         "spatial_erase": _q_erase,
         "intersection_geom": _q_intersection_geom,
+        "layer_identity": _q_layer_identity,
         "grid_idw": _q_grid_idw,
         "grid_invdistnn": _q_grid_invdistnn,
         "grid_metrics": _q_grid_metrics,
@@ -1707,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_clip": CLIP_ORACLE,
         "spatial_erase": ERASE_ORACLE,
         "intersection_geom": INTERSECTION_GEOM_ORACLE,
+        "layer_identity": LAYER_IDENTITY_ORACLE,
         "grid_idw": _grid_idw_oracle(),
         "grid_invdistnn": _grid_invdistnn_oracle(),
         "grid_metrics": _grid_metrics_oracle(),

@@ -56,6 +56,11 @@ def run(sf_dir: str, cpus: str | None) -> dict:
         "dedup_simhash",
         "text_quality",
         "ann_topk",
+        "ann_lsh",
+        "simhash_neardup",
+        "reproject_utm",
+        "st_predicates",
+        "intersection_geom",
         "raster_checksums",
         "rasterize_burn",
         "tile_pyramid",

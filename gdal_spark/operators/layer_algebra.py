@@ -61,6 +61,56 @@ def clip_boxes(
     )
 
 
+def identity_boxes(
+    left: DataFrame,
+    method: DataFrame,
+    left_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    method_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    broadcast_method: bool = True,
+) -> DataFrame:
+    """``OGRLayer::Identity`` piece output for the box×box case
+    (``ogrsf_frmts.h:331-352``): every overlapping (left, method) pair
+    decomposes the left rectangle into the intersection piece
+    (``part='int'``) and ≤4 exact difference strips (``part='diff'``,
+    bottom/top/left/right of the guillotine decomposition —
+    ``predicates.difference_rects`` in closed SQL form). SymDifference
+    and Update are selections over the same pieces. All coordinates
+    are greatest/least arithmetic — JVM-side, oracle-exact."""
+    lx0, ly0, lx1, ly1 = left_bbox
+    pairs = clip_boxes(left, method, left_bbox, method_bbox, broadcast_clip=broadcast_method)
+    # strict-overlap pairs only (Identity emits nothing for touches)
+    pairs = pairs.filter(
+        (F.col("clip_lon_min") < F.col("clip_lon_max"))
+        & (F.col("clip_lat_min") < F.col("clip_lat_max"))
+    )
+    ix0, iy0 = F.col("clip_lon_min"), F.col("clip_lat_min")
+    ix1, iy1 = F.col("clip_lon_max"), F.col("clip_lat_max")
+    fx0, fy0 = F.col(lx0), F.col(ly0)
+    fx1, fy1 = F.col(lx1), F.col(ly1)
+    keep = [c for c in pairs.columns if not c.startswith("clip_")]
+
+    def piece(part, x0, y0, x1, y1, cond=None):
+        p = pairs.select(
+            *keep,
+            F.lit(part).alias("part"),
+            x0.alias("px0"),
+            y0.alias("py0"),
+            x1.alias("px1"),
+            y1.alias("py1"),
+        )
+        return p.filter(cond) if cond is not None else p
+
+    out = piece("int", ix0, iy0, ix1, iy1)
+    for cond, x0, y0, x1, y1 in (
+        (fy0 < iy0, fx0, fy0, fx1, iy0),  # bottom strip
+        (iy1 < fy1, fx0, iy1, fx1, fy1),  # top strip
+        (fx0 < ix0, fx0, iy0, ix0, iy1),  # left strip
+        (ix1 < fx1, ix1, iy0, fx1, iy1),  # right strip
+    ):
+        out = out.unionByName(piece("diff", x0, y0, x1, y1, cond))
+    return out
+
+
 def spatial_semi_join(left: DataFrame, polys: DataFrame, **kwargs) -> DataFrame:
     """Rows of ``left`` intersecting ≥1 polygon (the positive half of
     Identity): left_semi against the candidate pairs."""
