@@ -175,6 +175,39 @@ def _q_tile_assign(spark, sf_dir):
     return t.select("image_id", "z", "x", "y", "quadkey")
 
 
+GEODETIC_ZOOM = 8
+
+
+def _q_tile_assign_geodetic(spark, sf_dir):
+    """Geodetic tiling profile (gdal2tiles GlobalGeodetic,
+    tmscompatible: 2×1 root tiles) — the non-mercator scheme of
+    ``gdal raster tile --tiling-scheme geodetic``."""
+    fp = synth.footprints(spark, sf_dir)
+    return tiler.assign_tiles_geodetic(fp, GEODETIC_ZOOM)
+
+
+def _geodetic_assign_oracle() -> str:
+    res = repr((180.0 / 256.0) / (2**GEODETIC_ZOOM))
+    tx = f"CAST(ceil(((180.0 + lon_) / {res}) / 256.0) - 1 AS INTEGER)"
+    ty = f"CAST(ceil(((90.0 + lat_) / {res}) / 256.0) - 1 AS INTEGER)"
+    return f"""
+WITH {FP_CTE},
+b AS (
+  SELECT image_id,
+         {tx.replace('lon_', 'lon_min')} AS txmin,
+         {tx.replace('lon_', 'lon_max')} AS txmax,
+         {ty.replace('lat_', 'lat_min')} AS tymin,
+         {ty.replace('lat_', 'lat_max')} AS tymax
+  FROM fp
+)
+SELECT image_id, CAST({GEODETIC_ZOOM} AS INTEGER) AS z,
+       CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty
+FROM (SELECT image_id, tymin, tymax,
+             unnest(range(txmin, txmax + 1)) AS tx FROM b) t,
+     LATERAL (SELECT unnest(range(tymin, tymax + 1)) AS ty) u
+"""
+
+
 def _q_bbox_join(spark, sf_dir):
     fp = synth.footprints(spark, sf_dir).select(
         "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
@@ -1658,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": lambda spark, sf: _q_pip(spark, sf),
         "pip_join_salted": lambda spark, sf: _q_pip(spark, sf, salt=8),
         "tile_assign_z12": _q_tile_assign,
+        "tile_assign_geodetic": _q_tile_assign_geodetic,
         "bbox_join": _q_bbox_join,
         "knn_3": _q_knn,
         "zonal_stats": _q_zonal,
@@ -1734,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": PIP_ORACLE,
         "pip_join_salted": PIP_ORACLE,
         "tile_assign_z12": _tile_assign_oracle(),
+        "tile_assign_geodetic": _geodetic_assign_oracle(),
         "bbox_join": BBOX_ORACLE,
         "knn_3": KNN_ORACLE,
         "zonal_stats": ZONAL_ORACLE,

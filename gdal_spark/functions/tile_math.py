@@ -216,6 +216,24 @@ def lonlat_to_tile_y(lat: Column, zoom: int, tile_size: int = TILE_SIZE) -> Colu
     return meters_to_tile_y(merc_y(lat), zoom, tile_size)
 
 
+def geodetic_resolution(zoom: int, tmscompatible: bool = True, tile_size: int = TILE_SIZE) -> float:
+    """Degrees/pixel for the GlobalGeodetic profile (gdal2tiles.py:570)."""
+    return ((180.0 if tmscompatible else 360.0) / tile_size) / (2**zoom)
+
+
+def geodetic_tile_x(lon: Column, zoom: int, tmscompatible: bool = True, tile_size: int = TILE_SIZE) -> Column:
+    """lon → geodetic TMS tile x (GlobalGeodetic.LonLatToTile,
+    gdal2tiles.py:583-600) — plate-carrée, 2×1 root tiles when
+    tmscompatible."""
+    res = geodetic_resolution(zoom, tmscompatible, tile_size)
+    return pixels_to_tile((F.lit(180.0) + lon) / F.lit(res), tile_size)
+
+
+def geodetic_tile_y(lat: Column, zoom: int, tmscompatible: bool = True, tile_size: int = TILE_SIZE) -> Column:
+    res = geodetic_resolution(zoom, tmscompatible, tile_size)
+    return pixels_to_tile((F.lit(90.0) + lat) / F.lit(res), tile_size)
+
+
 def google_y(ty_tms: Column, zoom: int) -> Column:
     """TMS y → XYZ/Google y: ``2**z - 1 - ty`` (gdal2tiles.py:512-516)."""
     return F.lit((1 << zoom) - 1) - ty_tms

@@ -78,6 +78,30 @@ def assign_tiles(footprints: DataFrame, zoom: int) -> DataFrame:
     )
 
 
+def assign_tiles_geodetic(
+    footprints: DataFrame, zoom: int, tmscompatible: bool = True
+) -> DataFrame:
+    """Tile cover in the GlobalGeodetic profile (gdal2tiles.py:535-633;
+    ``gdal raster tile --tiling-scheme geodetic``,
+    apps/gdalalg_raster_tile.cpp:199-214) — plate-carrée tiles, 2×1
+    root layout when tmscompatible. Pure column math like the mercator
+    path."""
+    txmin = tm.geodetic_tile_x(F.col("lon_min"), zoom, tmscompatible)
+    txmax = tm.geodetic_tile_x(F.col("lon_max"), zoom, tmscompatible)
+    tymin = tm.geodetic_tile_y(F.col("lat_min"), zoom, tmscompatible)
+    tymax = tm.geodetic_tile_y(F.col("lat_max"), zoom, tmscompatible)
+    return (
+        footprints.withColumn("_gtx", F.explode(F.sequence(txmin, txmax)))
+        .withColumn("_gty", F.explode(F.sequence(tymin, tymax)))
+        .select(
+            "image_id",
+            F.lit(zoom).alias("z"),
+            F.col("_gtx").alias("tx"),
+            F.col("_gty").alias("ty"),
+        )
+    )
+
+
 def assign_tiles_multi(footprints: DataFrame, min_zoom: int, max_zoom: int) -> DataFrame:
     out = assign_tiles(footprints, max_zoom)
     for z in range(max_zoom - 1, min_zoom - 1, -1):

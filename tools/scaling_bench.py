@@ -107,13 +107,44 @@ def run_at(cpus: int, sf_dir: str) -> dict:
     return json.loads(line[-1])
 
 
+RUNS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scaling_runs")
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:]]
+    level = None
+    assemble = False
+    if "--level" in args:
+        i = args.index("--level")
+        level = int(args[i + 1])
+        del args[i : i + 2]
+    if "--assemble" in args:
+        assemble = True
+        args.remove("--assemble")
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     pairs = [(1, 4), (8, 32)]
-    results = {}
-    for n in sorted({c for p in pairs for c in p}):
-        results[n] = run_at(n, sf_dir)
-        print(f"# local[{n}]: {json.dumps(results[n])}", file=sys.stderr)
+    levels = sorted({c for p in pairs for c in p})
+
+    if level is not None:
+        # one level per invocation (each child JVM can take minutes;
+        # running levels separately keeps any one call bounded)
+        os.makedirs(RUNS_DIR, exist_ok=True)
+        r = run_at(level, sf_dir)
+        with open(os.path.join(RUNS_DIR, f"{level}.json"), "w") as f:
+            json.dump(r, f)
+        print(json.dumps(r))
+        return
+
+    if assemble:
+        results = {}
+        for n in levels:
+            with open(os.path.join(RUNS_DIR, f"{n}.json")) as f:
+                results[n] = json.load(f)
+    else:
+        results = {}
+        for n in levels:
+            results[n] = run_at(n, sf_dir)
+            print(f"# local[{n}]: {json.dumps(results[n])}", file=sys.stderr)
     out = {"sf_dir": sf_dir, "runs": results, "pairs": {}}
     for a, b in pairs:
         ra, rb = results[a], results[b]
