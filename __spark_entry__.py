@@ -284,6 +284,69 @@ GROUP BY a.poly_id
 """
 
 
+def _q_zonal_full(spark, sf_dir):
+    """Full alg/zonal.cpp stat surface (:661-695): moments + median +
+    mode/minority (deterministic tie-break) + variety + zone center."""
+    from gdal_spark.operators.zonal import zonal_stats_full
+
+    pts = synth.points(spark, sf_dir).join(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("pt_id"), "c_acctbal"
+        ),
+        "pt_id",
+    )
+    polys = synth.aoi(spark, sf_dir)
+    z = zonal_stats_full(pts, polys, "c_acctbal")
+    return z.select(
+        F.col("poly_id").cast("long").alias("poly_id"),
+        F.col("count_v").cast("long").alias("count_v"),
+        "min_v",
+        "max_v",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("median_v", 6).alias("median_v"),
+        F.round("stdev_v", 6).alias("stdev_v"),
+        F.round("variance_v", 4).alias("variance_v"),
+        F.round("sum_v", 2).alias("sum_v"),
+        F.col("variety_v").cast("long").alias("variety_v"),
+        F.round("center_x", 6).alias("center_x"),
+        F.round("center_y", 6).alias("center_y"),
+        "mode_v",
+        "minority_v",
+    )
+
+
+ZONAL_FULL_ORACLE = f"""
+WITH {PTS_CTE}, {AOI_CTE},
+j AS (
+  SELECT a.poly_id, p.c_acctbal AS v, p.lon, p.lat
+  FROM pts p JOIN aoi a ON {PIP_PRED}
+),
+base AS (
+  SELECT poly_id, CAST(count(v) AS BIGINT) AS count_v,
+         min(v) AS min_v, max(v) AS max_v,
+         round(avg(v), 6) AS mean_v, round(median(v), 6) AS median_v,
+         round(stddev_pop(v), 6) AS stdev_v, round(var_pop(v), 4) AS variance_v,
+         round(sum(v), 2) AS sum_v,
+         CAST(count(DISTINCT v) AS BIGINT) AS variety_v,
+         round(avg(lon), 6) AS center_x, round(avg(lat), 6) AS center_y
+  FROM j GROUP BY poly_id
+),
+freq AS (SELECT poly_id, v, count(*) AS n FROM j GROUP BY poly_id, v),
+md AS (
+  SELECT poly_id, v AS mode_v FROM (
+    SELECT poly_id, v, row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, v ASC) AS r
+    FROM freq) t WHERE r = 1
+),
+mi AS (
+  SELECT poly_id, v AS minority_v FROM (
+    SELECT poly_id, v, row_number() OVER (PARTITION BY poly_id ORDER BY n ASC, v ASC) AS r
+    FROM freq) t WHERE r = 1
+)
+SELECT b.*, md.mode_v, mi.minority_v
+FROM base b JOIN md USING (poly_id) JOIN mi USING (poly_id)
+"""
+
+
 def _q_first_match(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1095,6 +1158,52 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): the canonical custom
+    stateful operator, batch form = pure-SQL gaps-and-islands; the
+    applyInPandasWithState streaming twin is pytest-verified to match
+    (tests/test_sessions.py)."""
+    from gdal_spark.streaming.sessions import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(e, gap_s=1800)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start_s",
+        "session_end_s",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_v",
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+f AS (
+  -- floor(epoch(...)) mirrors Spark's unix_timestamp truncation: the
+  -- events carry fractional seconds, and both the gap comparison and
+  -- the emitted bounds must use the same integer-second clock
+  SELECT *, CASE WHEN pts IS NULL OR floor(epoch(ts)) - floor(epoch(pts)) > 1800
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_v
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def _q_interp_at_points(spark, sf_dir):
     """InterpolateAtPoint (gcore/gdal_rasterband.h:625): sample each
     image's band 0 at its own footprint center (guaranteed hit)."""
@@ -1695,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_join": _q_bbox_join,
         "knn_3": _q_knn,
         "zonal_stats": _q_zonal,
+        "zonal_stats_full": _q_zonal_full,
         # OGR SQL dialect surface (§2.2-2.5)
         "ogr_first_match_join": _q_first_match,
         "ogr_summary": _q_summary,
@@ -1710,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hstore_extract": _q_hstore,
         "events_agg": _q_events_agg,
         "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_sessionize,
         # layer algebra / gridding / ST_ / spatial order (§2.6-2.10)
         "vector_clip": _q_clip,
         "spatial_erase": _q_erase,
@@ -1772,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         "bbox_join": BBOX_ORACLE,
         "knn_3": KNN_ORACLE,
         "zonal_stats": ZONAL_ORACLE,
+        "zonal_stats_full": ZONAL_FULL_ORACLE,
         "ogr_first_match_join": FIRST_MATCH_ORACLE,
         "ogr_summary": SUMMARY_ORACLE,
         "ogr_sql_select": OGR_SELECT_ORACLE,
@@ -1786,6 +1898,7 @@ def oracle_sql() -> dict[str, str]:
         "hstore_extract": HSTORE_ORACLE,
         "events_agg": EVENTS_AGG_ORACLE,
         "events_windowed": EVENTS_WINDOWED_ORACLE,
+        "events_sessionize": SESSIONIZE_ORACLE,
         "vector_clip": CLIP_ORACLE,
         "spatial_erase": ERASE_ORACLE,
         "intersection_geom": INTERSECTION_GEOM_ORACLE,
