@@ -840,6 +840,27 @@ FROM j GROUP BY gx, gy
 """
 
 
+def _q_grid_tin(spark, sf_dir):
+    """gdalgrid linear (TIN, alg/delaunay.c + GDALGridLinear):
+    Bowyer-Watson triangulation of the supplier sites (broadcast dim),
+    barycentric interpolation of the distributed grid. Golden oracle
+    (triangulation is not SQL-expressible)."""
+    from gdal_spark.operators.tin import grid_linear
+
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    pts = s.select(
+        F.expr(synth.SITE_LON_SQL.replace("s_key", "s_suppkey")).alias("lon"),
+        F.expr(synth.SITE_LAT_SQL.replace("s_key", "s_suppkey")).alias("lat"),
+        F.col("s_acctbal"),
+    )
+    out = grid_linear(spark, pts, "s_acctbal", GRID_BOUNDS, GRID_NX, GRID_NY)
+    return out.select(
+        F.col("gx").cast("int"),
+        F.col("gy").cast("int"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def _q_st_functions(spark, sf_dir):
     """ST_ scalar surface (ogrsqlitesqlfunctions.cpp:1188-1240) through
     spark.sql over a registered view — the ExecuteSQL dialect path."""
@@ -1602,6 +1623,7 @@ GOLDEN_QUERIES = [
     "raster_blend",
     "raster_psnr_gate",
     "raster_warp_utm",
+    "grid_tin",
     "image_phash_dedup",
     "image_phash_neardup",
     "raster_proximity",
@@ -1829,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_idw": _q_grid_idw,
         "grid_invdistnn": _q_grid_invdistnn,
         "grid_metrics": _q_grid_metrics,
+        "grid_tin": _q_grid_tin,
         "st_functions": _q_st_functions,
         "st_predicates": _q_st_predicates,
         "st_constructive": _q_st_constructive,

@@ -1,0 +1,177 @@
+"""Linear (TIN) grid interpolation — ``gdalgrid linear``.
+
+The reference triangulates the scattered points once (Delaunay via
+``alg/delaunay.c``) and barycentrically interpolates every grid node
+inside the hull (``GDALGridLinear``). Spark shape: the point set is a
+*dimension* (the same object gdalgrid holds in its in-process
+quadtree), so it is broadcast; the GRID side stays distributed —
+each partition of grid cells triangulates the broadcast sites once
+per worker (cached) and interpolates its cells vectorized.
+
+The triangulation is Bowyer–Watson (public textbook algorithm) with
+a deterministic insertion order (lexicographic), so every worker —
+and the single-process golden generator — produces the identical
+triangle set, making the result value-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer–Watson Delaunay triangulation; returns vertex-index
+    triples. Deterministic for a fixed input order (points are
+    inserted in lexicographic order internally)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return []
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    # super-triangle enclosing everything
+    cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 64.0
+    sup = np.array(
+        [[cx - span, cy - span], [cx + span, cy - span], [cx, cy + span]]
+    )
+    P = np.vstack([pts, sup])
+    tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
+
+    def circum_contains(t, p):
+        ax, ay = P[t[0]]
+        bx, by = P[t[1]]
+        cx_, cy_ = P[t[2]]
+        px, py = p
+        # in-circumcircle determinant, sign-normalized by orientation
+        d = np.array(
+            [
+                [ax - px, ay - py, (ax - px) ** 2 + (ay - py) ** 2],
+                [bx - px, by - py, (bx - px) ** 2 + (by - py) ** 2],
+                [cx_ - px, cy_ - py, (cx_ - px) ** 2 + (cy_ - py) ** 2],
+            ]
+        )
+        orient = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
+        det = np.linalg.det(d)
+        return det > 0 if orient > 0 else det < 0
+
+    for i in order.tolist():
+        p = P[i]
+        bad = [t for t in tris if circum_contains(t, p)]
+        edges: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edges[k] = edges.get(k, 0) + 1
+        tris = [t for t in tris if t not in bad]
+        for (a, b), cnt in sorted(edges.items()):
+            if cnt == 1:
+                tris.append((a, b, i))
+    return [t for t in tris if max(t) < n]
+
+
+def tin_interpolate_grid(
+    sites: np.ndarray,
+    values: np.ndarray,
+    bounds: tuple[float, float, float, float],
+    nx: int,
+    ny: int,
+):
+    """[(gx, gy, value)] for every grid-cell center inside some
+    triangle — vectorized barycentric interpolation, first containing
+    triangle wins (deterministic triangle order)."""
+    lon_min, lat_min, lon_max, lat_max = bounds
+    dx = (lon_max - lon_min) / nx
+    dy = (lat_max - lat_min) / ny
+    gx = np.arange(nx)
+    gy = np.arange(ny)
+    gxx, gyy = np.meshgrid(gx, gy, indexing="ij")
+    qx = lon_min + (gxx.ravel() + 0.5) * dx
+    qy = lat_min + (gyy.ravel() + 0.5) * dy
+    out = np.full(qx.shape, np.nan)
+    tris = delaunay(sites)
+    for a, b, c in tris:
+        ax, ay = sites[a]
+        bx, by = sites[b]
+        cx, cy = sites[c]
+        den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        if den == 0:
+            continue
+        w1 = ((by - cy) * (qx - cx) + (cx - bx) * (qy - cy)) / den
+        w2 = ((cy - ay) * (qx - cx) + (ax - cx) * (qy - cy)) / den
+        w3 = 1.0 - w1 - w2
+        m = np.isnan(out) & (w1 >= 0) & (w2 >= 0) & (w3 >= 0)
+        out[m] = w1[m] * values[a] + w2[m] * values[b] + w3[m] * values[c]
+    keep = ~np.isnan(out)
+    return (
+        gxx.ravel()[keep].astype(np.int32),
+        gyy.ravel()[keep].astype(np.int32),
+        out[keep],
+    )
+
+
+def grid_linear(
+    spark: SparkSession,
+    points: DataFrame,
+    value_col: str,
+    bounds: tuple[float, float, float, float],
+    nx: int,
+    ny: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Distributed TIN interpolation: the (dimension-sized) point set
+    is broadcast; grid rows are interpolated per partition with a
+    once-per-worker triangulation. Returns (gx, gy, value)."""
+    from gdal_spark.operators.gridding import make_grid
+
+    rows = points.select(
+        F.col(lon).alias("x"), F.col(lat).alias("y"), F.col(value_col).alias("v")
+    ).collect()  # dimension side only — the grid stays distributed
+    rows = sorted(rows, key=lambda r: (r.x, r.y, r.v))  # order-independent
+    sites = np.array([(r.x, r.y) for r in rows], dtype=np.float64)
+    values = np.array([r.v for r in rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((sites, values))
+    lon_min, lat_min, lon_max, lat_max = bounds
+
+    grid = make_grid(spark, *bounds, nx, ny)
+    schema = "gx int, gy int, value double"
+
+    _cache: dict[int, list] = {}
+
+    def interp(it):
+        s, v = bc.value
+        tris = _cache.get(0)
+        if tris is None:
+            tris = _cache[0] = delaunay(s)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qx = pdf["glon"].to_numpy()
+            qy = pdf["glat"].to_numpy()
+            out = np.full(qx.shape, np.nan)
+            for a, b, c in tris:
+                ax, ay = s[a]
+                bx, by = s[b]
+                cx, cy = s[c]
+                den = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+                if den == 0:
+                    continue
+                w1 = ((by - cy) * (qx - cx) + (cx - bx) * (qy - cy)) / den
+                w2 = ((cy - ay) * (qx - cx) + (ax - cx) * (qy - cy)) / den
+                w3 = 1.0 - w1 - w2
+                m = np.isnan(out) & (w1 >= 0) & (w2 >= 0) & (w3 >= 0)
+                out[m] = w1[m] * v[a] + w2[m] * v[b] + w3[m] * v[c]
+            keep = ~np.isnan(out)
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "gx": pdf["gx"].to_numpy()[keep].astype(np.int32),
+                        "gy": pdf["gy"].to_numpy()[keep].astype(np.int32),
+                        "value": out[keep],
+                    }
+                )
+
+    return grid.mapInPandas(interp, schema=schema)

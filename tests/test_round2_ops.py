@@ -106,3 +106,26 @@ def test_write_tiles_iceberg_gate_falls_back(spark, tmp_path):
     assert info["n_tiles"] == 1
     assert spark.read.parquet(f"{out}/tiles").count() == 1
     assert tiler.read_manifest(spark, out).count() == 1
+
+
+def test_delaunay_and_tin_plane_exact():
+    """Triangulating samples of a plane must reproduce the plane
+    exactly (barycentric interpolation is linear-exact)."""
+    import numpy as np
+
+    from gdal_spark.operators.tin import delaunay, tin_interpolate_grid
+
+    # unit square -> 2 triangles
+    sq = np.array([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+    tris = delaunay(sq)
+    assert len(tris) == 2
+    assert {i for t in tris for i in t} == {0, 1, 2, 3}
+
+    rng = np.random.default_rng(11)
+    sites = rng.uniform(0, 10, (60, 2))
+    vals = 3.0 * sites[:, 0] - 2.0 * sites[:, 1] + 7.0  # a plane
+    gx, gy, out = tin_interpolate_grid(sites, vals, (0, 0, 10, 10), 20, 20)
+    assert len(out) > 200  # most of the hull interior covered
+    qx = 0 + (gx + 0.5) * 0.5
+    qy = 0 + (gy + 0.5) * 0.5
+    assert np.abs(out - (3.0 * qx - 2.0 * qy + 7.0)).max() < 1e-9

@@ -387,6 +387,27 @@ def _phash_clusters(sf_dir):
     return clusters
 
 
+def g_grid_tin(sf_dir):
+    from gdal_spark.operators.tin import tin_interpolate_grid
+
+    GRID_NX, GRID_NY = 73, 37
+    BOUNDS = (-180.0, -85.0, 180.0, 85.0)
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    pts = []
+    for k, v in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+        k = int(k)
+        lon = -180.0 + ((k * synth.SITE_LON_MUL) % 360000) / 1000.0
+        lat = -85.0 + ((k * synth.SITE_LAT_MUL) % 170000) / 1000.0
+        pts.append((lon, lat, float(v)))
+    pts.sort()  # mirrors grid_linear's (x, y, v) order normalization
+    sites = np.array([(x, y) for x, y, _ in pts])
+    vals = np.array([v for _, _, v in pts])
+    gx, gy, out = tin_interpolate_grid(sites, vals, BOUNDS, GRID_NX, GRID_NY)
+    rows = [(int(a), int(b), round(float(c), 6)) for a, b, c in zip(gx, gy, out)]
+    schema = pa.schema([("gx", I32), ("gy", I32), ("value", F64)])
+    return schema, rows
+
+
 def g_image_phash_dedup(sf_dir):
     rows = [
         (ph, min(ids), len(ids)) for ph, ids in sorted(_phash_clusters(sf_dir).items())
@@ -615,6 +636,7 @@ GOLDEN_BUILDERS = {
     "raster_blend": g_raster_blend,
     "raster_psnr_gate": g_raster_psnr_gate,
     "raster_warp_utm": g_raster_warp_utm,
+    "grid_tin": g_grid_tin,
     "image_phash_dedup": g_image_phash_dedup,
     "image_phash_neardup": g_image_phash_neardup,
     "raster_proximity": g_raster_proximity,
