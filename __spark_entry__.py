@@ -1049,6 +1049,34 @@ FROM aoi
 """
 
 
+def _q_saved_plan(spark, sf_dir):
+    """Streamed-algorithm dataset (.gdalg.json analogue,
+    frmts/gdalg/gdalgdriver.cpp:190): a pipeline serialized to JSON,
+    parsed back, and lazily re-executed — the round trip itself is
+    the operator under test."""
+    from gdal_spark.plans import saved
+
+    spec = saved.make_spec(
+        "parquet:orders",
+        [
+            {"op": "filter", "expr": "o_totalprice > 100000.0"},
+            {"op": "with_column", "name": "bucket", "expr": "o_orderkey % 10"},
+            {"op": "select", "exprs": ["o_orderkey", "bucket", "o_totalprice"]},
+            {"op": "sort", "cols": [{"col": "o_totalprice", "desc": True}, {"col": "o_orderkey"}]},
+            {"op": "limit", "n": 500},
+        ],
+    )
+    text = saved.dumps(spec)  # serialize → parse → execute
+    return saved.apply_plan(spark, sf_dir, saved.loads(text))
+
+
+SAVED_PLAN_ORACLE = """
+SELECT o_orderkey, o_orderkey % 10 AS bucket, o_totalprice
+FROM orders WHERE o_totalprice > 100000.0
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 500
+"""
+
+
 MORTON_ZOOM = 10
 
 
@@ -1631,6 +1659,7 @@ GOLDEN_QUERIES = [
     "raster_fillnodata",
     "raster_polygonize",
     "raster_contour",
+    "raster_palette",
     "tile_pyramid",
 ]
 
@@ -1768,6 +1797,16 @@ def _q_fillnodata(spark, sf_dir):
     return fill_nodata(imgs)
 
 
+def _q_palette(spark, sf_dir):
+    """rgb→palette median cut (alg/gdalmediancut.cpp): 16-color
+    quantization per image; FS dither (alg/gdaldither.cpp) is
+    pytest-covered (sequential kernel)."""
+    from gdal_spark.raster.palette import rgb_to_palette
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return rgb_to_palette(imgs)
+
+
 def _q_polygonize(spark, sf_dir):
     """gdal_polygonize (alg/polygonize.cpp): 4-connected regions of
     the 64-quantized band, one row per region >= 64 px."""
@@ -1860,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_segmentize": _q_segmentize,
         "vector_dissolve": _q_dissolve,
         "vector_hull_valid": _q_hull_valid,
+        "saved_plan_exec": _q_saved_plan,
         "reproject_utm": _q_reproject_utm,
         # training-data pipeline ops
         "dedup_exact": _q_exact_dedup,
@@ -1893,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_fillnodata": _q_fillnodata,
         "raster_polygonize": _q_polygonize,
         "raster_contour": _q_contour,
+        "raster_palette": _q_palette,
         "tile_pyramid": _q_tile_pyramid,
     }
 
@@ -1937,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_segmentize": SEGMENTIZE_ORACLE,
         "vector_dissolve": DISSOLVE_ORACLE,
         "vector_hull_valid": HULL_VALID_ORACLE,
+        "saved_plan_exec": SAVED_PLAN_ORACLE,
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),

@@ -129,3 +129,52 @@ def test_delaunay_and_tin_plane_exact():
     qx = 0 + (gx + 0.5) * 0.5
     qy = 0 + (gy + 0.5) * 0.5
     assert np.abs(out - (3.0 * qx - 2.0 * qy + 7.0)).max() < 1e-9
+
+
+def test_median_cut_and_dither():
+    import numpy as np
+
+    from gdal_spark.raster.palette import dither_fs, map_nearest, median_cut
+
+    # 4 distinct colors -> palette recovers them exactly at n>=4
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[:4, :4] = (255, 0, 0)
+    arr[:4, 4:] = (0, 255, 0)
+    arr[4:, :4] = (0, 0, 255)
+    arr[4:, 4:] = (255, 255, 0)
+    pal = median_cut(arr, 4)
+    assert len(pal) == 4
+    assert {tuple(p) for p in pal} == {(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)}
+    idx = map_nearest(arr, pal)
+    assert (pal[idx] == arr).all()  # exact colors -> lossless mapping
+    d = dither_fs(arr, pal)
+    assert (pal[d] == arr).all()  # zero error -> dither is identity
+    # gradient dithered with a 2-color palette: mean preserved roughly
+    g = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None], (16, 1, 3))
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    dd = dither_fs(g, pal2)
+    mean_err = abs(float(pal2[dd].mean()) - float(g.mean()))
+    assert mean_err < 3.0  # error diffusion preserves average intensity
+
+
+def test_saved_plan_roundtrip(spark):
+    from gdal_spark.plans import saved
+
+    spec = saved.make_spec(
+        "parquet:nation",
+        [
+            {"op": "filter", "expr": "n_nationkey < 10"},
+            {"op": "with_column", "name": "k2", "expr": "n_nationkey * 2"},
+            {"op": "select", "exprs": ["n_nationkey", "k2"]},
+            {"op": "sort", "cols": [{"col": "n_nationkey", "desc": True}]},
+            {"op": "limit", "n": 3},
+        ],
+    )
+    text = saved.dumps(spec)
+    df = saved.apply_plan(spark, "/root/testdata/sf0.001", saved.loads(text))
+    rows = [(r.n_nationkey, r.k2) for r in df.collect()]
+    assert rows == [(9, 18), (8, 16), (7, 14)]
+    import pytest
+
+    with pytest.raises(ValueError):
+        saved.loads('{"type": "other"}')

@@ -557,6 +557,30 @@ def g_raster_contour(sf_dir, levels=(64.0, 128.0, 192.0)):
     return schema, rows
 
 
+def g_raster_palette(sf_dir, n_colors=16):
+    from gdal_spark.raster.palette import map_nearest, median_cut
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        pal = median_cut(arr, n_colors)
+        idx = map_nearest(arr, pal)
+        rows.append(
+            (fp["image_id"], len(pal), checksum_band(idx),
+             checksum_band(pal.reshape(1, -1)))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("n_colors", I32), ("checksum_idx", I32),
+         ("palette_hash", I32)]
+    )
+    return schema, rows
+
+
 def g_tile_pyramid(sf_dir, min_zoom=10, max_zoom=12, tile_size=256):
     m = tm.GlobalMercator(tile_size)
     fps = [footprint(k) for k in order_keys(sf_dir) if k % 100 == 0]
@@ -644,6 +668,7 @@ GOLDEN_BUILDERS = {
     "raster_fillnodata": g_raster_fillnodata,
     "raster_polygonize": g_raster_polygonize,
     "raster_contour": g_raster_contour,
+    "raster_palette": g_raster_palette,
     "tile_pyramid": g_tile_pyramid,
 }
 
