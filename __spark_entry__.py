@@ -7,8 +7,12 @@ integer arithmetic + one exact float divide, and every output column is
 either integral, a string, a per-row IEEE-exact double (same op order
 in both engines), or an aggregate rounded past the float-summation-
 order noise floor. Raster/pixel queries (checksums, tile pyramid,
-as-features) are not SQL-expressible — no oracle entry → the driver's
-rows-only check applies.
+as-features, warp, morphology, palette, …) are not SQL-expressible —
+their oracles are golden parquet rows recomputed SINGLE-PROCESS by
+``tools/make_golden.py`` from the same inputs (the GDAL
+golden-checksum method), served back through DuckDB ``read_parquet``.
+Every query in ``queries()`` therefore has a value-level oracle:
+49 dual-dialect SQL + 23 golden.
 """
 
 from __future__ import annotations
