@@ -40,26 +40,34 @@ def delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
     P = np.vstack([pts, sup])
     tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
 
-    def circum_contains(t, p):
-        ax, ay = P[t[0]]
-        bx, by = P[t[1]]
-        cx_, cy_ = P[t[2]]
-        px, py = p
-        # in-circumcircle determinant, sign-normalized by orientation
-        d = np.array(
-            [
-                [ax - px, ay - py, (ax - px) ** 2 + (ay - py) ** 2],
-                [bx - px, by - py, (bx - px) ** 2 + (by - py) ** 2],
-                [cx_ - px, cy_ - py, (cx_ - px) ** 2 + (cy_ - py) ** 2],
-            ]
+    Pl = P.tolist()  # scalar floats: ~30× faster than ndarray scalars here
+
+    def circum_contains(t, px, py):
+        ax, ay = Pl[t[0]]
+        bx, by = Pl[t[1]]
+        cx_, cy_ = Pl[t[2]]
+        # in-circumcircle determinant (expanded 3×3 — no linalg call),
+        # sign-normalized by triangle orientation
+        adx = ax - px
+        ady = ay - py
+        bdx = bx - px
+        bdy = by - py
+        cdx = cx_ - px
+        cdy = cy_ - py
+        ad = adx * adx + ady * ady
+        bd = bdx * bdx + bdy * bdy
+        cd = cdx * cdx + cdy * cdy
+        det = (
+            adx * (bdy * cd - cdy * bd)
+            - ady * (bdx * cd - cdx * bd)
+            + ad * (bdx * cdy - cdx * bdy)
         )
         orient = (bx - ax) * (cy_ - ay) - (by - ay) * (cx_ - ax)
-        det = np.linalg.det(d)
         return det > 0 if orient > 0 else det < 0
 
     for i in order.tolist():
-        p = P[i]
-        bad = [t for t in tris if circum_contains(t, p)]
+        px, py = Pl[i]
+        bad = [t for t in tris if circum_contains(t, px, py)]
         edges: dict[tuple[int, int], int] = {}
         for t in bad:
             for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
