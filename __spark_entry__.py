@@ -376,6 +376,45 @@ FROM orders o LEFT JOIN f ON o.o_orderkey = f.l_orderkey AND f.rn = 1
 """
 
 
+def _q_multi_join(spark, sf_dir):
+    """OGR SQL multi-table LEFT JOIN (ogr_sql_dialect.rst:508-513,
+    autotest/ogr/ogr_join_test.py multi-join cases): each secondary
+    joins the PRIMARY's fields only (no transitive keys), first
+    matching row per key, one output row per primary row."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    j1 = first_match_left_join(
+        o.select("o_orderkey", "o_custkey", "o_totalprice"),
+        c.select("c_custkey", "c_name", "c_mktsegment"),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        secondary_fid="c_name",
+    )
+    j2 = first_match_left_join(
+        j1,
+        li.select("l_orderkey", "l_linenumber", "l_partkey"),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        secondary_fid=["l_linenumber", "l_partkey"],
+    )
+    return j2.select("o_orderkey", "c_name", "c_mktsegment", "l_partkey")
+
+
+MULTI_JOIN_ORACLE = """
+WITH f AS (
+  SELECT l_orderkey, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber ASC, l_partkey ASC) AS rn
+  FROM lineitem
+)
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, f.l_partkey
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN f ON o.o_orderkey = f.l_orderkey AND f.rn = 1
+"""
+
+
 def _q_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     s = summary_aggregates(li, "l_quantity")
@@ -1872,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats_full": _q_zonal_full,
         # OGR SQL dialect surface (§2.2-2.5)
         "ogr_first_match_join": _q_first_match,
+        "ogr_multi_join": _q_multi_join,
         "ogr_summary": _q_summary,
         "ogr_sql_select": _q_ogr_select,
         "ogr_orderby_limit": _q_topk,
@@ -1953,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": ZONAL_ORACLE,
         "zonal_stats_full": ZONAL_FULL_ORACLE,
         "ogr_first_match_join": FIRST_MATCH_ORACLE,
+        "ogr_multi_join": MULTI_JOIN_ORACLE,
         "ogr_summary": SUMMARY_ORACLE,
         "ogr_sql_select": OGR_SELECT_ORACLE,
         "ogr_orderby_limit": TOPK_ORACLE,
