@@ -1704,6 +1704,7 @@ GOLDEN_QUERIES = [
     "raster_contour",
     "raster_palette",
     "tile_pyramid",
+    "tile_pyramid_geodetic",
 ]
 
 
@@ -1868,6 +1869,15 @@ def _q_contour(spark, sf_dir):
     return contour(imgs)
 
 
+def _q_tile_pyramid_geodetic(spark, sf_dir):
+    """Geodetic-profile pyramid (gdal raster tile --tiling-scheme
+    geodetic): plate-carrée render + the same 4→1 overview recurrence;
+    golden oracle recomputes single-process."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    pyr = tiler.build_pyramid(imgs, min_zoom=8, max_zoom=10, profile="geodetic")
+    return pyr.select("z", "x", "y", "checksum", "n_srcs")
+
+
 def _q_tile_pyramid(spark, sf_dir):
     imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
     # z10-12: a 0.01-degree footprint spans 3-30 px/tile — every image
@@ -1979,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_contour": _q_contour,
         "raster_palette": _q_palette,
         "tile_pyramid": _q_tile_pyramid,
+        "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
     }
 
 

@@ -134,18 +134,48 @@ def _render_partials(
     tile_size: int,
     resampling: str,
     resume_manifest: DataFrame | None,
+    profile: str = "mercator",
 ) -> DataFrame:
-    """(z, tx, ty, image_id, rgba=zlib raw) partial renders."""
+    """(z, tx, ty, image_id, rgba=zlib raw) partial renders.
+
+    ``profile="geodetic"`` renders plate-carrée tiles
+    (GlobalGeodetic, tmscompatible 2×1 root layout): tile bounds are
+    lon/lat rectangles, so the per-tile sampling is a pure linear
+    window resample (no mercator inversion)."""
     from gdal_spark.session import ensure_pixel_batch_size
 
     ensure_pixel_batch_size(images.sparkSession)
     m = tm.GlobalMercator(tile_size)
-    # rename helper cols: pandas itertuples mangles leading-underscore names
-    work = (
-        explode_bbox_cells(images, zoom=zoom)
-        .withColumnRenamed("_tx", "wtx")
-        .withColumnRenamed("_ty", "wty")
-    )
+    geodetic = profile == "geodetic"
+    gg = tm.GlobalGeodetic(tmscompatible=True, tile_size=tile_size)
+    if geodetic:
+        work = (
+            images.withColumn(
+                "wtx",
+                F.explode(
+                    F.sequence(
+                        tm.geodetic_tile_x(F.col("lon_min"), zoom),
+                        tm.geodetic_tile_x(F.col("lon_max"), zoom),
+                    )
+                ),
+            )
+            .withColumn(
+                "wty",
+                F.explode(
+                    F.sequence(
+                        tm.geodetic_tile_y(F.col("lat_min"), zoom),
+                        tm.geodetic_tile_y(F.col("lat_max"), zoom),
+                    )
+                ),
+            )
+        )
+    else:
+        # rename helpers: pandas itertuples mangles leading underscores
+        work = (
+            explode_bbox_cells(images, zoom=zoom)
+            .withColumnRenamed("_tx", "wtx")
+            .withColumnRenamed("_ty", "wty")
+        )
     if resume_manifest is not None:
         done = resume_manifest.select(
             F.col("z"), F.col("tx").alias("_mtx"), F.col("ty").alias("_mty")
@@ -159,6 +189,8 @@ def _render_partials(
     partial_schema = "z int, tx int, ty int, image_id string, rgba binary"
 
     def render(it):
+        from gdal_spark.raster.warp import warp_lonlat_to_grid
+
         cache: dict[str, np.ndarray] = {}
         for pdf in it:
             rows = []
@@ -168,17 +200,24 @@ def _render_partials(
                     cache.clear()  # tiles per image are adjacent: keep 1
                     arr = codec.decode_image(r.bytes, r.fmt)
                     cache[r.image_id] = arr
-                tb = m.TileBounds(r.wtx, r.wty, zoom)
-                tile, valid = warp_lonlat_to_merc_tile(
-                    arr,
-                    r.lon_min,
-                    r.lat_min,
-                    r.lon_max,
-                    r.lat_max,
-                    tb,
-                    tile_size,
-                    resampling,
-                )
+                if geodetic:
+                    tb = gg.TileBounds(r.wtx, r.wty, zoom)
+                    tile, valid = warp_lonlat_to_grid(
+                        arr, r.lon_min, r.lat_min, r.lon_max, r.lat_max,
+                        tb, 4326, tile_size, tile_size, resampling,
+                    )
+                else:
+                    tb = m.TileBounds(r.wtx, r.wty, zoom)
+                    tile, valid = warp_lonlat_to_merc_tile(
+                        arr,
+                        r.lon_min,
+                        r.lat_min,
+                        r.lon_max,
+                        r.lat_max,
+                        tb,
+                        tile_size,
+                        resampling,
+                    )
                 if not valid.any():
                     continue  # skip-blank (gdal2tiles exclude_transparent)
                 if tile.ndim == 2:
@@ -286,13 +325,16 @@ def _overview_raw(raw: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
     return parts.mapInPandas(compose, schema=RAW_SCHEMA)
 
 
-def _finalize_raw(raw: DataFrame, tile_size: int = TILE_SIZE) -> DataFrame:
+def _finalize_raw(raw: DataFrame, tile_size: int = TILE_SIZE, profile: str = "mercator") -> DataFrame:
     """raw → TILE_SCHEMA: ONE png encode + checksum + quadkey pass."""
 
     def fin(it):
         for pdf in it:
             rows = [
-                _finalize(_unpack(r.raw, tile_size), r.z, r.tx, r.ty, r.n_srcs, tile_size)
+                _finalize(
+                    _unpack(r.raw, tile_size), r.z, r.tx, r.ty, r.n_srcs,
+                    tile_size, profile,
+                )
                 for r in pdf.itertuples()
             ]
             if rows:
@@ -307,22 +349,26 @@ def render_base_tiles(
     tile_size: int = TILE_SIZE,
     resampling: str = "near",
     resume_manifest: DataFrame | None = None,
+    profile: str = "mercator",
 ) -> DataFrame:
     """Stage 2: rendered + composed base tiles at ``zoom``.
 
     ``images`` needs (image_id, bytes, fmt, lon_min/lat_min/lon_max/
     lat_max). Returns (z, tx, ty, x, y, quadkey, tile(png RGBA),
-    checksum, n_srcs).
-    """
-    partials = _render_partials(images, zoom, tile_size, resampling, resume_manifest)
-    return _finalize_raw(_compose_raw(partials, tile_size), tile_size)
+    checksum, n_srcs). ``profile``: "mercator" (WebMercatorQuad) or
+    "geodetic" (plate carrée, tmscompatible)."""
+    partials = _render_partials(
+        images, zoom, tile_size, resampling, resume_manifest, profile
+    )
+    return _finalize_raw(_compose_raw(partials, tile_size), tile_size, profile)
 
 
-def _finalize(canvas: np.ndarray, z: int, txv: int, tyv: int, n: int, tile_size: int):
+def _finalize(canvas: np.ndarray, z: int, txv: int, tyv: int, n: int, tile_size: int, profile: str = "mercator"):
     x = txv
     y = (1 << z) - 1 - tyv
     m = tm.GlobalMercator(tile_size)
-    qk = m.QuadTree(txv, tyv, z)
+    # quadkeys are a mercator (Bing) convention; geodetic tiles get ""
+    qk = m.QuadTree(txv, tyv, z) if profile == "mercator" else ""
     return {
         "z": z,
         "tx": txv,
@@ -371,6 +417,7 @@ def build_pyramid(
     tile_size: int = TILE_SIZE,
     resampling: str = "near",
     resume_manifest: DataFrame | None = None,
+    profile: str = "mercator",
 ) -> DataFrame:
     """Base tiles at max_zoom + overview levels down to min_zoom.
 
@@ -378,11 +425,14 @@ def build_pyramid(
     persisted (tracked) because it feeds BOTH the output union and the
     next overview level — without the persist, Spark recomputes level
     L's compose once per level above it (the quadratic recompute that
-    dominated the round-1 wall)."""
+    dominated the round-1 wall). The 4→1 overview recurrence is
+    profile-agnostic (both schemes halve both tile axes per level)."""
     from gdal_spark.cache import release_all, track_persist
 
     release_all()
-    partials = _render_partials(images, max_zoom, tile_size, resampling, resume_manifest)
+    partials = _render_partials(
+        images, max_zoom, tile_size, resampling, resume_manifest, profile
+    )
     cur = track_persist(_compose_raw(partials, tile_size))
     levels = [cur]
     for _ in range(max_zoom - min_zoom):
@@ -391,7 +441,7 @@ def build_pyramid(
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return _finalize_raw(out, tile_size)
+    return _finalize_raw(out, tile_size, profile)
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,42 @@ def test_pyramid_and_resume(imgs, spark, tmp_path):
     metrics = spark.read.parquet(f"{out_dir}/metrics")
     assert metrics.count() > 0
     assert {"run_id", "n_tiles", "bytes", "wall_sec"} <= set(metrics.columns)
+
+
+def test_geodetic_tiles_vs_oracle(imgs):
+    """Geodetic profile render (plate carrée): distributed tiles equal
+    the single-node warp of the same GlobalGeodetic tile bounds."""
+    from gdal_spark.raster.warp import warp_lonlat_to_grid
+
+    z = 10
+    tiles = tiler.render_base_tiles(imgs, z, profile="geodetic").collect()
+    assert tiles
+    gg = tm.GlobalGeodetic(tmscompatible=True)
+    rows = {r.image_id: r for r in imgs.collect()}
+    oracle = {}
+    for r in rows.values():
+        arr = codec.decode_image(r.bytes, r.fmt)
+        tx0, ty0 = gg.LonLatToTile(r.lon_min, r.lat_min, z)
+        tx1, ty1 = gg.LonLatToTile(r.lon_max, r.lat_max, z)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                tile, valid = warp_lonlat_to_grid(
+                    arr, r.lon_min, r.lat_min, r.lon_max, r.lat_max,
+                    gg.TileBounds(tx, ty, z), 4326, 256, 256, "near",
+                )
+                if not valid.any():
+                    continue
+                canvas = oracle.get((tx, ty))
+                if canvas is None:
+                    canvas = np.zeros((256, 256, 4), np.uint8)
+                put = valid & (canvas[:, :, 3] == 0)
+                canvas[:, :, :3][put] = tile[put]
+                canvas[:, :, 3][put] = 255
+                oracle[(tx, ty)] = canvas
+    got = {(t.tx, t.ty): t for t in tiles}
+    assert set(got) == set(oracle)
+    for key, canvas in oracle.items():
+        t = got[key]
+        assert np.array_equal(codec.png_decode(bytes(t.tile)), canvas), key
+        assert t.quadkey == ""  # quadkeys are a mercator convention
+        assert t.y == (1 << z) - 1 - t.ty

@@ -646,6 +646,68 @@ def g_tile_pyramid(sf_dir, min_zoom=10, max_zoom=12, tile_size=256):
     return schema, rows
 
 
+def g_tile_pyramid_geodetic(sf_dir, min_zoom=8, max_zoom=10, tile_size=256):
+    from gdal_spark.raster.warp import warp_lonlat_to_grid
+
+    gg = tm.GlobalGeodetic(tmscompatible=True, tile_size=tile_size)
+    fps = [footprint(k) for k in order_keys(sf_dir) if k % 200 == 0]
+    partials: dict[tuple[int, int], list[tuple[str, np.ndarray]]] = {}
+    for fp in fps:
+        arr = decoded_pixels(fp)
+        tx0, ty0 = gg.LonLatToTile(fp["lon_min"], fp["lat_min"], max_zoom)
+        tx1, ty1 = gg.LonLatToTile(fp["lon_max"], fp["lat_max"], max_zoom)
+        for tx in range(tx0, tx1 + 1):
+            for ty in range(ty0, ty1 + 1):
+                tile, valid = warp_lonlat_to_grid(
+                    arr, fp["lon_min"], fp["lat_min"], fp["lon_max"], fp["lat_max"],
+                    gg.TileBounds(tx, ty, max_zoom), 4326, tile_size, tile_size, "near",
+                )
+                if not valid.any():
+                    continue
+                if tile.ndim == 2:
+                    tile = np.repeat(tile[:, :, None], 3, axis=2)
+                rgba = np.dstack([tile, (valid * 255).astype(np.uint8)])
+                partials.setdefault((tx, ty), []).append((fp["image_id"], rgba))
+
+    rows = []
+    level: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
+    for (tx, ty), parts in partials.items():
+        canvas = np.zeros((tile_size, tile_size, 4), dtype=np.uint8)
+        for _, part in sorted(parts, key=lambda p: p[0]):
+            put = (part[:, :, 3] > 0) & (canvas[:, :, 3] == 0)
+            canvas[put] = part[put]
+        level[(tx, ty)] = (canvas, len(parts))
+
+    def emit(z, lv):
+        for (tx, ty), (canvas, n) in sorted(lv.items()):
+            rows.append(
+                (z, tx, (1 << z) - 1 - ty, checksum_band(canvas[:, :, 0]), n)
+            )
+
+    emit(max_zoom, level)
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        groups: dict[tuple[int, int], list[tuple[int, int, np.ndarray]]] = {}
+        for (tx, ty), (canvas, _) in level.items():
+            groups.setdefault((tx >> 1, ty >> 1), []).append((tx, ty, canvas))
+        nxt: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
+        for (ptx, pty), children in groups.items():
+            big = np.zeros((2 * tile_size, 2 * tile_size, 4), dtype=np.uint8)
+            for tx, ty, child in children:
+                ox = (tx - 2 * ptx) * tile_size
+                oy = (1 - (ty - 2 * pty)) * tile_size
+                big[oy : oy + tile_size, ox : ox + tile_size] = child
+            rgb = block_reduce(big[:, :, :3], tile_size, tile_size, "average")
+            alpha = block_reduce(big[:, :, 3], tile_size, tile_size, "max")
+            nxt[(ptx, pty)] = (np.dstack([rgb, alpha]), len(children))
+        emit(z, nxt)
+        level = nxt
+
+    schema = pa.schema(
+        [("z", I32), ("x", I32), ("y", I32), ("checksum", I32), ("n_srcs", I32)]
+    )
+    return schema, rows
+
+
 GOLDEN_BUILDERS = {
     "raster_checksums": g_raster_checksums,
     "raster_translate": g_raster_translate,
@@ -670,6 +732,7 @@ GOLDEN_BUILDERS = {
     "raster_contour": g_raster_contour,
     "raster_palette": g_raster_palette,
     "tile_pyramid": g_tile_pyramid,
+    "tile_pyramid_geodetic": g_tile_pyramid_geodetic,
 }
 
 
