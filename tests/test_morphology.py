@@ -1,0 +1,74 @@
+"""Morphology + raster→vector kernel unit tests (proximity EDT, sieve
+labeling, fill-nodata, polygonize, marching-squares contour)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_spark.raster import morphology as M
+from gdal_spark.raster.vectorize import contour_stats, polygonize_array
+
+
+def test_edt_exact_vs_bruteforce():
+    rng = np.random.default_rng(0)
+    mask = rng.random((40, 50)) < 0.03
+    d = M.edt(mask)
+    ys, xs = np.nonzero(mask)
+    pts = np.stack([ys, xs], 1)
+    bf = np.full(mask.shape, np.inf)
+    for i in range(mask.shape[0]):
+        for j in range(mask.shape[1]):
+            bf[i, j] = np.sqrt(((pts - [i, j]) ** 2).sum(1).min())
+    assert np.abs(d - bf).max() == 0.0
+
+
+def test_label4_and_sieve():
+    vals = np.zeros((10, 10), np.uint8)
+    vals[2:4, 2:4] = 1  # 4-px component
+    vals[7, 7] = 2      # 1-px component
+    labels, sizes = M.label4(vals)
+    assert len(sizes) == 3
+    assert sorted(sizes.values()) == [1, 4, 95]
+    out = M.sieve_array(vals, threshold=3)
+    assert out[7, 7] == 0      # small component merged into background
+    assert out[2, 2] == 1      # 4-px component survives threshold 3
+    # diagonal touch is NOT 4-connected
+    diag = np.zeros((4, 4), np.uint8)
+    diag[0, 0] = diag[1, 1] = 1
+    _, s2 = M.label4(diag)
+    assert sorted(s2.values()) == [1, 1, 14]
+
+
+def test_fill_nodata():
+    band = np.full((8, 8), 100, np.uint8)
+    band[3:5, 3:5] = 0
+    f = M.fill_nodata_array(band, 0)
+    assert (f[3:5, 3:5] == 100).all()
+    assert (f == 100).all()
+    # gradient fill interpolates between sides
+    g = np.tile(np.arange(0, 160, 20, dtype=np.uint8)[None, :], (4, 1))
+    g2 = g.copy()
+    g2[:, 3] = 0  # knock out the 60-column; neighbors 40 / 80
+    out = M.fill_nodata_array(g2, 0)
+    assert (out[:, 3] >= 40).all() and (out[:, 3] <= 80).all()
+
+
+def test_polygonize_array():
+    vals = np.zeros((6, 8), np.uint8)
+    vals[1:3, 1:5] = 7
+    regions = polygonize_array(vals, min_px=1)
+    by_val = {v: (n, x0, y0, x1, y1) for v, n, x0, y0, x1, y1 in regions}
+    assert by_val[7] == (8, 1, 1, 4, 2)
+    assert by_val[0][0] == 48 - 8
+
+
+def test_contour_stats():
+    # vertical gradient: a single horizontal contour line per level
+    z = np.tile(np.linspace(0, 255, 32)[:, None], (1, 16)).astype(np.uint8)
+    out = contour_stats(z, [64.0, 128.0])
+    for level, n, ln in out:
+        assert n == 15  # one crossing per cell column
+        assert abs(ln - 15.0) < 1e-9  # horizontal segments of length 1
+    # flat raster: no contours
+    flat = np.full((8, 8), 50, np.uint8)
+    assert contour_stats(flat, [64.0]) == [(64.0, 0, 0.0)]
