@@ -72,6 +72,100 @@ def _sample_bilinear(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, nodata=0):
     return out, valid
 
 
+def _kernel_sample(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, taps: int, weight_fn, nodata=0):
+    """Separable kernel sampling at arbitrary positions (the GWK
+    resampler shape, ``alg/gdalwarpkernel.cpp:170-197``): ``taps``
+    source pixels per axis, weights from ``weight_fn(offset)``,
+    normalized so partial windows at the borders stay unbiased."""
+    h, w = src.shape[:2]
+    fx = sx - 0.5
+    fy = sy - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    tx = fx - x0
+    ty = fy - y0
+    valid = (fx >= -0.5) & (fx <= w - 0.5) & (fy >= -0.5) & (fy <= h - 0.5)
+    half = taps // 2
+    acc = None
+    wsum = None
+    for j in range(-half + 1, half + 1):
+        wy = weight_fn(j - ty)
+        yi = np.clip(y0 + j, 0, h - 1)
+        row_acc = None
+        row_w = None
+        for i in range(-half + 1, half + 1):
+            wx = weight_fn(i - tx)
+            xi = np.clip(x0 + i, 0, w - 1)
+            v = src[yi, xi].astype(np.float64)
+            wgt = wx * wy
+            if src.ndim == 3:
+                wgt_b = wgt[..., None]
+            else:
+                wgt_b = wgt
+            row_acc = v * wgt_b if row_acc is None else row_acc + v * wgt_b
+            row_w = wgt if row_w is None else row_w + wgt
+        acc = row_acc if acc is None else acc + row_acc
+        wsum = row_w if wsum is None else wsum + row_w
+    if src.ndim == 3:
+        wsum = wsum[..., None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = acc / wsum
+    if src.dtype.kind in "ui":
+        out = np.clip(np.floor(out + 0.5), 0, 255)
+    out = out.astype(src.dtype)
+    out[~valid] = nodata
+    return out, valid
+
+
+def _cubic_weight(d: np.ndarray) -> np.ndarray:
+    """Catmull–Rom (a=-0.5), GDAL's GRA_Cubic kernel."""
+    ad = np.abs(d)
+    a = -0.5
+    w = np.where(
+        ad <= 1.0,
+        (a + 2.0) * ad**3 - (a + 3.0) * ad**2 + 1.0,
+        np.where(ad < 2.0, a * ad**3 - 5.0 * a * ad**2 + 8.0 * a * ad - 4.0 * a, 0.0),
+    )
+    return w
+
+
+def _lanczos_weight(d: np.ndarray, a: int = 3) -> np.ndarray:
+    ad = np.abs(d)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = np.where(
+            ad < 1e-12,
+            1.0,
+            np.where(
+                ad < a,
+                a * np.sin(np.pi * d) * np.sin(np.pi * d / a) / (np.pi**2 * d**2),
+                0.0,
+            ),
+        )
+    return w
+
+
+def _sample_cubic(src, sx, sy, nodata=0):
+    return _kernel_sample(src, sx, sy, 4, _cubic_weight, nodata)
+
+
+def _sample_lanczos(src, sx, sy, nodata=0):
+    return _kernel_sample(src, sx, sy, 6, _lanczos_weight, nodata)
+
+
+def sample_at(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, resampling: str, nodata=0):
+    """Dispatch over the warp resampler names (alg/gdalwarper.h:34-68
+    subset: near / bilinear / cubic / lanczos)."""
+    if resampling in ("near", "nearest"):
+        return _sample_nearest(src, sx, sy, nodata)
+    if resampling == "bilinear":
+        return _sample_bilinear(src, sx, sy, nodata)
+    if resampling == "cubic":
+        return _sample_cubic(src, sx, sy, nodata)
+    if resampling == "lanczos":
+        return _sample_lanczos(src, sx, sy, nodata)
+    raise ValueError(f"unknown warp resampling {resampling!r}")
+
+
 def warp_lonlat_to_grid(
     src: np.ndarray,
     lon_min: float,
@@ -105,9 +199,7 @@ def warp_lonlat_to_grid(
     h, w = src.shape[:2]
     sx = (lon - lon_min) / (lon_max - lon_min) * w
     sy = (lat_max - lat) / (lat_max - lat_min) * h
-    if resampling in ("near", "nearest"):
-        return _sample_nearest(src, sx, sy)
-    return _sample_bilinear(src, sx, sy)
+    return sample_at(src, sx, sy, resampling)
 
 
 def warp_lonlat_to_merc_tile(
@@ -153,10 +245,9 @@ def warp_lonlat_to_merc_tile(
     sub = (r1 - r0, c1 - c0)
     sx = np.broadcast_to(sx, sub).copy()
     sy = np.broadcast_to(sy, sub).copy()
-    if resampling in ("near", "nearest"):
-        o, v = _sample_nearest(src, sx, sy)
-    else:
-        o, v = _sample_bilinear(src, sx, sy)
+    if resampling not in ("near", "nearest", "bilinear", "cubic", "lanczos"):
+        resampling = "bilinear"  # legacy: any other name fell back here
+    o, v = sample_at(src, sx, sy, resampling)
     out[r0:r1, c0:c1] = o
     valid[r0:r1, c0:c1] = v
     return out, valid

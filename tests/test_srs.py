@@ -156,3 +156,30 @@ def test_warp_to_utm_grid_covers():
     # center of the grid must hit the source; corners may fall outside
     assert valid[24, 24]
     assert out[valid].min() == 200
+
+
+def test_warp_cubic_lanczos_interpolating():
+    """Catmull-Rom and Lanczos are interpolating kernels: sampling at
+    exact pixel centers reproduces the source; off-center samples of
+    a linear ramp reproduce the ramp (cubic is linear-exact)."""
+    from gdal_spark.raster.warp import _sample_cubic, _sample_lanczos, sample_at
+
+    src = (np.arange(16 * 16, dtype=np.float64).reshape(16, 16) % 251)
+    yy, xx = np.mgrid[0:16, 0:16]
+    sx = xx + 0.5  # pixel centers
+    sy = yy + 0.5
+    for fn in (_sample_cubic, _sample_lanczos):
+        out, valid = fn(src, sx, sy)
+        assert valid.all()
+        assert np.abs(out - src).max() < 1e-9, fn.__name__
+    # linear ramp, off-center positions: cubic reproduces exactly
+    ramp = np.tile(np.arange(32, dtype=np.float64)[None, :], (8, 1))
+    qx = np.full((8, 20), 0.0) + np.linspace(3.2, 28.7, 20)[None, :]
+    qy = np.full((8, 20), 4.0)
+    out, valid = _sample_cubic(ramp, qx, qy)
+    assert np.abs(out - (qx - 0.5)).max() < 1e-9
+    # uint8 path: rounding + clipping applied
+    u8 = (src).astype(np.uint8)
+    out8, _ = sample_at(u8, sx, sy, "cubic")
+    assert out8.dtype == np.uint8
+    assert np.array_equal(out8, u8)
