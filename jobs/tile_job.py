@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# `python jobs/tile_job.py` puts jobs/ first on sys.path; under
+# spark-submit --py-files the zip provides the package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
