@@ -1703,6 +1703,8 @@ GOLDEN_QUERIES = [
     "raster_polygonize",
     "raster_contour",
     "raster_palette",
+    "raster_histogram",
+    "raster_pansharpen",
     "tile_pyramid",
     "tile_pyramid_geodetic",
 ]
@@ -1839,6 +1841,20 @@ def _q_fillnodata(spark, sf_dir):
 
     imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
     return fill_nodata(imgs)
+
+
+def _q_histogram(spark, sf_dir):
+    """GDALRasterBand::GetHistogram / gdalinfo -hist: 32-bin byte
+    histogram of band 0 per image."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return rp.band_histogram(imgs)
+
+
+def _q_pansharpen(spark, sf_dir):
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): full-res
+    pan from the image's gray, MS from 2x block-average, sharpen back."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return rp.pansharpen(imgs)
 
 
 def _q_palette(spark, sf_dir):
@@ -1988,6 +2004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_polygonize": _q_polygonize,
         "raster_contour": _q_contour,
         "raster_palette": _q_palette,
+        "raster_histogram": _q_histogram,
+        "raster_pansharpen": _q_pansharpen,
         "tile_pyramid": _q_tile_pyramid,
         "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
     }

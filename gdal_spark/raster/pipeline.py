@@ -209,6 +209,81 @@ def interpolate_at_points(images: DataFrame, points: DataFrame, method: str = "b
     return cand.mapInPandas(run, schema=schema)
 
 
+def band_histogram(images: DataFrame, band: int = 0, n_bins: int = 32) -> DataFrame:
+    """``GDALRasterBand::GetHistogram`` (``gcore/gdalrasterband.cpp``;
+    ``gdalinfo -hist``): per-image value histogram of one band, default
+    byte range split into ``n_bins`` equal buckets (GDAL's default
+    histogram is min=-0.5..max=255.5). 1→N rows: (image_id, bin,
+    bin_min, bin_max, n)."""
+    _ensure_batch(images)
+    schema = "image_id string, bin int, bin_min double, bin_max double, n long"
+    width = 256.0 / n_bins
+
+    def run(it):
+        for pdf in it:
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                b = arr[:, :, band] if arr.ndim == 3 else arr
+                counts = np.bincount((b.ravel() // int(width)).astype(np.int64), minlength=n_bins)
+                yield pd.DataFrame(
+                    {
+                        "image_id": r.image_id,
+                        "bin": np.arange(n_bins, dtype=np.int32),
+                        "bin_min": np.arange(n_bins) * width - 0.5,
+                        "bin_max": (np.arange(n_bins) + 1) * width - 0.5,
+                        "n": counts.astype(np.int64),
+                    }
+                )
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def pansharpen(images: DataFrame, factor: int = 2) -> DataFrame:
+    """``GDALCreatePansharpenedVRT`` weighted-Brovey semantics
+    (``alg/gdalpansharpen.cpp``): out_band = band · (pan / Σ wᵢ·bandᵢ),
+    equal weights. The fixture derives the high-res pan from the
+    image's own gray (full resolution) and the multispectral input
+    from the ``factor``× block-averaged RGB — the classic
+    pan-sharpening geometry — then sharpens back to full resolution.
+    Returns (image_id, w, h, cs_r, cs_g, cs_b)."""
+    _ensure_batch(images)
+    from gdal_spark.raster.resample import block_reduce
+
+    schema = "image_id string, w int, h int, cs_r int, cs_g int, cs_b int"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                h, w = arr.shape[:2]
+                h2, w2 = h // factor, w // factor
+                arr = arr[: h2 * factor, : w2 * factor]
+                pan = arr.astype(np.float64).mean(axis=2)  # full-res pan
+                ms = np.dstack(
+                    [block_reduce(arr[:, :, c], h2, w2, "average") for c in range(3)]
+                ).astype(np.float64)
+                # upsample MS back to pan resolution (nearest)
+                up = np.repeat(np.repeat(ms, factor, axis=0), factor, axis=1)
+                denom = up.mean(axis=2)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ratio = np.where(denom > 0, pan / denom, 0.0)
+                outp = np.clip(np.floor(up * ratio[:, :, None] + 0.5), 0, 255).astype(np.uint8)
+                rows.append(
+                    (r.image_id, outp.shape[1], outp.shape[0],
+                     checksum_band(outp[:, :, 0]), checksum_band(outp[:, :, 1]),
+                     checksum_band(outp[:, :, 2]))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "w", "h", "cs_r", "cs_g", "cs_b"]
+                )
+
+    return images.mapInPandas(run, schema=schema)
+
+
 def warp_to_utm(images: DataFrame, out_size: tuple[int, int] = (64, 64), resampling: str = "near") -> DataFrame:
     """``gdalwarp -t_srs EPSG:326xx/327xx`` per image (the general-SRS
     reprojection the round-1 engine lacked; ``apps/gdalwarp_lib.cpp``,

@@ -646,6 +646,61 @@ def g_tile_pyramid(sf_dir, min_zoom=10, max_zoom=12, tile_size=256):
     return schema, rows
 
 
+def g_raster_histogram(sf_dir, band=0, n_bins=32):
+    width = 256.0 / n_bins
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, band] if arr.ndim == 3 else arr
+        counts = np.bincount((b.ravel() // int(width)).astype(np.int64), minlength=n_bins)
+        for i in range(n_bins):
+            rows.append(
+                (fp["image_id"], i, i * width - 0.5, (i + 1) * width - 0.5, int(counts[i]))
+            )
+    schema = pa.schema(
+        [("image_id", STR), ("bin", I32), ("bin_min", F64), ("bin_max", F64), ("n", I64)]
+    )
+    return schema, rows
+
+
+def g_raster_pansharpen(sf_dir, factor=2):
+    from gdal_spark.raster.resample import block_reduce
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        h, w = arr.shape[:2]
+        h2, w2 = h // factor, w // factor
+        arr = arr[: h2 * factor, : w2 * factor]
+        pan = arr.astype(np.float64).mean(axis=2)
+        ms = np.dstack(
+            [block_reduce(arr[:, :, c], h2, w2, "average") for c in range(3)]
+        ).astype(np.float64)
+        up = np.repeat(np.repeat(ms, factor, axis=0), factor, axis=1)
+        denom = up.mean(axis=2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(denom > 0, pan / denom, 0.0)
+        outp = np.clip(np.floor(up * ratio[:, :, None] + 0.5), 0, 255).astype(np.uint8)
+        rows.append(
+            (fp["image_id"], outp.shape[1], outp.shape[0],
+             checksum_band(outp[:, :, 0]), checksum_band(outp[:, :, 1]),
+             checksum_band(outp[:, :, 2]))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("w", I32), ("h", I32), ("cs_r", I32), ("cs_g", I32),
+         ("cs_b", I32)]
+    )
+    return schema, rows
+
+
 def g_tile_pyramid_geodetic(sf_dir, min_zoom=8, max_zoom=10, tile_size=256):
     from gdal_spark.raster.warp import warp_lonlat_to_grid
 
@@ -731,6 +786,8 @@ GOLDEN_BUILDERS = {
     "raster_polygonize": g_raster_polygonize,
     "raster_contour": g_raster_contour,
     "raster_palette": g_raster_palette,
+    "raster_histogram": g_raster_histogram,
+    "raster_pansharpen": g_raster_pansharpen,
     "tile_pyramid": g_tile_pyramid,
     "tile_pyramid_geodetic": g_tile_pyramid_geodetic,
 }
