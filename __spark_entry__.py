@@ -1705,6 +1705,7 @@ GOLDEN_QUERIES = [
     "raster_palette",
     "raster_histogram",
     "raster_pansharpen",
+    "raster_viewshed",
     "tile_pyramid",
     "tile_pyramid_geodetic",
 ]
@@ -1857,6 +1858,16 @@ def _q_pansharpen(spark, sf_dir):
     return rp.pansharpen(imgs)
 
 
+def _q_viewshed(spark, sf_dir):
+    """gdal_viewshed (alg/viewshed/viewshed.cpp): center-observer
+    visibility over band 0 as elevation (sampled LOS, overview-level
+    resolution)."""
+    from gdal_spark.raster.viewshed import viewshed
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return viewshed(imgs)
+
+
 def _q_palette(spark, sf_dir):
     """rgb→palette median cut (alg/gdalmediancut.cpp): 16-color
     quantization per image; FS dither (alg/gdaldither.cpp) is
@@ -2006,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_palette": _q_palette,
         "raster_histogram": _q_histogram,
         "raster_pansharpen": _q_pansharpen,
+        "raster_viewshed": _q_viewshed,
         "tile_pyramid": _q_tile_pyramid,
         "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
     }

@@ -72,3 +72,21 @@ def test_contour_stats():
     # flat raster: no contours
     flat = np.full((8, 8), 50, np.uint8)
     assert contour_stats(flat, [64.0]) == [(64.0, 0, 0.0)]
+
+
+def test_viewshed_kernel():
+    from gdal_spark.raster.viewshed import viewshed_mask
+
+    flat = np.full((32, 32), 100.0)
+    assert viewshed_mask(flat, 16, 16, 10).all()
+    wall = flat.copy()
+    wall[:, 20] = 400.0
+    m = viewshed_mask(wall, 16, 16, 10)
+    assert m[16, 18] and m[16, 20]     # before + wall top visible
+    assert not m[16, 25]               # behind the wall hidden
+    assert not m[5, 30]                # diagonal behind the wall hidden
+    # valley is hidden from a ridge-side observer
+    ridge = np.full((16, 16), 0.0)
+    ridge[:, 8] = 50.0
+    m2 = viewshed_mask(ridge, 2, 8, 1.0)
+    assert not m2[8, 12]

@@ -581,6 +581,30 @@ def g_raster_palette(sf_dir, n_colors=16):
     return schema, rows
 
 
+def g_raster_viewshed(sf_dir, obs_height=10.0, max_dim=128):
+    from gdal_spark.raster.viewshed import _downsample, viewshed_mask
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        dem = _downsample(arr[:, :, 0] if arr.ndim == 3 else arr, max_dim)
+        h, w = dem.shape
+        mask = viewshed_mask(dem, w // 2, h // 2, obs_height)
+        vis255 = (mask * 255).astype(np.uint8)
+        rows.append(
+            (fp["image_id"], int(mask.sum()),
+             round(float(mask.mean()) * 100.0, 4), checksum_band(vis255))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("n_visible", I64), ("pct_visible", F64),
+         ("checksum", I32)]
+    )
+    return schema, rows
+
+
 def g_tile_pyramid(sf_dir, min_zoom=10, max_zoom=12, tile_size=256):
     m = tm.GlobalMercator(tile_size)
     fps = [footprint(k) for k in order_keys(sf_dir) if k % 100 == 0]
@@ -788,6 +812,7 @@ GOLDEN_BUILDERS = {
     "raster_palette": g_raster_palette,
     "raster_histogram": g_raster_histogram,
     "raster_pansharpen": g_raster_pansharpen,
+    "raster_viewshed": g_raster_viewshed,
     "tile_pyramid": g_tile_pyramid,
     "tile_pyramid_geodetic": g_tile_pyramid_geodetic,
 }
