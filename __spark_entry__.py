@@ -467,6 +467,47 @@ WHERE p_name ILIKE '%RED%' AND p_size BETWEEN 10 AND 30
 """
 
 
+def _q_select_exclude(spark, sf_dir):
+    """``SELECT * EXCLUDE(...)`` (ogr/ogr_swq.h:450-453
+    PushExcludeField): wildcard expansion minus named columns."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return r.drop("r_name")  # the DataFrame form of * EXCLUDE(r_name)
+
+
+SELECT_EXCLUDE_ORACLE = "SELECT * EXCLUDE (r_name) FROM region"
+
+
+def _q_expressions(spark, sf_dir):
+    """OGR SQL expression corpus (autotest/ogr/ogr_sql_rfc28.py
+    class): arithmetic incl. % and integer division, UPPER/LOWER/TRIM,
+    CASE, COALESCE/NULLIF, negative-length SUBSTR behavior left out
+    (engine-specific), IN over expressions."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return s.selectExpr(
+        "s_suppkey",
+        "s_suppkey % 7 AS mod7",
+        "CAST(s_suppkey / 4 AS DOUBLE) AS div4",
+        "upper(s_name) AS uname",
+        "lower(s_name) AS lname",
+        "trim(concat(' ', s_name, ' ')) AS tname",
+        "CASE WHEN s_acctbal < 0 THEN 'neg' WHEN s_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band",
+        "coalesce(nullif(s_suppkey % 3, 0), -1) AS nz3",
+        "(s_suppkey IN (1, 2, 3) OR s_suppkey * 2 IN (10, 20)) AS inset",
+    )
+
+
+EXPRESSIONS_ORACLE = """
+SELECT s_suppkey, s_suppkey % 7 AS mod7,
+       CAST(s_suppkey / 4.0 AS DOUBLE) AS div4,
+       upper(s_name) AS uname, lower(s_name) AS lname,
+       trim(concat(' ', s_name, ' ')) AS tname,
+       CASE WHEN s_acctbal < 0 THEN 'neg' WHEN s_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+       coalesce(nullif(s_suppkey % 3, 0), -1) AS nz3,
+       (s_suppkey IN (1, 2, 3) OR s_suppkey * 2 IN (10, 20)) AS inset
+FROM supplier
+"""
+
+
 def _q_topk(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return (
@@ -1951,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_multi_join": _q_multi_join,
         "ogr_summary": _q_summary,
         "ogr_sql_select": _q_ogr_select,
+        "ogr_select_exclude": _q_select_exclude,
+        "ogr_expressions": _q_expressions,
         "ogr_orderby_limit": _q_topk,
         "ogr_distinct": _q_distinct,
         "ogr_union_all": _q_union_all,
@@ -2037,6 +2080,8 @@ def oracle_sql() -> dict[str, str]:
         "ogr_multi_join": MULTI_JOIN_ORACLE,
         "ogr_summary": SUMMARY_ORACLE,
         "ogr_sql_select": OGR_SELECT_ORACLE,
+        "ogr_select_exclude": SELECT_EXCLUDE_ORACLE,
+        "ogr_expressions": EXPRESSIONS_ORACLE,
         "ogr_orderby_limit": TOPK_ORACLE,
         "ogr_distinct": DISTINCT_ORACLE,
         "ogr_union_all": UNION_ALL_ORACLE,
