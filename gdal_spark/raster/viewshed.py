@@ -33,7 +33,6 @@ def viewshed_mask(dem: np.ndarray, ox: int, oy: int, obs_height: float = 10.0, r
     # interior sample parameters (exclusive of both endpoints)
     t = (np.arange(1, n_samples) / n_samples)[None, :]
     out = np.zeros((h, w), dtype=bool)
-    xs_full = np.arange(w, dtype=np.float64)
     for r0 in range(0, h, row_chunk):
         r1 = min(r0 + row_chunk, h)
         yy, xx = np.mgrid[r0:r1, 0:w]
@@ -64,7 +63,6 @@ def viewshed_mask(dem: np.ndarray, ox: int, oy: int, obs_height: float = 10.0, r
         out[r0:r1] = vis.reshape(r1 - r0, w)
         del sx, sy, tv, line, blocked
     out[oy, ox] = True
-    _ = xs_full
     return out
 
 
