@@ -147,3 +147,68 @@ def test_arithmetic_promotion(spark):
         (F.col("a") % F.col("b")).alias("mod"),
     ).collect()[0]
     assert r.fdiv == 3.5 and r.idiv == 3 and r.mod == 1
+
+
+def test_like_escape(spark):
+    """LIKE ESCAPE (ogr/ogr_swq.h:53-54; swq_test_like handles the
+    escape char): a literal % matches only itself."""
+    df = spark.createDataFrame([("100%",), ("100x",), ("100",)], "v string")
+    got = {r.v for r in df.filter(F.expr(r"v LIKE '100\%'")).collect()}
+    assert got == {"100%"}
+
+
+def test_in_with_null_three_valued(spark):
+    """IN over a NULL value is NULL, not false — the row is filtered
+    out but NOT matched by the negation either (3VL, ogr/ogr_swq.h:
+    44-46 AND/OR/NOT with null propagation)."""
+    df = spark.createDataFrame([(1,), (2,), (None,)], "v int")
+    assert df.filter(F.col("v").isin(1, 3)).count() == 1
+    assert df.filter(~F.col("v").isin(1, 3)).count() == 1  # NULL drops from both
+    assert df.filter(F.col("v").isNull()).count() == 1
+
+
+def test_not_between(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    assert df.filter(~F.col("v").between(3, 6)).count() == 6
+
+
+def test_arithmetic_null_propagation(spark):
+    """NULL propagates through arithmetic (SWQGeneralEvaluator null
+    handling, ogr/swq_op_general.cpp)."""
+    df = spark.createDataFrame([(1, None), (2, 3)], "a int, b int")
+    rows = df.selectExpr("a + b AS s").collect()
+    assert sorted([r.s for r in rows], key=lambda x: (x is None, x)) == [5, None]
+
+
+def test_order_by_desc_nulls_and_limit_zero(spark):
+    """DESC ordering + OGR's NULLs-first ascending convention
+    (ogr_gensql.cpp:2495 comparator); LIMIT 0 is a valid empty set."""
+    df = spark.createDataFrame([(3,), (None,), (1,)], "v int")
+    asc = [r.v for r in df.orderBy(F.col("v").asc_nulls_first()).collect()]
+    assert asc == [None, 1, 3]
+    desc = [r.v for r in df.orderBy(F.col("v").desc_nulls_last()).collect()]
+    assert desc == [3, 1, None]
+    assert df.limit(0).count() == 0
+
+
+def test_string_equality_case_sensitive(spark):
+    """= on strings stays case-SENSITIVE even though LIKE is not
+    (ogr_sql_test.py: WHERE 'x' = 'X' does not match)."""
+    df = spark.createDataFrame([("Apple",), ("apple",)], "v string")
+    assert df.filter(F.col("v") == "apple").count() == 1
+
+
+def test_cast_truncates_not_rounds(spark):
+    """CAST(double AS int) truncates toward zero (SWQCastEvaluator /
+    C semantics), unlike round()."""
+    df = spark.createDataFrame([(2.7,), (-2.7,)], "v double")
+    got = sorted(r.i for r in df.selectExpr("CAST(v AS INT) AS i").collect())
+    assert got == [-2, 2]
+
+
+def test_concat_null_propagates(spark):
+    """CONCAT with a NULL argument yields NULL (SQL semantics the OGR
+    evaluator follows for string ops)."""
+    df = spark.createDataFrame([("a", None), ("a", "b")], "x string, y string")
+    rows = [r.c for r in df.select(F.concat("x", "y").alias("c")).collect()]
+    assert sorted(rows, key=lambda v: (v is None, v)) == ["ab", None]
