@@ -1708,6 +1708,41 @@ def _q_phash_neardup(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the vector-space dedup op):
+    LSH-bucket candidate self-join + exact cosine >= threshold.
+    Threshold 0.3 is fixture-tuned (the synthetic embeddings are
+    near-orthogonal); the operator is threshold-agnostic."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.embedding_neardup_pairs(e, threshold=0.3).select(
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        "score",
+    )
+
+
+def _embedding_neardup_oracle(threshold: float = 0.3) -> str:
+    sig = ann.signature_expr("embedding", accessor="{emb}[{i}]")
+    dot = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "(x, y) -> x + y))"
+    )
+    na = norm.format(e="a.embedding")
+    nb = norm.format(e="b.embedding")
+    return f"""
+WITH s AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       round({dot} / ({na} * {nb}), 6) AS score
+FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round({dot} / ({na} * {nb}), 6) >= {threshold}
+"""
+
+
 # --- raster queries: golden-row oracles -----------------------------------
 # The pixel semantics are not SQL-expressible, so the oracle is the
 # reference's own method (alg/gdalchecksum.cpp:48, autotest golden
@@ -2034,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
         "ann_lsh": _q_ann_lsh,
+        "embedding_neardup": _q_embedding_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "image_phash_dedup": _q_phash_dedup,
         "image_phash_neardup": _q_phash_neardup,
@@ -2118,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": FINGERPRINT_ORACLE,
         "ann_topk": _ann_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(),
         "reproject_utm": _reproject_utm_oracle(),
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},

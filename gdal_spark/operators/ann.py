@@ -91,6 +91,37 @@ def signature_expr(emb: str, n_planes: int = N_PLANES, accessor: str = "element_
     return "concat(" + ", ".join(bits) + ")"
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup use of the
+    vector space, distinct from top-k search): candidates = the
+    hyperplane-LSH bucket self-join (vectors this similar agree on
+    every projection with high probability), verify = exact cosine ≥
+    threshold. Returns (vec_a, vec_b, score) with vec_a < vec_b.
+
+    At 10¹² rows the bucket self-join replaces the all-pairs product
+    exactly like the MinHash band join does for text; recall for
+    near-identical vectors is governed by n_planes (each plane flips
+    with probability θ/π ≈ 0.045 at cosine 0.99)."""
+    sig = embeddings.withColumn("sig", F.expr(signature_expr("embedding", n_planes)))
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "sig"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "sig"
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("score", F.round(F.expr(cosine_expr("emb_a", "emb_b")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", "score")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
