@@ -12,7 +12,18 @@ their oracles are golden parquet rows recomputed SINGLE-PROCESS by
 ``tools/make_golden.py`` from the same inputs (the GDAL
 golden-checksum method), served back through DuckDB ``read_parquet``.
 Every query in ``queries()`` therefore has a value-level oracle:
-49 dual-dialect SQL + 23 golden.
+dual-dialect SQL for the SQL-expressible ones + golden parquet for the
+pixel ones.
+
+Honesty note on the golden oracles (ADVICE r02): ``make_golden.py``
+imports the SAME in-repo pixel/geometry kernels the Spark UDFs call,
+so a golden match pins *distribution invariance* — partitioning,
+Arrow batching, shuffle, and compose order cannot change a value —
+NOT kernel-vs-GDAL semantics. Kernel semantics are pinned separately
+by the scalar in-test oracles in ``tests/`` (independent loop
+re-derivations: GDAL checksum formula, EDT vs brute force, TIN plane
+exactness, DCT vs naive O(n⁴) transform, viewshed LOS brute force,
+pansharpen/palette/blend re-derivations).
 """
 
 from __future__ import annotations

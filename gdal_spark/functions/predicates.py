@@ -81,10 +81,33 @@ def _rect_pred(a, b, name: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _proper_crossing(ga: G.Geom, gb: G.Geom) -> bool:
+    """Any PROPER edge crossing between the two ring sets (strict
+    orientation-sign flips on both segments — shared endpoints /
+    collinear touches excluded). A proper crossing implies the two
+    interiors overlap on both sides of it."""
+    for ra in ga.rings:
+        a1, a2 = ra[:-1], ra[1:]
+        for rb in gb.rings:
+            b1, b2 = rb[:-1], rb[1:]
+            d1 = G._cross(a1[:, None, 0], a1[:, None, 1], a2[:, None, 0], a2[:, None, 1], b1[None, :, 0], b1[None, :, 1])
+            d2 = G._cross(a1[:, None, 0], a1[:, None, 1], a2[:, None, 0], a2[:, None, 1], b2[None, :, 0], b2[None, :, 1])
+            d3 = G._cross(b1[None, :, 0], b1[None, :, 1], b2[None, :, 0], b2[None, :, 1], a1[:, None, 0], a1[:, None, 1])
+            d4 = G._cross(b1[None, :, 0], b1[None, :, 1], b2[None, :, 0], b2[None, :, 1], a2[:, None, 0], a2[:, None, 1])
+            if np.any(((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+                      & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0)):
+                return True
+    return False
+
+
 def _interiors_intersect(ga: G.Geom, gb: G.Geom) -> bool:
-    """Any proper edge crossing, or a vertex of one strictly inside
-    the other (even-odd; boundary vertices may report either way for
-    non-rect inputs — exact for rects via the closed form above)."""
+    """Interior∩interior ≠ ∅: a proper edge crossing, a vertex of one
+    strictly inside the other, or a centroid probe (identical rings).
+    The crossing test (ADVICE r02) catches two thin convex slivers
+    crossing where neither's vertices or centroid lie inside the
+    other."""
+    if _proper_crossing(ga, gb):
+        return True
     for ra in ga.rings:
         if np.any(G.points_in_rings(ra[:-1, 0], ra[:-1, 1], gb.rings)):
             return True
@@ -121,13 +144,25 @@ def predicate(ga: G.Geom, gb: G.Geom, name: str) -> bool:
     if name == "contains":
         return predicate(gb, ga, "within")
     if name == "within":
-        # every vertex of A inside-or-on B and no proper crossing
+        # every vertex of A inside-or-on B, AND no proper edge crossing
+        # (an A edge exiting a concave B through a notch crosses a B
+        # edge even when both its endpoints are inside — ADVICE r02),
+        # AND an interior probe of A lands in B (rules out A outside a
+        # B it merely shares boundary with)
         for r in ga.rings:
             if not np.all(
                 G.points_in_rings(r[:-1, 0], r[:-1, 1], gb.rings)
                 | _on_boundary(r[:-1], gb)
             ):
                 return False
+        if _proper_crossing(ga, gb):
+            return False
+        ca = G.geom_centroid(ga)
+        pca = np.array([ca[0]]), np.array([ca[1]])
+        if G.points_in_rings(*pca, ga.rings)[0] and not (
+            G.points_in_rings(*pca, gb.rings)[0] or _on_boundary(np.array([ca]), gb)[0]
+        ):
+            return False
         return True
     if name == "touches":
         return G.geoms_intersect(ga, gb) and not _interiors_intersect(ga, gb)

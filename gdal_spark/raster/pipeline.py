@@ -224,7 +224,14 @@ def band_histogram(images: DataFrame, band: int = 0, n_bins: int = 32) -> DataFr
             for r in pdf.itertuples():
                 arr = codec.decode_image(r.bytes, r.fmt)
                 b = arr[:, :, band] if arr.ndim == 3 else arr
-                counts = np.bincount((b.ravel() // int(width)).astype(np.int64), minlength=n_bins)
+                # float-divide bucketing clipped to [0, n_bins-1]: integer
+                # `// int(width)` truncates the width for n_bins∤256 (e.g.
+                # 48) and overflows the bin range / desyncs from the float
+                # bin_min/bin_max labels below
+                idx = np.clip(
+                    np.floor(b.ravel() / width), 0, n_bins - 1
+                ).astype(np.int64)
+                counts = np.bincount(idx, minlength=n_bins)[:n_bins]
                 yield pd.DataFrame(
                     {
                         "image_id": r.image_id,

@@ -491,10 +491,17 @@ def write_tiles(
     tiles = tiles.cache()
     n = tiles.count()
     if iceberg_table and iceberg_available(spark, iceberg_table.split(".")[0]):
-        try:
-            tiles.writeTo(iceberg_table).partitionedBy(F.col("z")).createOrReplace()
-        except Exception:
+        # Append-if-exists, create-if-absent. A rerun/resume must APPEND
+        # the newly rendered tiles — createOrReplace on every call would
+        # drop tiles the manifest already marks done (they'd never be
+        # re-rendered), breaking the exactly-once claim. NOTE: this gated
+        # path is unexercised in this container (no Iceberg runtime);
+        # the table-exists check + append is the contract a cluster run
+        # relies on.
+        if spark.catalog.tableExists(iceberg_table):
             tiles.writeTo(iceberg_table).append()
+        else:
+            tiles.writeTo(iceberg_table).partitionedBy(F.col("z")).create()
     else:
         tiles.write.mode("append").partitionBy("z").parquet(f"{out_dir}/tiles")
     manifest = tiles.select("z", "tx", "ty", "x", "y", "quadkey", "checksum")

@@ -13,9 +13,14 @@ Two synchronized implementations:
   groupBy. Fully ANSI-expressible, so the driver oracle checks it
   value-exactly. Deterministic: time ties break by event_id.
 - ``sessionize_stream``: ``applyInPandasWithState`` with a per-user
-  open-session state and an event-time watermark; on timeout the open
-  session flushes. Single-batch (``availableNow``) output equals the
-  batch operator's — asserted in pytest.
+  open-session state, an event-time watermark (``gap_s`` seconds on
+  ``ts``) and an **event-time timeout** set to ``session_end + gap_s``;
+  when the watermark passes it, the open session flushes. Events
+  arriving out of order across micro-batches but inside the watermark
+  extend the open session exactly as the batch operator would; events
+  older than the watermark are dropped by Spark (the standard
+  late-data contract). Single-batch (``availableNow``) output equals
+  the batch operator's — asserted in pytest.
 """
 
 from __future__ import annotations
@@ -119,7 +124,10 @@ def sessionize_stream(events_stream: DataFrame, gap_s: int = 1800):
                 n += 1
                 sv += float(v)
         state.update((start, end, n, sv, sid))
-        state.setTimeoutDuration(gap_s * 1000)
+        # event-time timeout: flush the open session once the watermark
+        # passes its gap horizon (not wall-clock — replaying history at
+        # full speed times out by data time, not processing time)
+        state.setTimeoutTimestamp((end + gap_s) * 1000)
         if out:
             yield pd.DataFrame(
                 [
@@ -136,10 +144,14 @@ def sessionize_stream(events_stream: DataFrame, gap_s: int = 1800):
             )
 
     state_schema = "start long, end long, n long, sv double, sid long"
-    return events_stream.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=SESSION_SCHEMA,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        events_stream.withWatermark("ts", f"{gap_s} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -185,3 +185,27 @@ def test_geodetic_tiles_vs_oracle(imgs):
         assert np.array_equal(codec.png_decode(bytes(t.tile)), canvas), key
         assert t.quadkey == ""  # quadkeys are a mercator convention
         assert t.y == (1 << z) - 1 - t.ty
+
+
+def test_band_histogram_non_divisor_bins(imgs):
+    """n_bins=48 (256 % 48 != 0) crashed pre-r3: integer-truncated width
+    overflowed the bin range. Verify counts vs a per-image NumPy oracle
+    and bin-label consistency with the bucketing rule."""
+    n_bins = 48
+    width = 256.0 / n_bins
+    sub = imgs.filter(F.col("image_id") < "img000000000010")
+    got = pipeline.band_histogram(sub, band=1, n_bins=n_bins).collect()
+    by_img = {}
+    for r in got:
+        by_img.setdefault(r.image_id, {})[r.bin] = r
+    for r in sub.collect():
+        arr = codec.decode_image(r.bytes, r.fmt)
+        b = arr[:, :, 1].ravel()
+        idx = np.clip(np.floor(b / width), 0, n_bins - 1).astype(np.int64)
+        oracle = np.bincount(idx, minlength=n_bins)[:n_bins]
+        rows = by_img[r.image_id]
+        assert len(rows) == n_bins
+        for k in range(n_bins):
+            assert rows[k].n == oracle[k]
+            assert rows[k].bin_min == pytest.approx(k * width - 0.5)
+            assert rows[k].bin_max == pytest.approx((k + 1) * width - 0.5)
