@@ -1699,7 +1699,9 @@ def _q_phash_dedup(spark, sf_dir):
     """Multimodal exact dedup on the image phash column (input_hint
     schema): linear hash-groupBy clustering — the stage that must run
     before any pairwise image comparison at scale."""
-    imgs = synth.images(spark, sf_dir, where="okey % 20 = 0").select("image_id", "phash")
+    imgs = synth.images(spark, sf_dir, where="okey % 20 = 0", with_bytes=False).select(
+        "image_id", "phash"
+    )
     return dedup.signature_clusters(imgs, "image_id", "phash").select(
         "phash", "keep_id", F.col("n").cast("long").alias("n")
     )
@@ -1708,7 +1710,9 @@ def _q_phash_dedup(spark, sf_dir):
 def _q_phash_neardup(spark, sf_dir):
     """phash-based image near-dup: Hamming-banded pairs between
     DISTINCT phash clusters (16-bit chunks, guarantee h<=3)."""
-    imgs = synth.images(spark, sf_dir, where="okey % 20 = 0").select("image_id", "phash")
+    imgs = synth.images(spark, sf_dir, where="okey % 20 = 0", with_bytes=False).select(
+        "image_id", "phash"
+    )
     pairs = dedup.hamming_neardup_pairs(
         imgs, "image_id", "phash", bits=64, bands=4, max_hamming=3
     )

@@ -7,13 +7,17 @@ Pillow/imagecodecs/cv2, so:
 - **PNG** is implemented for real (zlib stdlib): 8-bit gray / RGB /
   RGBA, all five scanline filters on decode, filter-0 on encode. This
   is the lossless/checksum-exact path.
-- **JPEG / WebP are STUBBED with a clearly-marked deterministic fake
-  lossy codec** (``FakeLossyCodec``): quantize-to-step-4 + zlib. It is
-  NOT jpeg — it exists so the Spark-side plumbing (schema, batching,
-  PSNR≥40dB tolerance path mirroring
-  ``apps/gdalalg_raster_compare.cpp:1094``) is real and tested. Swap
-  ``decode_image``/``encode_image`` internals for Pillow/libjpeg on a
-  real cluster; every caller goes through this module only.
+- **JPEG is implemented for real** (``gdal_spark.raster.jpeg``):
+  baseline sequential DCT per ITU-T T.81, Annex K tables, 4:4:4 /
+  4:2:0, restart intervals on decode. Default quality 98 keeps the
+  noisy synthetic fixtures above the PSNR ≥ 40 dB lossy gate
+  (``apps/gdalalg_raster_compare.cpp:1094``) with margin.
+- **WebP remains a clearly-marked deterministic fake lossy codec**
+  (``FakeLossyCodec``: quantize-to-step-4 + zlib — NOT webp; VP8
+  arithmetic coding is out of scope, the fake keeps the fmt='webp'
+  rows exercising the lossy tolerance path). Swap for
+  Pillow/imagecodecs on a cluster; every caller goes through this
+  module only.
 
 Arrays are HxW (gray) or HxWxC uint8.
 """
@@ -200,11 +204,18 @@ def fake_lossy_decode(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+JPEG_QUALITY = 98  # keeps the noisy synth fixtures ≥ 44 dB (gate: 40)
+
+
 def encode_image(arr: np.ndarray, fmt: str, compress_level: int = 6) -> bytes:
     fmt = fmt.lower()
     if fmt == "png":
         return png_encode(arr, compress_level)
-    if fmt in ("jpeg", "jpg", "webp"):
+    if fmt in ("jpeg", "jpg"):
+        from gdal_spark.raster import jpeg
+
+        return jpeg.encode(arr, quality=JPEG_QUALITY)
+    if fmt == "webp":
         return fake_lossy_encode(arr, fmt, compress_level)
     raise NotImplementedError(f"codec {fmt!r} not available in this container")
 
@@ -213,11 +224,15 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
     b = bytes(buf)
     if b[:8] == PNG_SIG:
         return png_decode(b)
+    if b[:2] == b"\xff\xd8":
+        from gdal_spark.raster import jpeg
+
+        return jpeg.decode(b)
     if b[:8] == FAKE_MAGIC:
         return fake_lossy_decode(b)
     raise NotImplementedError(
-        f"payload is neither PNG nor the fake-lossy container (fmt hint {fmt!r}); "
-        "real jpeg/webp decoding requires Pillow/imagecodecs — stubbed here"
+        f"payload is not PNG/JPEG/fake-lossy (fmt hint {fmt!r}); "
+        "real webp decoding requires Pillow/imagecodecs — stubbed here"
     )
 
 

@@ -1,0 +1,669 @@
+"""Baseline JPEG codec (ITU-T T.81 / JFIF), pure NumPy + stdlib.
+
+Replaces the round-1/2 ``FakeLossyCodec`` for ``fmt='jpeg'`` so the
+engine's flagship lossy invariant — decoded-pixel PSNR ≥ 40 dB, the
+metric of ``apps/gdalalg_raster_compare.cpp:1094`` — measures a real
+DCT transform codec. Reference behavior surface:
+``frmts/jpeg/jpgdataset.cpp`` (libjpeg wrapper); this module is an
+original from-scratch implementation of the public ITU-T T.81 spec
+(baseline sequential DCT, Huffman entropy coding, Annex K tables).
+
+Scope (everything the engine emits + the common decode surface):
+
+- 8-bit baseline sequential (SOF0), grayscale or YCbCr.
+- Sampling factors 1×1 (4:4:4) and 2×2-luma (4:2:0) on both paths.
+- Standard Annex K quantization + Huffman tables on encode, arbitrary
+  DQT/DHT on decode; restart intervals (DRI/RSTn) on decode.
+
+Design for Spark: the ENCODER is fully vectorized across blocks —
+color transform, 8×8 DCT (one einsum over all blocks), quantize,
+zigzag, run-length symbol construction, Huffman code lookup, and
+variable-length bit packing are all whole-image NumPy array programs
+(no per-block Python). The DECODER's Huffman scan is inherently
+bit-serial (each code's length gates the next read), so it runs as a
+table-driven (2^16-entry LUT) Python loop over symbols only;
+dequantize → inverse zigzag → IDCT → upsample → color transform are
+vectorized over all blocks. Both run inside Arrow-batched pandas UDFs
+(one call per image, many images per batch per partition).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants (ITU-T T.81 Annex K — public spec tables)
+# ---------------------------------------------------------------------------
+
+# K.1 luminance / K.2 chrominance quantization tables (natural order)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# zigzag scan order: ZIGZAG[k] = natural index of the k-th zigzag coeff
+def _make_zigzag() -> np.ndarray:
+    order = []
+    for s in range(15):
+        idx = range(s + 1)
+        for i in (idx if s % 2 else reversed(list(idx))):
+            j = s - i
+            if i < 8 and j < 8:
+                order.append(i * 8 + j)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _make_zigzag()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# K.3 standard Huffman tables: (bits[1..16], values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal 8×8 DCT-II matrix: forward F = M @ f @ M.T
+_k = np.arange(8)
+DCT_M = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0) * 0.5
+DCT_M[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def _canonical_codes(bits: list[int]) -> list[tuple[int, int]]:
+    """(code, length) list in symbol order from the T.81 BITS counts."""
+    out = []
+    code = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out.append((code, ln))
+            code += 1
+        code <<= 1
+    return out
+
+
+def _enc_table(bits, vals) -> tuple[np.ndarray, np.ndarray]:
+    """symbol → (code, length) lookup arrays (256-wide)."""
+    code = np.zeros(256, dtype=np.int64)
+    length = np.zeros(256, dtype=np.int64)
+    for (c, ln), v in zip(_canonical_codes(bits), vals):
+        code[v] = c
+        length[v] = ln
+    return code, length
+
+
+def _dec_lut(bits, vals) -> list[int]:
+    """2^16 lookup: top-16-bit peek → (length << 8) | symbol; 0 invalid."""
+    lut = [0] * 65536
+    for (c, ln), v in zip(_canonical_codes(bits), vals):
+        lo = c << (16 - ln)
+        for p in range(lo, lo + (1 << (16 - ln))):
+            lut[p] = (ln << 8) | v
+    return lut
+
+
+ENC_DC = (_enc_table(DC_LUMA_BITS, DC_LUMA_VALS), _enc_table(DC_CHROMA_BITS, DC_CHROMA_VALS))
+ENC_AC = (_enc_table(AC_LUMA_BITS, AC_LUMA_VALS), _enc_table(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (public formula)."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QUANT_LUMA, QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601. float64 (h, w, 3)."""
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _pad_to_block(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (bh, bw)."""
+    h, w = plane.shape
+    ph = (-h) % bh
+    pw = (-w) % bw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) → (nby, nbx, 8, 8) → (B, 8, 8) raster block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encoder (vectorized across all blocks)
+# ---------------------------------------------------------------------------
+
+
+def _mcu_order_index(nby: int, nbx: int, h: int, v: int, mcux: int) -> np.ndarray:
+    """Raster-block index of each block of one component in MCU scan
+    order: for MCU (my, mx), the component contributes its blocks
+    (v·my+dy, h·mx+dx) for dy<v, dx<h (T.81 A.2.3 interleaving)."""
+    my, mx = np.meshgrid(np.arange(nby // v), np.arange(mcux), indexing="ij")
+    base = (my[..., None, None] * v + np.arange(v)[None, None, :, None]) * nbx + (
+        mx[..., None, None] * h + np.arange(h)[None, None, None, :]
+    )
+    return base.reshape(-1)
+
+
+def _category(v: np.ndarray) -> np.ndarray:
+    """JPEG magnitude category (bit length of |v|); 0 for v == 0."""
+    return np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+
+
+def _pack_bits(tokbits: np.ndarray, toklen: np.ndarray) -> bytes:
+    """Concatenate variable-length big-endian codes into a padded,
+    0xFF-stuffed byte stream (vectorized: one pass per bit lane)."""
+    toklen = toklen.astype(np.int64)
+    offs = np.cumsum(toklen) - toklen
+    total = int(offs[-1] + toklen[-1]) if len(toklen) else 0
+    nbits = (total + 7) & ~7
+    bits = np.ones(nbits, dtype=np.uint8)  # pad with 1s (T.81 F.1.2.3)
+    maxlen = int(toklen.max()) if len(toklen) else 0
+    for i in range(maxlen):
+        m = toklen > i
+        bits[offs[m] + i] = (tokbits[m] >> (toklen[m] - 1 - i)) & 1
+    by = np.packbits(bits)
+    # byte stuffing: 0xFF → 0xFF 0x00
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
+def encode(arr: np.ndarray, quality: int = 95, subsampling: str = "444") -> bytes:
+    """Encode uint8 gray (h,w) or RGB (h,w,3) to baseline JFIF bytes."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("jpeg encode expects uint8")
+    gray = arr.ndim == 2
+    h_img, w_img = arr.shape[:2]
+    qy, qc = quality_tables(quality)
+
+    if gray:
+        comps = [(arr.astype(np.float64), 1, 1, 0)]  # (plane, h, v, qtab_id)
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        if subsampling == "420":
+            y = ycc[..., 0]
+            # chroma: 2×2 box average on an edge-padded even grid
+            p = _pad_to_block(ycc[..., 1], 2, 2)
+            cb = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            p = _pad_to_block(ycc[..., 2], 2, 2)
+            cr = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            comps = [(y, 2, 2, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+        elif subsampling == "444":
+            comps = [(ycc[..., 0], 1, 1, 0), (ycc[..., 1], 1, 1, 1), (ycc[..., 2], 1, 1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # pad each plane to its own MCU-aligned block grid
+    grids = []
+    for plane, ch, cv, qid in comps:
+        # edge-pad each plane to a whole number of MCUs (cv×ch blocks)
+        grids.append((_pad_to_block(plane, 8 * cv, 8 * ch), ch, cv, qid))
+    mcux = grids[0][0].shape[1] // (8 * grids[0][1])
+    mcuy = grids[0][0].shape[0] // (8 * grids[0][2])
+    for plane, ch, cv, _ in grids[1:]:
+        # chroma grids must describe the same MCU count
+        assert plane.shape[0] // (8 * cv) == mcuy and plane.shape[1] // (8 * ch) == mcux
+
+    # per-component blocks → MCU-interleaved global sequence
+    all_blocks = []
+    comp_ids = []
+    for ci, (plane, ch, cv, qid) in enumerate(grids):
+        b = _blocks(plane)
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        order = _mcu_order_index(nby, nbx, ch, cv, mcux)
+        all_blocks.append(b[order])
+        comp_ids.append(np.full(len(order), ci, dtype=np.int64))
+    blocks_per_mcu = [g[1] * g[2] for g in grids]
+    # interleave: MCU m contributes comps' chunks in order
+    seq_blocks = np.empty(
+        (sum(len(a) for a in all_blocks), 8, 8), dtype=np.float64
+    )
+    seq_comp = np.empty(len(seq_blocks), dtype=np.int64)
+    stride = sum(blocks_per_mcu)
+    off = 0
+    for ci, a in enumerate(all_blocks):
+        k = blocks_per_mcu[ci]
+        idx = (np.arange(len(a)) // k) * stride + off + (np.arange(len(a)) % k)
+        seq_blocks[idx] = a
+        seq_comp[idx] = ci
+        off += k
+
+    # forward DCT over every block at once, quantize, zigzag
+    shifted = seq_blocks - 128.0
+    F = np.einsum("ij,bjk,lk->bil", DCT_M, shifted, DCT_M)
+    qtab = np.stack([qy, qc])[[g[3] for g in grids]]  # (ncomp, 64)
+    Fq = np.round(F.reshape(-1, 64) / qtab[seq_comp]).astype(np.int64)
+    Z = Fq[:, ZIGZAG]
+
+    # DC differentials per component chain
+    dc = Z[:, 0].copy()
+    diff = np.empty_like(dc)
+    for ci in range(len(grids)):
+        m = seq_comp == ci
+        sub = dc[m]
+        d = np.empty_like(sub)
+        d[0] = sub[0]
+        d[1:] = sub[1:] - sub[:-1]
+        diff[m] = d
+
+    nb_total = len(Z)
+    tclass = np.array([0 if g[3] == 0 else 1 for g in grids])[seq_comp]  # table class
+
+    # --- DC tokens ---
+    dc_cat = _category(diff)
+    dc_vbits = np.where(diff > 0, diff, diff + (1 << dc_cat) - 1).astype(np.int64)
+    dc_code = np.where(tclass == 0, ENC_DC[0][0][dc_cat], ENC_DC[1][0][dc_cat])
+    dc_hlen = np.where(tclass == 0, ENC_DC[0][1][dc_cat], ENC_DC[1][1][dc_cat])
+    dc_bits = (dc_code << dc_cat) | np.where(dc_cat > 0, dc_vbits & ((1 << dc_cat) - 1), 0)
+    dc_len = dc_hlen + dc_cat
+
+    # --- AC tokens (vectorized RLE) ---
+    ac = Z[:, 1:]
+    bi, kposm1 = np.nonzero(ac)
+    kpos = kposm1 + 1  # zigzag position 1..63
+    vals = ac[bi, kposm1]
+    newblk = np.empty(len(bi), dtype=bool)
+    if len(bi):
+        newblk[0] = True
+        newblk[1:] = bi[1:] != bi[:-1]
+    prevk = np.where(newblk, 0, np.concatenate([[0], kpos[:-1]]))
+    run = kpos - prevk - 1
+    nzrl = run // 16
+    rrun = run % 16
+    cat = _category(vals)
+    vbits = np.where(vals > 0, vals, vals + (1 << cat) - 1).astype(np.int64)
+    sym = (rrun << 4) | cat
+    tcl = tclass[bi]
+    code = np.where(tcl == 0, ENC_AC[0][0][sym], ENC_AC[1][0][sym])
+    hlen = np.where(tcl == 0, ENC_AC[0][1][sym], ENC_AC[1][1][sym])
+    ac_bits = (code << cat) | (vbits & ((1 << cat) - 1))
+    ac_len = hlen + cat
+
+    # sequence position within each block: DC = 0, AC tokens count
+    # (nzrl + 1) slots each, grouped-cumsum per block
+    tpe = nzrl + 1
+    cs = np.cumsum(tpe)
+    blk_first = np.flatnonzero(newblk)
+    blk_of = np.cumsum(newblk) - 1 if len(bi) else np.array([], dtype=np.int64)
+    cs0 = np.concatenate([[0], cs])[blk_first] if len(bi) else np.array([], dtype=np.int64)
+    seq_end = cs - cs0[blk_of] if len(bi) else np.array([], dtype=np.int64)
+
+    # ZRL filler tokens
+    zrl_src = np.flatnonzero(nzrl > 0)
+    zrl_blk = np.repeat(bi[zrl_src], nzrl[zrl_src])
+    zrl_seq = (
+        np.concatenate(
+            [np.arange(seq_end[i] - nzrl[i], seq_end[i]) for i in zrl_src]
+        )
+        if len(zrl_src)
+        else np.array([], dtype=np.int64)
+    )
+    zrl_tcl = tclass[zrl_blk]
+    zrl_code = np.where(zrl_tcl == 0, ENC_AC[0][0][0xF0], ENC_AC[1][0][0xF0])
+    zrl_len = np.where(zrl_tcl == 0, ENC_AC[0][1][0xF0], ENC_AC[1][1][0xF0])
+
+    # EOB where the block's last nonzero AC position < 63 (or none)
+    last_k = np.zeros(nb_total, dtype=np.int64)
+    if len(bi):
+        last_k[bi] = kpos  # ascending within block → final write wins
+    eob_blk = np.flatnonzero(last_k < 63)
+    eob_tcl = tclass[eob_blk]
+    eob_code = np.where(eob_tcl == 0, ENC_AC[0][0][0x00], ENC_AC[1][0][0x00])
+    eob_len = np.where(eob_tcl == 0, ENC_AC[0][1][0x00], ENC_AC[1][1][0x00])
+
+    tok_blk = np.concatenate([np.arange(nb_total), bi, zrl_blk, eob_blk])
+    tok_seq = np.concatenate(
+        [
+            np.zeros(nb_total, dtype=np.int64),
+            seq_end,
+            zrl_seq,
+            np.full(len(eob_blk), 1 << 30, dtype=np.int64),
+        ]
+    )
+    tok_bits = np.concatenate([dc_bits, ac_bits, zrl_code, eob_code])
+    tok_len = np.concatenate([dc_len, ac_len, zrl_len, eob_len])
+    order = np.lexsort((tok_seq, tok_blk))
+    scan = _pack_bits(tok_bits[order], tok_len[order])
+
+    # --- markers ---
+    out = [b"\xff\xd8"]  # SOI
+    out.append(
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    ntab = 1 if gray else 2
+    for tid, q in enumerate((qy, qc)[:ntab]):
+        out.append(b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(q[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">HBHHB", 8 + 3 * len(grids), 8, h_img, w_img, len(grids))
+    for ci, (_, ch, cv, qid) in enumerate(grids):
+        sof += struct.pack(">BBB", ci + 1, (ch << 4) | cv, qid)
+    out.append(b"\xff\xc0" + sof)
+    huffs = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        huffs += [(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS), (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    for tc, bits, vals_ in huffs:
+        out.append(
+            b"\xff\xc4"
+            + struct.pack(">HB", 19 + len(vals_), tc)
+            + bytes(bits)
+            + bytes(vals_)
+        )
+    sos = struct.pack(">HB", 6 + 2 * len(grids), len(grids))
+    for ci, (_, _, _, qid) in enumerate(grids):
+        sos += struct.pack(">BB", ci + 1, 0x00 if qid == 0 else 0x11)
+    sos += b"\x00\x3f\x00"
+    out.append(b"\xff\xda" + sos)
+    out.append(scan)
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _extend(bits: int, sz: int) -> int:
+    return bits if bits >= (1 << (sz - 1)) else bits - (1 << sz) + 1
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Decode baseline JFIF bytes → uint8 (h, w) or (h, w, 3)."""
+    buf = bytes(buf)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    hufs: dict[int, list[int]] = {}  # (class<<4)|id → 2^16 LUT
+    comps = None  # list of (id, h, v, qid)
+    h_img = w_img = None
+    dri = 0
+    scan_comps = None
+    pos = 2
+    scan_start = None
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", buf, pos + 2)
+        seg = buf[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq_, tq = seg[o] >> 4, seg[o] & 15
+                if pq_ != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                t = np.frombuffer(seg, dtype=np.uint8, count=64, offset=o + 1).astype(np.int32)
+                z = np.zeros(64, dtype=np.int32)
+                z[ZIGZAG] = t  # stored in zigzag order → natural
+                qtabs[tq] = z
+                o += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline + ext sequential)
+            prec, h_img, w_img, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, qid = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 15, qid))
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            raise NotImplementedError(f"non-baseline SOF 0x{marker:02x}")
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc = seg[o]
+                bits = list(seg[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + nv])
+                hufs[tc] = _dec_lut(bits, vals)
+                o += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append((cs, tabs >> 4, tabs & 15))
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if comps is None or scan_start is None:
+        raise ValueError("missing SOF/SOS")
+
+    # entropy segment: up to the next non-RST marker; destuff + split on RSTs
+    segs: list[bytearray] = [bytearray()]
+    i = scan_start
+    n = len(buf)
+    while i < n:
+        nxt = buf.find(b"\xff", i)
+        if nxt < 0:
+            segs[-1] += buf[i:]
+            break
+        segs[-1] += buf[i:nxt]
+        m = buf[nxt + 1] if nxt + 1 < n else 0xD9
+        if m == 0x00:
+            segs[-1].append(0xFF)
+            i = nxt + 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytearray())
+            i = nxt + 2
+        else:
+            break
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    n_mcu = mcux * mcuy
+
+    # coefficient store per component
+    coef = []
+    for cid, ch, cv, qid in comps:
+        coef.append(np.zeros((mcuy * cv * mcux * ch, 64), dtype=np.int32))
+    dc_lut = {}
+    ac_lut = {}
+    for cs, td, ta in scan_comps:
+        ci = next(k for k, c in enumerate(comps) if c[0] == cs)
+        dc_lut[ci] = hufs[td]
+        ac_lut[ci] = hufs[0x10 | ta]
+
+    # per-MCU block slots: (comp, block_index_fn)
+    mcu_plan = []
+    for ci, (cid, ch, cv, qid) in enumerate(comps):
+        for dy in range(cv):
+            for dx in range(ch):
+                mcu_plan.append((ci, ch, cv, dy, dx))
+    nbx_comp = [mcux * c[1] for c in comps]
+
+    # flat coefficient accumulators (bulk numpy scatter afterwards beats
+    # per-coefficient numpy scalar writes ~5×)
+    out_pos: list[list[int]] = [[] for _ in comps]
+    out_val: list[list[int]] = [[] for _ in comps]
+    mcu_idx = 0
+    for seg in segs:
+        data = bytes(seg) + b"\xff\xff\xff\xff"  # 1-pad tail (T.81 F.2.2.5)
+        acc = 0
+        nb = 0
+        p = 0
+        preds = [0] * len(comps)
+        end_mcu = min(n_mcu, mcu_idx + dri) if dri else n_mcu
+        while mcu_idx < end_mcu:
+            my, mx = divmod(mcu_idx, mcux)
+            for ci, ch, cv, dy, dx in mcu_plan:
+                base = ((my * cv + dy) * nbx_comp[ci] + mx * ch + dx) << 6
+                lut_d = dc_lut[ci]
+                lut_a = ac_lut[ci]
+                pos_l = out_pos[ci]
+                val_l = out_val[ci]
+                # --- DC ---
+                if nb < 16:
+                    acc = ((acc << 16) | (data[p] << 8) | data[p + 1]) & 0xFFFFFFFF
+                    p += 2
+                    nb += 16
+                e = lut_d[(acc >> (nb - 16)) & 0xFFFF]
+                if e == 0:
+                    raise ValueError("invalid huffman code (DC)")
+                sz = e & 0xFF
+                nb -= (e >> 8) + sz
+                if sz:
+                    if nb < 0:
+                        acc = ((acc << 16) | (data[p] << 8) | data[p + 1]) & 0xFFFFFFFF
+                        p += 2
+                        nb += 16
+                    bits = (acc >> nb) & ((1 << sz) - 1)
+                    preds[ci] += bits if bits >= (1 << (sz - 1)) else bits - (1 << sz) + 1
+                pos_l.append(base)
+                val_l.append(preds[ci])
+                # --- AC ---
+                k = 1
+                while k < 64:
+                    if nb < 16:
+                        acc = ((acc << 16) | (data[p] << 8) | data[p + 1]) & 0xFFFFFFFF
+                        p += 2
+                        nb += 16
+                    e = lut_a[(acc >> (nb - 16)) & 0xFFFF]
+                    if e == 0:
+                        raise ValueError("invalid huffman code (AC)")
+                    s = e & 0xFF
+                    if s == 0:
+                        nb -= e >> 8
+                        break  # EOB
+                    if s == 0xF0:
+                        nb -= e >> 8
+                        k += 16
+                        continue
+                    sz = s & 15
+                    nb -= (e >> 8) + sz
+                    if nb < 0:
+                        acc = ((acc << 16) | (data[p] << 8) | data[p + 1]) & 0xFFFFFFFF
+                        p += 2
+                        nb += 16
+                    bits = (acc >> nb) & ((1 << sz) - 1)
+                    k += s >> 4
+                    if k > 63:
+                        raise ValueError("AC index overflow")
+                    pos_l.append(base + k)
+                    val_l.append(
+                        bits if bits >= (1 << (sz - 1)) else bits - (1 << sz) + 1
+                    )
+                    k += 1
+            mcu_idx += 1
+        if mcu_idx >= n_mcu:
+            break
+    for ci in range(len(comps)):
+        flat = coef[ci].reshape(-1)
+        flat[np.asarray(out_pos[ci], dtype=np.int64)] = np.asarray(
+            out_val[ci], dtype=np.int32
+        )
+
+    # dequantize → natural order → IDCT → planes (all-blocks vectorized)
+    planes = []
+    for ci, (cid, ch, cv, qid) in enumerate(comps):
+        Z = coef[ci].astype(np.float64)
+        nat = Z[:, UNZIGZAG] * qtabs[qid][None, :]
+        blocks = nat.reshape(-1, 8, 8)
+        pix = np.einsum("ji,bjk,kl->bil", DCT_M, blocks, DCT_M) + 128.0
+        nby = mcuy * cv
+        nbx = mcux * ch
+        plane = (
+            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        # upsample to full-res grid
+        if vmax // cv > 1:
+            plane = np.repeat(plane, vmax // cv, axis=0)
+        if hmax // ch > 1:
+            plane = np.repeat(plane, hmax // ch, axis=1)
+        planes.append(plane[:h_img, :w_img])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -252,12 +252,21 @@ def phash64(arr: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def images(spark: SparkSession, sf_dir: str, where: str | None = None) -> DataFrame:
+def images(
+    spark: SparkSession, sf_dir: str, where: str | None = None, with_bytes: bool = True
+) -> DataFrame:
     """Full input_hint table: footprints + encoded pixel payloads.
 
     ``where`` (SQL over footprint cols, e.g. ``okey % 20 = 0``) filters
     BEFORE pixel synthesis — pixels for excluded rows are never built
-    (the pushdown a parquet scan would do automatically)."""
+    (the pushdown a parquet scan would do automatically).
+
+    ``with_bytes=False`` skips the ENCODE step and yields
+    ``bytes=NULL``: the column-pruning analogue for queries that read
+    only metadata/phash (on a real Iceberg scan, Spark would never
+    fetch the ``bytes`` column for those plans — synthesizing + jpeg-
+    encoding pixels for them here would charge the engine for work a
+    pruned scan never does)."""
     from gdal_spark.session import ensure_pixel_batch_size
 
     ensure_pixel_batch_size(spark)
@@ -278,7 +287,11 @@ def images(spark: SparkSession, sf_dir: str, where: str | None = None) -> DataFr
                         "image_id": r.image_id,
                         # level-1 zlib: source synthesis isn't the
                         # engine under test; keep it cheap
-                        "bytes": codec.encode_image(arr, r.fmt, compress_level=1),
+                        "bytes": (
+                            codec.encode_image(arr, r.fmt, compress_level=1)
+                            if with_bytes
+                            else None
+                        ),
                         "w": r.w,
                         "h": r.h,
                         "fmt": r.fmt,

@@ -63,8 +63,9 @@ def test_decode_dispatch():
     a = synth(c=1)
     assert np.array_equal(C.decode_image(C.encode_image(a, "png")), a)
     assert C.decode_image(C.encode_image(a, "webp")).shape == a.shape
+    assert C.decode_image(C.encode_image(a, "jpeg")).shape == a.shape  # real T.81
     with pytest.raises(NotImplementedError):
-        C.decode_image(b"\xff\xd8\xff real jpeg not supported")
+        C.decode_image(b"RIFF....WEBPVP8 real webp not supported")
 
 
 def test_checksum_formula():
