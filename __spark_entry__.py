@@ -1144,6 +1144,155 @@ FROM aoi
 """
 
 
+def _tri_sq_inter_sql(a: str, b: str) -> str:
+    """Closed-form area of {x,y ≥ 0, x+y ≤ a} ∩ [0,b]² as dual-dialect
+    SQL (all three regimes of the hypotenuse vs the square)."""
+    return (
+        f"(CASE WHEN ({a}) >= 2.0 * ({b}) THEN ({b}) * ({b}) "
+        f"WHEN ({a}) >= ({b}) THEN ({b}) * ({b}) - (2.0 * ({b}) - ({a})) * (2.0 * ({b}) - ({a})) / 2.0 "
+        f"ELSE ({a}) * ({a}) / 2.0 END)"
+    )
+
+
+# right-isoceles triangle A legs a at the origin; square B = [0,b]²;
+# second triangle C = legs a-1 at (1,1) (x,y ≥ 1, x+y ≤ a+1) — every
+# pairwise/3-way boolean has a closed form (see oracles)
+_GB_A = "CAST(4 + n_nationkey % 5 AS DOUBLE)"
+_GB_B = "CAST(2 + n_nationkey % 3 AS DOUBLE)"
+
+
+def _q_st_general_boolean(spark, sf_dir):
+    """General-polygon constructive geometry (the round-2 capability
+    boundary, now closed by the slab boolean kernel): triangle ×
+    square union/difference/symdifference, triangle × triangle
+    intersection (general × general — no rectangle fast path), and
+    the general-polygon round-join ST_Buffer. Areas are measured FROM
+    the emitted geometries (reference surface:
+    ``ogr/ogr_geometry.h:560-578``, cases modeled on
+    ``autotest/pyscripts/test_ogr_layer_algebra.py``)."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation_gb")
+    return spark.sql(
+        f"""
+        WITH shapes AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+                 {_GB_A} AS a, {_GB_B} AS b,
+                 ST_GeomFromText(concat('POLYGON ((0 0, ', CAST({_GB_A} AS STRING),
+                     ' 0, 0 ', CAST({_GB_A} AS STRING), ', 0 0))')) AS tri,
+                 ST_GeomFromText(concat('POLYGON ((0 0, ', CAST({_GB_B} AS STRING),
+                     ' 0, ', CAST({_GB_B} AS STRING), ' ', CAST({_GB_B} AS STRING),
+                     ', 0 ', CAST({_GB_B} AS STRING), ', 0 0))')) AS sqr,
+                 ST_GeomFromText(concat('POLYGON ((1 1, ', CAST({_GB_A} AS STRING),
+                     ' 1, 1 ', CAST({_GB_A} AS STRING), ', 1 1))')) AS tri_c
+          FROM nation_gb
+        )
+        SELECT poly_id,
+               round(coalesce(ST_Area(ST_Intersection(tri, sqr)), 0.0), 6) AS inter_ab,
+               round(coalesce(ST_Area(ST_Union(tri, sqr)), 0.0), 6) AS union_ab,
+               round(coalesce(ST_Area(ST_Difference(tri, sqr)), 0.0), 6) AS diff_ab,
+               round(coalesce(ST_Area(ST_Union(tri, sqr)), 0.0)
+                     - coalesce(ST_Area(ST_Intersection(tri, sqr)), 0.0), 6) AS sym_ab,
+               round(coalesce(ST_Area(ST_Intersection(tri, tri_c)), 0.0), 6) AS inter_ac,
+               round(ST_Area(ST_Buffer(tri, 0.5)), 6) AS buf_area
+        FROM shapes
+        """
+    )
+
+
+def _st_general_boolean_oracle() -> str:
+    import math
+
+    inter_ab = _tri_sq_inter_sql("a", "b")
+    # C in A's frame: shift (1,1) → triangle legs (a-2); buffer of the
+    # axis right-isoceles triangle is EXACT with quadsegs=8 (every
+    # vertex-wedge boundary lands on a 32-gon vertex; see
+    # tests/test_clipper.py::test_buffer_right_isoceles_closed_form)
+    ngon = 16.0 * math.sin(math.pi / 16.0)
+    return f"""
+WITH shapes AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+         {_GB_A} AS a, {_GB_B} AS b
+  FROM nation
+)
+SELECT poly_id,
+       round({inter_ab}, 6) AS inter_ab,
+       round(a * a / 2.0 + b * b - {inter_ab}, 6) AS union_ab,
+       round(a * a / 2.0 - {inter_ab}, 6) AS diff_ab,
+       round(a * a / 2.0 + b * b - 2.0 * {inter_ab}, 6) AS sym_ab,
+       round((a - 2.0) * (a - 2.0) / 2.0, 6) AS inter_ac,
+       round(a * a / 2.0 + (2.0 * a + a * CAST({math.sqrt(2.0)!r} AS DOUBLE)) * 0.5
+             + CAST({ngon!r} AS DOUBLE) * 0.25, 6) AS buf_area
+FROM shapes
+"""
+
+
+def _q_dissolve_geom(spark, sf_dir):
+    """Dissolve emitting the merged union GEOMETRY (N-way general
+    union — ``apps/gdalalg_vector_dissolve`` + GEOS UnaryUnion): three
+    overlapping parts per group (triangle, square, shifted triangle);
+    the oracle pins the 3-way inclusion–exclusion area computed FROM
+    the emitted WKB and the ring count (star-shaped union → exactly
+    one exterior, no holes)."""
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.operators.dissolve import dissolve_geom
+
+    register_st_functions(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation_dg")
+    parts = spark.sql(
+        f"""
+        SELECT CAST(n_nationkey AS STRING) AS grp,
+               ST_GeomFromText(wkt) AS geom
+        FROM (
+          SELECT n_nationkey,
+                 explode(array(
+                   concat('POLYGON ((0 0, ', CAST({_GB_A} AS STRING), ' 0, 0 ',
+                          CAST({_GB_A} AS STRING), ', 0 0))'),
+                   concat('POLYGON ((0 0, ', CAST({_GB_B} AS STRING), ' 0, ',
+                          CAST({_GB_B} AS STRING), ' ', CAST({_GB_B} AS STRING),
+                          ', 0 ', CAST({_GB_B} AS STRING), ', 0 0))'),
+                   concat('POLYGON ((1 1, ', CAST({_GB_A} AS STRING), ' 1, 1 ',
+                          CAST({_GB_A} AS STRING), ', 1 1))')
+                 )) AS wkt
+          FROM nation_dg
+        )
+        """
+    )
+    out = dissolve_geom(parts, by="grp", geom="geom")
+    return out.select(
+        "grp",
+        "n_polys",
+        F.round("union_area", 6).alias("union_area"),
+        F.col("n_rings").cast("int").alias("n_rings"),
+    )
+
+
+def _dissolve_geom_oracle() -> str:
+    # inclusion–exclusion: |A| = a²/2, |B| = b², |C| = (a-1)²/2;
+    # |A∩B| = tri_sq(a, b); |A∩C| = (a-2)²/2 (C's own hypotenuse is
+    # x+y ≤ a+1, A's is the binding one shifted: u+v ≤ a-2);
+    # |B∩C| = tri_sq(a-1, b-1) in C's (1,1)-shifted frame;
+    # |A∩B∩C| = tri_sq(a-2, b-1).
+    ab = _tri_sq_inter_sql("a", "b")
+    bc = _tri_sq_inter_sql("a - 1.0", "b - 1.0")
+    abc = _tri_sq_inter_sql("a - 2.0", "b - 1.0")
+    return f"""
+WITH shapes AS (
+  SELECT CAST(n_nationkey AS VARCHAR) AS grp, {_GB_A} AS a, {_GB_B} AS b
+  FROM nation
+)
+SELECT grp, CAST(3 AS BIGINT) AS n_polys,
+       round(a * a / 2.0 + b * b + (a - 1.0) * (a - 1.0) / 2.0
+             - {ab}
+             - (a - 2.0) * (a - 2.0) / 2.0
+             - {bc}
+             + {abc}, 6) AS union_area,
+       CAST(1 AS INTEGER) AS n_rings
+FROM shapes
+"""
+
+
 def _q_saved_plan(spark, sf_dir):
     """Streamed-algorithm dataset (.gdalg.json analogue,
     frmts/gdalg/gdalgdriver.cpp:190): a pipeline serialized to JSON,
@@ -2068,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_functions": _q_st_functions,
         "st_predicates": _q_st_predicates,
         "st_constructive": _q_st_constructive,
+        "st_general_boolean": _q_st_general_boolean,
+        "vector_dissolve_geom": _q_dissolve_geom,
         "morton_order": _q_morton,
         "hilbert_order": _q_hilbert,
         "vector_segmentize": _q_segmentize,
@@ -2155,6 +2306,8 @@ def oracle_sql() -> dict[str, str]:
         "st_functions": ST_ORACLE,
         "st_predicates": ST_PRED_ORACLE,
         "st_constructive": _st_constructive_oracle(),
+        "st_general_boolean": _st_general_boolean_oracle(),
+        "vector_dissolve_geom": _dissolve_geom_oracle(),
         "morton_order": _morton_oracle(),
         "hilbert_order": _hilbert_oracle(),
         "vector_segmentize": SEGMENTIZE_ORACLE,

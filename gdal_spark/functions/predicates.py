@@ -209,9 +209,11 @@ def buffer_geom(g: G.Geom, dist: float, quadsegs: int = 8) -> bytes:
     - point → regular 4·quadsegs-gon of radius dist (first vertex at
       angle 0, counter-clockwise — GEOS emits the same vertex count),
     - axis rectangle → rectangle grown by dist with quarter-circle
-      arcs at the corners (exact rounded-rect, 4·quadsegs arc verts).
-    General polygons raise NotImplementedError (needs full GEOS offset
-    curves — out of scope, documented capability boundary)."""
+      arcs at the corners (exact rounded-rect, 4·quadsegs arc verts),
+    - general polygon → union of the polygon, one offset rectangle per
+      edge and one disc n-gon per vertex (round joins), evaluated by
+      the slab boolean kernel (``functions.clipper``) — the standard
+      GEOS offset-curve construction."""
     n = 4 * quadsegs
     if g.gtype == G.WKB_POINT:
         cx, cy = g.coords[0][0]
@@ -220,7 +222,17 @@ def buffer_geom(g: G.Geom, dist: float, quadsegs: int = 8) -> bytes:
         return G.wkb_polygon([ring])
     r = as_rect(g)
     if r is None:
-        raise NotImplementedError("buffer of general polygons needs GEOS offset curves")
+        from gdal_spark.functions import clipper
+
+        if dist <= 0:
+            raise NotImplementedError("negative buffer of general polygons")
+        rings, roles = clipper.boolean_rings(
+            clipper.buffer_rings(g, dist, quadsegs), "union"
+        )
+        out = clipper.rings_to_wkb(rings, roles)
+        if out is None:
+            raise ValueError("buffer produced empty geometry")
+        return out
     x0, y0, x1, y1 = r
     corners = [(x1, y1, 0.0), (x0, y1, 0.5), (x0, y0, 1.0), (x1, y0, 1.5)]
     pts = []
@@ -234,11 +246,14 @@ def buffer_geom(g: G.Geom, dist: float, quadsegs: int = 8) -> bytes:
 def intersection_geom(ga: G.Geom, gb: G.Geom) -> bytes | None:
     """ST_Intersection / the spatial join's intersected-geometry output
     (``ogrlayer.cpp:5565,5589-5592``): exact when either side is an
-    axis rectangle (Sutherland–Hodgman clip of the other side's rings).
+    axis rectangle (Sutherland–Hodgman clip of the other side's rings);
+    general polygon × polygon via the slab boolean kernel.
     Returns WKB polygon or None when empty."""
     ra, rb = as_rect(ga), as_rect(gb)
     if rb is None and ra is None:
-        raise NotImplementedError("general polygon × polygon intersection needs a clipper")
+        from gdal_spark.functions import clipper
+
+        return clipper.boolean_geom(ga, gb, "intersection")
     if rb is None:
         ga, gb = gb, ga
         ra, rb = rb, ra

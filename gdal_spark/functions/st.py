@@ -253,9 +253,11 @@ def st_union(wa: pd.Series, wb: pd.Series) -> pd.Series:
             return a
         ga, gb = G.parse_wkb(bytes(a)), G.parse_wkb(bytes(b))
         ra, rb = P.as_rect(ga), P.as_rect(gb)
-        if ra is None or rb is None:
-            raise NotImplementedError("general polygon union needs GEOS")
-        return P.union_rects_polygons(np.asarray([ra, rb], dtype=np.float64))
+        if ra is not None and rb is not None:
+            return P.union_rects_polygons(np.asarray([ra, rb], dtype=np.float64))
+        from gdal_spark.functions.clipper import boolean_geom
+
+        return boolean_geom(ga, gb, "union")
 
     return pd.Series([f(a, b) for a, b in zip(wa, wb)])
 
@@ -270,7 +272,9 @@ def st_difference(wa: pd.Series, wb: pd.Series) -> pd.Series:
         ga, gb = G.parse_wkb(bytes(a)), G.parse_wkb(bytes(b))
         ra, rb = P.as_rect(ga), P.as_rect(gb)
         if ra is None or rb is None:
-            raise NotImplementedError("general polygon difference needs GEOS")
+            from gdal_spark.functions.clipper import boolean_geom
+
+            return boolean_geom(ga, gb, "difference")
         parts = P.difference_rects(ra, rb)
         if not parts:
             return None
