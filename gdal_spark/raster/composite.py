@@ -65,6 +65,26 @@ def color_map(images: DataFrame, palette: np.ndarray | None = None) -> DataFrame
     return images.mapInPandas(run, schema=schema)
 
 
+def blend_arrays(arrs: list, alpha: float = 0.5) -> np.ndarray:
+    """The blend_pair group kernel as a plain function (module-level so
+    the in-test scalar loop oracle can pin it): first array gets weight
+    ``alpha``, the remaining n−1 split ``1−alpha`` evenly, all resized
+    to the first's shape, half-up rounded to uint8."""
+    from gdal_spark.raster.resample import resize_nearest
+
+    base = arrs[0][:, :, 0] if arrs[0].ndim == 3 else arrs[0]
+    acc = base.astype(np.float64) * alpha
+    others = arrs[1:]
+    if others:
+        w_each = (1.0 - alpha) / len(others)
+        for a in others:
+            g = a[:, :, 0] if a.ndim == 3 else a
+            if g.shape != base.shape:
+                g = resize_nearest(g, base.shape[0], base.shape[1])
+            acc += g.astype(np.float64) * w_each
+    return np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
+
+
 def blend_pair(images: DataFrame, alpha: float = 0.5) -> DataFrame:
     """N-way weighted composite per ``pair_id`` group: the first member
     (by image_id order) gets weight ``alpha`` and the remaining n−1
@@ -74,25 +94,13 @@ def blend_pair(images: DataFrame, alpha: float = 0.5) -> DataFrame:
     groups generalize it to a deterministic multi-image blend.
     Returns (pair_id, checksum, w, h, n_members)."""
     _ensure(images)
-    from gdal_spark.raster.resample import resize_nearest
 
     schema = "pair_id long, checksum int, w int, h int, n_members int"
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("image_id")
         arrs = [codec.decode_image(r.bytes, r.fmt) for r in pdf.itertuples()]
-        base = arrs[0][:, :, 0] if arrs[0].ndim == 3 else arrs[0]
-        acc = base.astype(np.float64) * alpha
-        rest_w = 1.0 - alpha
-        others = arrs[1:]
-        if others:
-            w_each = rest_w / len(others)
-            for a in others:
-                g = a[:, :, 0] if a.ndim == 3 else a
-                if g.shape != base.shape:
-                    g = resize_nearest(g, base.shape[0], base.shape[1])
-                acc += g.astype(np.float64) * w_each
-        out = np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
+        out = blend_arrays(arrs, alpha)
         return pd.DataFrame(
             [{
                 "pair_id": int(key[0]),

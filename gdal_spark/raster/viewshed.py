@@ -66,6 +66,79 @@ def viewshed_mask(dem: np.ndarray, ox: int, oy: int, obs_height: float = 10.0, r
     return out
 
 
+def viewshed_mask_wang(
+    dem: np.ndarray, ox: int, oy: int, obs_height: float = 10.0
+) -> np.ndarray:
+    """Exact per-pixel viewshed at native resolution — the Wang et al.
+    line propagation the reference implements
+    (``alg/viewshed/viewshed.cpp:543``, CalcHeightLine/CalcHeightEdge
+    cases): sweep rows outward from the observer keeping a per-cell
+    max-elevation-angle accumulator; a cell's blocking threshold is
+    the linear interpolation of the accumulator at the point where its
+    sight line crosses the previous ROW (steep rays, |dy| ≥ |dx| —
+    vectorized gather+lerp per row) or the previous COLUMN boundary
+    (shallow rays, |dx| > |dy| — interpolates between the previous-row
+    and already-computed same-row neighbor, a sequential outward scan
+    over the two wedge spans). Visible iff the cell's own angle clears
+    its threshold. O(n²) total, no sampling, no overview reduction
+    (replaces round-2's sampled-LOS approximation)."""
+    dem = dem.astype(np.float64)
+    h, w = dem.shape
+    oz = dem[oy, ox] + obs_height
+    xs = np.arange(w, dtype=np.float64)
+    vis = np.zeros((h, w), dtype=bool)
+
+    def row_angles(y: int) -> np.ndarray:
+        d = np.hypot(xs - ox, float(y - oy))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return (dem[y] - oz) / d
+
+    # observer row: blocking = running max of angles strictly between
+    ang0 = row_angles(oy)
+    aux0 = np.full(w, -np.inf)
+    vis[oy, ox] = True
+    for step in (1, -1):
+        run = -np.inf
+        x = ox + step
+        while 0 <= x < w:
+            vis[oy, x] = ang0[x] >= run
+            run = max(run, ang0[x])
+            aux0[x] = run
+            x += step
+    for direction, rows in ((1, range(oy + 1, h)), (-1, range(oy - 1, -1, -1))):
+        prev = aux0.copy()
+        for y in rows:
+            yp = y - direction
+            dy = y - oy
+            ang = row_angles(y)
+            aux = np.empty(w)
+            # --- steep case |dx| <= |dy|: crossing on the previous row
+            lo = max(0, ox - abs(dy))
+            hi = min(w - 1, ox + abs(dy))
+            xv = xs[lo : hi + 1]
+            px = ox + (xv - ox) * (yp - oy) / dy
+            i0 = np.clip(np.floor(px).astype(np.int64), 0, w - 1)
+            i1 = np.minimum(i0 + 1, w - 1)
+            f = px - i0
+            blocking = prev[i0] * (1.0 - f) + prev[i1] * f
+            vis[y, lo : hi + 1] = ang[lo : hi + 1] >= blocking
+            aux[lo : hi + 1] = np.maximum(ang[lo : hi + 1], blocking)
+            # --- shallow case |dx| > |dy|: crossing on the previous
+            # column boundary, between prev-row and same-row neighbors
+            for sx in (1, -1):
+                x = ox + sx * (abs(dy) + 1)
+                while 0 <= x < w:
+                    xc = x - sx
+                    yc = oy + (xc - ox) * dy / (x - ox)
+                    fy = abs(yc - yp)  # 0 at prev row, 1 at this row
+                    b = prev[xc] * (1.0 - fy) + aux[xc] * fy
+                    vis[y, x] = ang[x] >= b
+                    aux[x] = ang[x] if ang[x] > b else b
+                    x += sx
+            prev = aux
+    return vis
+
+
 def _downsample(dem: np.ndarray, max_dim: int) -> np.ndarray:
     """Block-average the DEM so max(h, w) <= max_dim (the reference's
     practice of running viewshed on an overview level for speed)."""
@@ -79,9 +152,11 @@ def _downsample(dem: np.ndarray, max_dim: int) -> np.ndarray:
     return block_reduce(dem[: h2 * f, : w2 * f].astype(np.float64), h2, w2, "average")
 
 
-def viewshed(images: DataFrame, obs_height: float = 10.0, max_dim: int = 128) -> DataFrame:
-    """Per-image viewshed of band 0 (treated as elevation, block-
-    averaged to ``max_dim``) from the image-center observer. Returns
+def viewshed(images: DataFrame, obs_height: float = 10.0, max_dim: int | None = None) -> DataFrame:
+    """Per-image viewshed of band 0 (treated as elevation) from the
+    image-center observer — the exact Wang propagation at NATIVE
+    resolution by default (``max_dim`` re-enables the overview
+    reduction for callers that want the speed trade). Returns
     (image_id, n_visible, pct_visible, checksum) — checksum of the
     0/255 visibility raster, the golden currency."""
     from gdal_spark.session import ensure_pixel_batch_size
@@ -94,9 +169,11 @@ def viewshed(images: DataFrame, obs_height: float = 10.0, max_dim: int = 128) ->
             rows = []
             for r in pdf.itertuples():
                 arr = codec.decode_image(r.bytes, r.fmt)
-                dem = _downsample(arr[:, :, 0] if arr.ndim == 3 else arr, max_dim)
+                dem = arr[:, :, 0] if arr.ndim == 3 else arr
+                if max_dim is not None:
+                    dem = _downsample(dem, max_dim)
                 h, w = dem.shape
-                mask = viewshed_mask(dem, w // 2, h // 2, obs_height)
+                mask = viewshed_mask_wang(dem, w // 2, h // 2, obs_height)
                 vis255 = (mask * 255).astype(np.uint8)
                 rows.append(
                     (r.image_id, int(mask.sum()),

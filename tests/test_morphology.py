@@ -90,3 +90,75 @@ def test_viewshed_kernel():
     ridge[:, 8] = 50.0
     m2 = viewshed_mask(ridge, 2, 8, 1.0)
     assert not m2[8, 12]
+
+
+def brute_force_los(dem, ox, oy, obs_height=10.0, oversample=4):
+    """Independent per-cell scalar LOS oracle: densely sample each ray,
+    bilinear terrain, blocked iff any interior sample rises above the
+    sight line. O(n^3) — test-only."""
+    dem = dem.astype(np.float64)
+    h, w = dem.shape
+    oz = dem[oy, ox] + obs_height
+    out = np.zeros((h, w), dtype=bool)
+    for y in range(h):
+        for x in range(w):
+            if (x, y) == (ox, oy):
+                out[y, x] = True
+                continue
+            dist = np.hypot(x - ox, y - oy)
+            n = max(2, int(np.ceil(dist)) * oversample)
+            vis = True
+            for k in range(1, n):
+                t = k / n
+                sx = ox + (x - ox) * t
+                sy = oy + (y - oy) * t
+                x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+                x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+                fx, fy = sx - x0, sy - y0
+                tv = (dem[y0, x0] * (1 - fx) * (1 - fy) + dem[y0, x1] * fx * (1 - fy)
+                      + dem[y1, x0] * (1 - fx) * fy + dem[y1, x1] * fx * fy)
+                if tv > oz + (dem[y, x] - oz) * t:
+                    vis = False
+                    break
+            out[y, x] = vis
+    return out
+
+
+def test_viewshed_wang_exact_on_crafted_dems():
+    """Crafted DEMs where the Wang propagation is interpolation-exact:
+    flat (all visible), full-column wall (everything beyond blocked),
+    Chebyshev cone from the peak (all visible). Brute-force per-cell
+    LOS must agree cell-for-cell."""
+    from gdal_spark.raster.viewshed import viewshed_mask_wang
+
+    flat = np.zeros((17, 17))
+    assert viewshed_mask_wang(flat, 8, 8, 10.0).all()
+
+    wall = np.zeros((17, 17))
+    wall[:, 11] = 200.0
+    got = viewshed_mask_wang(wall, 8, 8, 10.0)
+    exp = brute_force_los(wall, 8, 8, 10.0)
+    assert np.array_equal(got, exp)
+    assert not got[:, 12:].any() and got[:, :12].all()
+
+    yy, xx = np.mgrid[0:17, 0:17]
+    cone = np.maximum(0.0, 100.0 - 10.0 * np.maximum(np.abs(xx - 8), np.abs(yy - 8)))
+    assert viewshed_mask_wang(cone, 8, 8, 10.0).all()
+
+
+def test_viewshed_wang_vs_bruteforce_random_dem():
+    """On a smooth random DEM the Wang interpolation is an approx of
+    the exact ray test — require >= 97% cell agreement (the reference
+    algorithm has the same interpolation-order deviation)."""
+    from gdal_spark.raster.viewshed import viewshed_mask_wang
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(0, 60, (7, 7))
+    # bilinear-upsample to 28x28 for smoothness
+    from gdal_spark.raster.resample import resize_kernel
+
+    dem = resize_kernel(base, 28, 28, "bilinear")
+    got = viewshed_mask_wang(dem, 14, 14, 8.0)
+    exp = brute_force_los(dem, 14, 14, 8.0)
+    agree = (got == exp).mean()
+    assert agree >= 0.97, agree

@@ -1,0 +1,112 @@
+"""Independent scalar-loop oracles for the self-referential kernels.
+
+Round-2 verdict item 9: golden parquet pins distribution invariance
+only — these tests pin KERNEL SEMANTICS with per-pixel Python loop
+re-derivations written independently of the NumPy array programs
+(the same method the checksum/EDT/TIN kernels already have).
+"""
+
+import numpy as np
+
+from gdal_spark.raster.palette import map_nearest, median_cut
+from gdal_spark.raster.pipeline import pansharpen_array
+
+
+def synth(h=8, w=12, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+def test_pansharpen_vs_per_pixel_loop():
+    arr = synth()
+    got = pansharpen_array(arr, factor=2)
+    h, w = arr.shape[:2]
+    exp = np.zeros_like(arr)
+    for y in range(h):
+        for x in range(w):
+            # pan = channel mean at full res
+            pan = (float(arr[y, x, 0]) + float(arr[y, x, 1]) + float(arr[y, x, 2])) / 3.0
+            by, bx = (y // 2) * 2, (x // 2) * 2
+            # MS = 2×2 block average rounded half-up to int (GDAL
+            # overview-average semantics for integer rasters,
+            # gcore/overview.cpp), nearest-upsampled
+            ms = [
+                float(int(np.floor((
+                    float(arr[by, bx, c]) + float(arr[by, bx + 1, c])
+                    + float(arr[by + 1, bx, c]) + float(arr[by + 1, bx + 1, c])
+                ) / 4.0 + 0.5)))
+                for c in range(3)
+            ]
+            denom = (ms[0] + ms[1] + ms[2]) / 3.0
+            ratio = pan / denom if denom > 0 else 0.0
+            for c in range(3):
+                exp[y, x, c] = min(255, max(0, int(np.floor(ms[c] * ratio + 0.5))))
+    assert np.array_equal(got, exp)
+
+
+def naive_median_cut(arr, n_colors):
+    """List-based median cut re-derivation: most-populous splittable
+    box first, widest channel (lowest index on ties), stable median
+    split, mean palette, palette sorted by packed RGB key."""
+    boxes = [[tuple(int(v) for v in p) for p in arr.reshape(-1, 3)]]
+    while len(boxes) < n_colors:
+        order = sorted(range(len(boxes)), key=lambda i: -len(boxes[i]))
+        for bi in order:
+            b = boxes[bi]
+            spans = [max(p[c] for p in b) - min(p[c] for p in b) for c in range(3)]
+            if max(spans) == 0 or len(b) < 2:
+                continue
+            ch = spans.index(max(spans))
+            idx = sorted(range(len(b)), key=lambda i: b[i][ch])  # stable
+            half = len(b) // 2
+            boxes[bi : bi + 1] = [[b[i] for i in idx[:half]], [b[i] for i in idx[half:]]]
+            break
+        else:
+            break
+    pal = []
+    for b in boxes:
+        pal.append(
+            tuple(
+                min(255, max(0, int(np.floor(sum(p[c] for p in b) / len(b) + 0.5))))
+                for c in range(3)
+            )
+        )
+    pal.sort(key=lambda p: p[0] * 65536 + p[1] * 256 + p[2])
+    return np.array(pal, dtype=np.uint8)
+
+
+def test_median_cut_vs_naive():
+    arr = synth(6, 6, seed=9)
+    got = median_cut(arr, n_colors=8)
+    exp = naive_median_cut(arr, 8)
+    assert np.array_equal(got, exp)
+
+
+def test_map_nearest_vs_loop():
+    arr = synth(5, 7, seed=2)
+    pal = median_cut(arr, 8)
+    got = map_nearest(arr, pal)
+    for y in range(5):
+        for x in range(7):
+            best, bd = 0, 10 ** 9
+            for i, p in enumerate(pal.astype(int)):
+                d = sum((int(arr[y, x, c]) - p[c]) ** 2 for c in range(3))
+                if d < bd:
+                    best, bd = i, d
+            assert got[y, x] == best
+
+
+def test_blend_vs_loop():
+    """blend_arrays (the blend_pair group kernel): first member weight
+    alpha, others split 1-alpha; half-up rounding — re-derived per
+    pixel with scalar arithmetic."""
+    from gdal_spark.raster.composite import blend_arrays
+
+    a = synth(6, 6, seed=3)[:, :, 0]
+    b = synth(6, 6, seed=4)[:, :, 0]
+    c = synth(6, 6, seed=5)[:, :, 0]
+    got = blend_arrays([a, b, c], alpha=0.5)
+    for y in range(6):
+        for x in range(6):
+            v = float(a[y, x]) * 0.5 + float(b[y, x]) * 0.25 + float(c[y, x]) * 0.25
+            assert got[y, x] == min(255, max(0, int(np.floor(v + 0.5))))

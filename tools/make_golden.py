@@ -581,8 +581,8 @@ def g_raster_palette(sf_dir, n_colors=16):
     return schema, rows
 
 
-def g_raster_viewshed(sf_dir, obs_height=10.0, max_dim=128):
-    from gdal_spark.raster.viewshed import _downsample, viewshed_mask
+def g_raster_viewshed(sf_dir, obs_height=10.0):
+    from gdal_spark.raster.viewshed import viewshed_mask_wang
 
     rows = []
     for okey in order_keys(sf_dir):
@@ -590,9 +590,9 @@ def g_raster_viewshed(sf_dir, obs_height=10.0, max_dim=128):
             continue
         fp = footprint(okey)
         arr = decoded_pixels(fp)
-        dem = _downsample(arr[:, :, 0] if arr.ndim == 3 else arr, max_dim)
+        dem = arr[:, :, 0] if arr.ndim == 3 else arr
         h, w = dem.shape
-        mask = viewshed_mask(dem, w // 2, h // 2, obs_height)
+        mask = viewshed_mask_wang(dem, w // 2, h // 2, obs_height)
         vis255 = (mask * 255).astype(np.uint8)
         rows.append(
             (fp["image_id"], int(mask.sum()),
