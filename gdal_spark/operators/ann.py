@@ -17,6 +17,8 @@ noise cannot flip equality checks; ordering ties broken by vec_id.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,13 +67,64 @@ def brute_force_topk(
 
 
 def plane_sign_expr(plane: int, i: int) -> str:
-    """±1 component i of pseudo-hyperplane ``plane``: high bit of a
-    md5 hex digit of a fixed seed string — identical in Spark/DuckDB."""
-    pos = (plane * DIM + i) % 32 + 1
-    return (
-        f"CASE WHEN substr(md5('plane{plane}_{i // 32}'), {pos}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END"
-    )
+    """±1 component i of pseudo-hyperplane ``plane``: high bit of an
+    md5 hex digit of a fixed seed string. md5 of a constant is folded
+    HERE (Python hashlib — the identical algorithm SQL ``md5()``
+    runs) to a bare ``1.0``/``-1.0`` literal: the earlier form that
+    shipped the ``CASE WHEN substr(md5(...))`` tree to the engine made
+    each 32-bit signature a ~20k-node expression, and Catalyst spent
+    ~18 s analyzing the ann_lsh plan before reading a single row."""
+    import hashlib
+
+    pos = (plane * DIM + i) % 32
+    h = hashlib.md5(f"plane{plane}_{i // 32}".encode()).hexdigest()
+    return "1.0" if h[pos] in "89abcdef" else "-1.0"
+
+
+def _plane_matrix(n_planes: int):
+    """(DIM × n_planes) ±1 matrix — the same md5-derived signs
+    ``plane_sign_expr`` folds into the SQL, as floats."""
+    import hashlib
+
+    S = np.empty((DIM, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        h = None
+        for i in range(DIM):
+            if i % 32 == 0:
+                h = hashlib.md5(f"plane{p}_{i // 32}".encode()).hexdigest()
+            S[i, p] = 1.0 if h[(p * DIM + i) % 32] in "89abcdef" else -1.0
+    return S
+
+
+def sig_bits_udf(n_planes: int):
+    """Arrow-vectorized twin of ``signature_expr``: all ``n_planes``
+    hyperplane bits of each embedding as one '0'/'1' string.
+
+    Bit-identical to the SQL ``+``-chain the DuckDB oracle runs: the
+    projection is accumulated dimension-by-dimension (``P += x_i·s_i``
+    for i = 0..63), i.e. the exact left-associated float64 addition
+    order of ``t0 + t1 + … + t63`` (0.0 + t0 ≡ t0 in IEEE754), so the
+    ``> 0`` sign test can never disagree. Exists because the expression
+    form is a ~20k-node tree per row that Catalyst evaluates at ~10 ms
+    per row (janino-split interpreted chains) — the NumPy path is a
+    64-step vectorized loop per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    S = _plane_matrix(n_planes)
+
+    @pandas_udf(StringType())
+    def _sig(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype(np.float64)  # n × DIM
+        P = np.zeros((len(X), S.shape[1]), dtype=np.float64)
+        for i in range(DIM):  # left-to-right: matches the SQL fold
+            P += X[:, i : i + 1] * S[i]
+        chars = np.where(P > 0, "1", "0").astype("<U1")
+        return pd.Series(np.ascontiguousarray(chars).view(f"<U{S.shape[1]}").ravel())
+
+    return _sig
 
 
 def signature_expr(emb: str, n_planes: int = N_PLANES, accessor: str = "element_at({emb}, {i})") -> str:
@@ -106,7 +159,7 @@ def embedding_neardup_pairs(
     exactly like the MinHash band join does for text; recall for
     near-identical vectors is governed by n_planes (each plane flips
     with probability θ/π ≈ 0.045 at cosine 0.99)."""
-    sig = embeddings.withColumn("sig", F.expr(signature_expr("embedding", n_planes)))
+    sig = embeddings.withColumn("sig", sig_bits_udf(n_planes)("embedding"))
     a = sig.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "sig"
     )
@@ -133,7 +186,7 @@ def lsh_topk(
     see ``lsh_topk_banded`` for the OR-amplified search operator).
     Deterministic (md5-derived planes) so the DuckDB oracle reproduces
     the same buckets and therefore the same result set."""
-    sig = embeddings.withColumn("sig", F.expr(signature_expr("embedding", n_planes)))
+    sig = embeddings.withColumn("sig", sig_bits_udf(n_planes)("embedding"))
     q = sig.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -191,13 +244,21 @@ def lsh_topk_banded(
     recall≈0.69 scanning ~15% of rows; pushing hyperplane LSH to 0.9
     on such data degenerates to a full scan. ``ivf_topk`` is the
     engine's ≥0.9-recall path; ``bench.py`` reports both recalls
-    against ``brute_force_topk``."""
-    exprs = band_sig_exprs(bands, rows)
+    against ``brute_force_topk``.
+
+    The full bands·rows-bit signature is computed ONCE per vector by
+    the Arrow UDF (bit-identical to the oracle's SQL chain, see
+    ``sig_bits_udf``); band keys are cheap substrings of it."""
+    n_bits = bands * rows
+    full = embeddings.withColumn("sig", sig_bits_udf(n_bits)("embedding"))
     parts = [
-        F.struct(F.lit(b).alias("band"), F.expr(e).alias("bkey")).alias(f"p{b}")
-        for b, e in enumerate(exprs)
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("sig", b * rows + 1, rows).alias("bkey"),
+        ).alias(f"p{b}")
+        for b in range(bands)
     ]
-    sig = embeddings.select(
+    sig = full.select(
         "vec_id", "embedding", F.explode(F.array(*parts)).alias("bb")
     ).select("vec_id", "embedding", "bb.band", "bb.bkey")
     q = sig.filter(F.col("vec_id") < n_queries).select(
