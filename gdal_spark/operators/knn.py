@@ -132,6 +132,19 @@ def knn_join(
             (F.col("_slon") - F.col("_qlon")) * (F.col("_slon") - F.col("_qlon"))
             + (F.col("_slat") - F.col("_qlat")) * (F.col("_slat") - F.col("_qlat")),
         )
+        guarantee = float(r * s) ** 2
+        if not exact_all:
+            # EXACTLY equivalent pre-filter that shrinks the window
+            # input ~3×: a ring round only certifies a query when its
+            # k-th candidate lies STRICTLY inside the ring guarantee
+            # (any unseen site outside the block is ≥ r·cell_size
+            # away), so candidates at d² ≥ guarantee can never appear
+            # in a certified top-k — a query needing them stays
+            # pending either way, and for certified queries the rank
+            # among the filtered set equals the global rank. The ring
+            # block covers ~9/π× the guarantee disc, so ~65% of
+            # candidate rows drop before the sort.
+            cand = cand.filter(F.col("_d2") < F.lit(guarantee))
         # nulls_last guards: inner/cross joins produce no nulls today,
         # but ascending NULLS FIRST would silently rank null padding
         # above real neighbors if a null row ever slipped in
@@ -142,17 +155,15 @@ def knn_join(
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .withColumn("_cnt", F.count("*").over(Window.partitionBy("_qid")))
-            .withColumn("_kthd2", F.max("_d2").over(Window.partitionBy("_qid")))
         )
-        guarantee = float(r * s) ** 2
         if exact_all:
             done_filter = F.lit(True)  # full scan: top-k is exact
         else:
-            # STRICT inequality: an unseen site outside the block can
-            # lie at exactly r*cell_size; a boundary tie must be
-            # resolved in a wider ring so (d2, site_id) tie-breaks
-            # rank against the full candidate set
-            done_filter = (F.col("_cnt") >= k) & (F.col("_kthd2") < F.lit(guarantee))
+            # ≥ k candidates inside the (strict) guarantee disc: the
+            # boundary-tie hazard is handled by the strict d² filter —
+            # an exact tie at r·cell_size was dropped above, leaving
+            # the query pending for the wider ring.
+            done_filter = F.col("_cnt") >= k
         done = topk.filter(done_filter).select(
             F.col("_qid").alias(query_id),
             F.col("_sid").alias(site_id),
