@@ -2126,6 +2126,7 @@ _REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
 GOLDEN_QUERIES = [
     "raster_checksums",
     "raster_translate",
+    "raster_resample_kernels",
     "raster_as_features",
     "raster_band_stats",
     "raster_interp_at_points",
@@ -2170,6 +2171,14 @@ def _q_raster_translate(spark, sf_dir):
     t = rp.translate(imgs, srcwin=(0, 0, 48, 48), scale=(0.5, 10.0), out_fmt="png")
     cs = rp.with_checksums(t)
     return cs.select("image_id", "w", "h", "checksum_b0")
+
+
+def _q_resample_kernels(spark, sf_dir):
+    """gdaladdo -r / gdal_translate -r kernel matrix: every resampling
+    alg (near/bilinear/cubic/cubicspline/lanczos/gauss/average,
+    gcore/overview.cpp:81,:1199,:1993) over each image, checksummed."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return rp.resample_matrix(imgs, out_size=(32, 32))
 
 
 def _q_as_features(spark, sf_dir):
@@ -2413,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- golden-oracled raster/pixel queries ---
         "raster_checksums": _q_raster_checksums,
         "raster_translate": _q_raster_translate,
+        "raster_resample_kernels": _q_resample_kernels,
         "raster_as_features": _q_as_features,
         "raster_band_stats": _q_band_stats,
         "raster_interp_at_points": _q_interp_at_points,

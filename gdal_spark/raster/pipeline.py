@@ -111,6 +111,41 @@ def translate(
     return images.mapInPandas(run, schema=schema)
 
 
+RESAMPLE_ALGS = (
+    "near", "bilinear", "cubic", "cubicspline", "lanczos", "gauss", "average",
+)
+
+
+def resample_matrix(
+    images: DataFrame,
+    out_size: tuple[int, int] = (32, 32),
+    algs: tuple[str, ...] = RESAMPLE_ALGS,
+) -> DataFrame:
+    """Run every resampling kernel over each image and checksum the
+    result: the ``gdaladdo -r``/``gdal_translate -r`` kernel matrix
+    (``gcore/overview.cpp:81,:1199,:1993``; ``alg/gdalwarper.h:34-68``)
+    as one row per (image, alg). Decodes each image once, resamples
+    len(algs) ways — the per-alg work shares the decode."""
+    _ensure_batch(images)
+    ow, oh = out_size
+    schema = "image_id string, alg string, w int, h int, checksum_b0 int"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                for alg in algs:
+                    out = resample(arr, oh, ow, alg)
+                    rows.append((r.image_id, alg, ow, oh, checksum_bands(out)[0]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "alg", "w", "h", "checksum_b0"]
+                )
+
+    return images.mapInPandas(run, schema=schema)
+
+
 def as_features(images: DataFrame, band: int = 0, sample_stride: int = 1) -> DataFrame:
     """raster → long-form rows (image_id, row, col, value) — the
     ``gdal raster as-features`` explode, 1→N ``mapInPandas`` UDTF."""

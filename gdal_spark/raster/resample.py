@@ -8,6 +8,8 @@ overview resamplers (``gcore/overview.cpp:81,:1199,:1993``):
 - average / min / max / med / q1 / q3 / mode / sum / rms — block
   statistics (exact for integer shrink factors, the gdal2tiles
   overview case of 2×; general factors use area-weighted average).
+- gauss — binomial-kernel Gauss filter (``gcore/overview.cpp:1993``),
+  kernel size picked by shrink factor, edge-renormalized.
 
 All functions take HxW or HxWxC uint8/float arrays and return the same
 rank. These run only inside Arrow-batched pandas UDFs.
@@ -151,6 +153,66 @@ def block_reduce(a: np.ndarray, out_h: int, out_w: int, stat: str) -> np.ndarray
     return r[:, :, 0] if a.ndim == 2 else r
 
 
+_GAUSS_3 = np.array([1, 2, 1, 2, 4, 2, 1, 2, 1], dtype=np.float64).reshape(3, 3)
+_GAUSS_5 = np.array(
+    [1, 4, 6, 4, 1, 4, 16, 24, 16, 4, 6, 24, 36, 24, 6, 4, 16, 24, 16, 4,
+     1, 4, 6, 4, 1], dtype=np.float64,
+).reshape(5, 5)
+_GAUSS_7 = np.array(
+    [1, 6, 15, 20, 15, 6, 1, 6, 36, 90, 120, 90, 36, 6, 15, 90, 225, 300,
+     225, 90, 15, 20, 120, 300, 400, 300, 120, 20, 15, 90, 225, 300, 225,
+     90, 15, 6, 36, 90, 120, 90, 36, 6, 1, 6, 15, 20, 15, 6, 1],
+    dtype=np.float64,
+).reshape(7, 7)
+
+
+def _gauss_starts(out_n: int, n: int, dim: int) -> np.ndarray:
+    """Per-destination-index window start, GDALResampleChunk_Gauss's
+    offset arithmetic (gcore/overview.cpp:2103-2114): center the dim-wide
+    kernel on the average-resampling source window."""
+    ratio = n / out_n
+    i = np.arange(out_n)
+    off = np.floor(0.5 + i * ratio).astype(np.int64)
+    off2 = np.floor(0.5 + (i + 1) * ratio).astype(np.int64) + 1
+    size = off2 - off
+    return off + size // 2 - dim // 2
+
+
+def resize_gauss(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Gauss overview resampling (gcore/overview.cpp:1993
+    ``GDALResampleChunk_Gauss``): binomial 3x3/5x5/7x7 kernel picked by
+    the shrink factor, window centered on the average window, edges
+    clamped with weight renormalization over in-bounds taps only."""
+    h, w = a.shape[:2]
+    res_factor = int(0.5 + h / out_h)
+    dim = 3 if res_factor <= 2 else (5 if res_factor <= 4 else 7)
+    kern = {3: _GAUSS_3, 5: _GAUSS_5, 7: _GAUSS_7}[dim]
+    rows0 = _gauss_starts(out_h, h, dim)
+    cols0 = _gauss_starts(out_w, w, dim)
+    a3, was_2d = _as_3d(a)
+    af = a3.astype(np.float64)
+    acc = np.zeros((out_h, out_w, a3.shape[2]), dtype=np.float64)
+    wsum = np.zeros((out_h, out_w), dtype=np.float64)
+    for dy in range(dim):
+        ry = rows0 + dy
+        my = (ry >= 0) & (ry < h)
+        ryc = np.clip(ry, 0, h - 1)
+        for dx in range(dim):
+            cx = cols0 + dx
+            mx = (cx >= 0) & (cx < w)
+            cxc = np.clip(cx, 0, w - 1)
+            m = (my[:, None] & mx[None, :]).astype(np.float64)
+            wgt = kern[dy, dx] * m
+            acc += wgt[:, :, None] * af[ryc][:, cxc]
+            wsum += wgt
+    wsum[wsum == 0] = 1.0
+    r = acc / wsum[:, :, None]
+    if a.dtype.kind in "ui":
+        info = np.iinfo(a.dtype)
+        r = np.clip(np.floor(r + 0.5), info.min, info.max).astype(a.dtype)
+    return r[:, :, 0] if was_2d else r
+
+
 def resample(a: np.ndarray, out_h: int, out_w: int, alg: str = "near") -> np.ndarray:
     """Dispatch matching gdal2tiles ``scale_query_to_tile``
     (gdal2tiles.py:838-933): average → block/area reduce; the kernel
@@ -160,6 +222,8 @@ def resample(a: np.ndarray, out_h: int, out_w: int, alg: str = "near") -> np.nda
         return resize_nearest(a, out_h, out_w)
     if alg in ("bilinear", "cubic", "cubicspline", "lanczos"):
         return resize_kernel(a, out_h, out_w, alg)
+    if alg == "gauss":
+        return resize_gauss(a, out_h, out_w)
     h, w = a.shape[:2]
     if h % out_h == 0 and w % out_w == 0:
         return block_reduce(a, out_h, out_w, "average" if alg == "average" else alg)

@@ -117,6 +117,53 @@ def test_kernel_resize_constant_preserved():
         assert np.all(out == 100), k
 
 
+def _gauss_scalar_oracle(a, out_h, out_w):
+    """Independent per-pixel re-derivation of GDALResampleChunk_Gauss
+    (gcore/overview.cpp:1996-2210): scalar loops, no shared code with
+    resize_gauss's vectorized gather."""
+    h, w = a.shape
+    ry = h / out_h
+    rx = w / out_w
+    res_factor = int(0.5 + ry)
+    dim = 3 if res_factor <= 2 else (5 if res_factor <= 4 else 7)
+    kern = {3: R._GAUSS_3, 5: R._GAUSS_5, 7: R._GAUSS_7}[dim]
+    out = np.zeros((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        y0 = int(0.5 + i * ry)
+        y1 = int(0.5 + (i + 1) * ry) + 1
+        y0 = y0 + (y1 - y0) // 2 - dim // 2
+        for j in range(out_w):
+            x0 = int(0.5 + j * rx)
+            x1 = int(0.5 + (j + 1) * rx) + 1
+            x0 = x0 + (x1 - x0) // 2 - dim // 2
+            tot = 0.0
+            cnt = 0.0
+            for dy in range(dim):
+                for dx in range(dim):
+                    yy, xx = y0 + dy, x0 + dx
+                    if 0 <= yy < h and 0 <= xx < w:
+                        tot += a[yy, xx] * kern[dy, dx]
+                        cnt += kern[dy, dx]
+            out[i, j] = tot / cnt if cnt else 0.0
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def test_gauss_matches_scalar_oracle():
+    rng = np.random.default_rng(7)
+    for (h, w, oh, ow) in [(16, 16, 8, 8), (20, 24, 5, 6), (33, 31, 4, 4), (17, 13, 8, 6)]:
+        a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        got = R.resample(a, oh, ow, "gauss")
+        want = _gauss_scalar_oracle(a, oh, ow)
+        assert np.array_equal(got, want), (h, w, oh, ow)
+
+
+def test_gauss_constant_preserved_and_3band():
+    a = np.full((32, 32, 3), 77, dtype=np.uint8)
+    out = R.resample(a, 16, 16, "gauss")
+    assert out.shape == (16, 16, 3)
+    assert np.all(out == 77)
+
+
 def test_resample_dispatch_average_matches_block():
     a = synth(32, 32, 1)
     assert np.array_equal(R.resample(a, 16, 16, "average"), R.block_reduce(a, 16, 16, "average"))

@@ -145,6 +145,25 @@ def g_raster_translate(sf_dir):
     return schema, rows
 
 
+def g_raster_resample_kernels(sf_dir):
+    from gdal_spark.raster.resample import resample
+
+    algs = ("near", "bilinear", "cubic", "cubicspline", "lanczos", "gauss", "average")
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        for alg in algs:
+            out = resample(arr, 32, 32, alg)
+            rows.append((fp["image_id"], alg, 32, 32, checksum_bands(out)[0]))
+    schema = pa.schema(
+        [("image_id", STR), ("alg", STR), ("w", I32), ("h", I32), ("checksum_b0", I32)]
+    )
+    return schema, rows
+
+
 def g_raster_as_features(sf_dir):
     rows = []
     for okey in order_keys(sf_dir):
@@ -790,6 +809,7 @@ def g_tile_pyramid_geodetic(sf_dir, min_zoom=8, max_zoom=10, tile_size=256):
 GOLDEN_BUILDERS = {
     "raster_checksums": g_raster_checksums,
     "raster_translate": g_raster_translate,
+    "raster_resample_kernels": g_raster_resample_kernels,
     "raster_as_features": g_raster_as_features,
     "raster_band_stats": g_raster_band_stats,
     "raster_interp_at_points": g_raster_interp_at_points,
