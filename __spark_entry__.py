@@ -1135,6 +1135,63 @@ def _q_hull_valid(spark, sf_dir):
     )
 
 
+def _q_concave_hull(spark, sf_dir):
+    """gdal vector concave-hull (apps/gdalalg_vector_concave_hull.cpp,
+    GEOS ConcaveHull): chi-shape erosion over per-AOI point groups.
+    Fixture: 4 rect corners + one interior point at (midx,
+    ymin+0.4*H) — the Delaunay is the interior point's star, erosion
+    at ratio=0 provably removes exactly the star triangle on the
+    longest rect side (every later pop's opposite vertex is already on
+    the boundary — hand-traced both orientations), so hull_area =
+    0.8*W*H for W>=H, 0.75*W*H for H>W, closed-form; ratio=1 is the
+    convex hull, area = W*H. A non-circular SQL value oracle for the
+    concave kernel."""
+    from gdal_spark.operators.vector_ops import concave_hull_grouped
+
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False)
+    pts = aoi.select(
+        "poly_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("lon_min").alias("x"), F.col("lat_min").alias("y")),
+                F.struct(F.col("lon_max").alias("x"), F.col("lat_min").alias("y")),
+                F.struct(F.col("lon_max").alias("x"), F.col("lat_max").alias("y")),
+                F.struct(F.col("lon_min").alias("x"), F.col("lat_max").alias("y")),
+                F.struct(
+                    ((F.col("lon_min") + F.col("lon_max")) / 2).alias("x"),
+                    (
+                        F.col("lat_min")
+                        + F.expr("CAST(0.4 AS DOUBLE)")
+                        * (F.col("lat_max") - F.col("lat_min"))
+                    ).alias("y"),
+                ),
+            )
+        ).alias("p"),
+    ).select("poly_id", "p.x", "p.y")
+    concave = concave_hull_grouped(pts, ratio=0.0).select(
+        "poly_id",
+        F.col("n_hull_pts").alias("n_concave_pts"),
+        F.round("hull_area", 6).alias("concave_area"),
+    )
+    convex = concave_hull_grouped(pts, ratio=1.0).select(
+        "poly_id", F.round("hull_area", 6).alias("convex_area")
+    )
+    return concave.join(convex, "poly_id")
+
+
+CONCAVE_HULL_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id, CAST(5 AS INTEGER) AS n_concave_pts,
+       round((lon_max - lon_min) * (lat_max - lat_min)
+             - CASE WHEN (lon_max - lon_min) >= (lat_max - lat_min)
+                    THEN CAST(0.2 AS DOUBLE) * (lon_max - lon_min) * (lat_max - lat_min)
+                    ELSE CAST(0.25 AS DOUBLE) * (lon_max - lon_min) * (lat_max - lat_min)
+               END, 6) AS concave_area,
+       round((lon_max - lon_min) * (lat_max - lat_min), 6) AS convex_area
+FROM aoi
+"""
+
+
 HULL_VALID_ORACLE = f"""
 WITH {AOI_CTE}
 SELECT poly_id, CAST(5 AS INTEGER) AS n_hull_pts,
@@ -2411,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_functions": _q_st_functions,
         "st_general_boolean": _q_st_general_boolean,
         "vector_dissolve_geom": _q_dissolve_geom,
+        "vector_concave_hull": _q_concave_hull,
         "hilbert_order": _q_hilbert,
         "reproject_utm": _q_reproject_utm,
         "dedup_minhash_lsh": _q_minhash,
@@ -2532,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_segmentize": SEGMENTIZE_ORACLE,
         "vector_dissolve": DISSOLVE_ORACLE,
         "vector_hull_valid": HULL_VALID_ORACLE,
+        "vector_concave_hull": CONCAVE_HULL_ORACLE,
         "saved_plan_exec": SAVED_PLAN_ORACLE,
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),

@@ -33,7 +33,11 @@ def delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     # super-triangle enclosing everything
     cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
-    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 64.0
+    # 1e4x span: near-collinear hull triples have huge circumcircles; a
+    # small super-triangle absorbs their sliver triangles and the hull
+    # loses area (observed at 64x). 1e4x keeps all slivers; doubles
+    # retain ~11 significant digits at this scale.
+    span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 1e4
     sup = np.array(
         [[cx - span, cy - span], [cx + span, cy - span], [cx, cy + span]]
     )

@@ -209,6 +209,140 @@ def convex_hull_points(pts: np.ndarray) -> np.ndarray:
     return ring
 
 
+def concave_hull_points(pts: np.ndarray, ratio: float = 0.0) -> np.ndarray:
+    """Chi-shape concave hull (Duckham et al. 2008, the algorithm family
+    behind GEOS ``ConcaveHull`` used by ``gdal vector concave-hull``,
+    apps/gdalalg_vector_concave_hull.cpp): Delaunay-triangulate, then
+    repeatedly pop the longest boundary edge with length > target and
+    remove its triangle if the opposite vertex is interior — the hull
+    stays simple and always contains every input point. ``target`` is
+    GEOS's length-ratio interpolation minLen + ratio*(maxLen-minLen)
+    over the triangulation edges; ratio=1 → convex hull. Returns a
+    closed CCW ring. No-holes mode only (chi erosion cannot create
+    holes)."""
+    import heapq
+
+    from gdal_spark.operators.tin import delaunay
+
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(pts) < 3:
+        return np.vstack([pts, pts[:1]])
+    tris = delaunay(pts)
+    if not tris:
+        return convex_hull_points(pts)
+    alive = set(range(len(tris)))
+    edge_tris: dict[tuple[int, int], list[int]] = {}
+    for ti, t in enumerate(tris):
+        for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            edge_tris.setdefault((min(e), max(e)), []).append(ti)
+
+    def elen(e):
+        return float(np.hypot(*(pts[e[0]] - pts[e[1]])))
+
+    lens = {e: elen(e) for e in edge_tris}
+    lo, hi = min(lens.values()), max(lens.values())
+    target = lo + ratio * (hi - lo)
+
+    def alive_tris(e):
+        return [ti for ti in edge_tris[e] if ti in alive]
+
+    boundary = {e for e in edge_tris if len(edge_tris[e]) == 1}
+    bverts = {v for e in boundary for v in e}
+    heap = [(-lens[e], e) for e in boundary if lens[e] > target]
+    heapq.heapify(heap)
+    dead: set[tuple[int, int]] = set()
+    while heap:
+        _, e = heapq.heappop(heap)
+        if e in dead or e not in boundary:
+            continue
+        at = alive_tris(e)
+        if len(at) != 1:
+            continue
+        t = tris[at[0]]
+        v = next(x for x in t if x not in e)
+        if v in bverts:
+            dead.add(e)  # removal would pinch/expose the boundary
+            continue
+        alive.discard(at[0])
+        boundary.discard(e)
+        bverts.add(v)
+        for o in ((min(e[0], v), max(e[0], v)), (min(e[1], v), max(e[1], v))):
+            boundary.add(o)
+            if lens[o] > target:
+                heapq.heappush(heap, (-lens[o], o))
+
+    adj: dict[int, list[int]] = {}
+    for a, b in boundary:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    start = min(adj)
+    ring_idx = [start]
+    prev, cur = -1, start
+    while True:
+        nxt = next(n for n in adj[cur] if n != prev)
+        if nxt == start:
+            break
+        ring_idx.append(nxt)
+        prev, cur = cur, nxt
+    ring = pts[ring_idx]
+    area2 = float(
+        np.sum(ring[:, 0] * np.roll(ring[:, 1], -1) - np.roll(ring[:, 0], -1) * ring[:, 1])
+    )
+    if area2 < 0:
+        ring = ring[::-1]
+    return np.vstack([ring, ring[:1]])
+
+
+def concave_hull_grouped(
+    points: DataFrame, key: str = "poly_id", ratio: float = 0.0
+) -> DataFrame:
+    """Concave hull per point group — the grouped form of the
+    ``gdal vector concave-hull`` step over a (key, x, y) point table.
+    One shuffle on the group key; each group's chi-shape erosion runs
+    independently inside an Arrow batch. Groups are assumed
+    hull-triangulation-sized (same bound as the TIN gridding sites,
+    tin.py max_sites guard); web-scale point sets per group would need
+    a partition-wise pre-hull — the convex part of which is
+    union-of-partial-hulls, but chi erosion needs the full
+    triangulation, so the group is the unit of work by design."""
+    schema = f"{key} long, n_hull_pts int, hull_area double, hull_wkb binary"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = np.column_stack([pdf["x"].to_numpy(), pdf["y"].to_numpy()])
+        ring = concave_hull_points(pts, ratio)
+        area = 0.5 * abs(
+            float(np.sum(ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]))
+        )
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_hull_pts": [len(ring) - 1],
+                "hull_area": [area],
+                "hull_wkb": [G.wkb_polygon([ring])],
+            }
+        )
+
+    return points.groupBy(key).applyInPandas(run, schema=schema)
+
+
+def make_concave_hull_udf(ratio: float):
+    """``gdal vector concave-hull --ratio`` pipeline step: hull of the
+    geometry's vertex set."""
+
+    @pandas_udf(BinaryType())
+    def chull(wkb: pd.Series) -> pd.Series:
+        def f(b):
+            if b is None:
+                return None
+            g = G.parse_wkb(bytes(b))
+            pts = np.vstack([p for p in (g.rings or g.coords)])
+            return G.wkb_polygon([concave_hull_points(pts, ratio)])
+
+        return wkb.map(f)
+
+    return chull
+
+
 @pandas_udf(BinaryType())
 def convex_hull(wkb: pd.Series) -> pd.Series:
     def f(b):
