@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as _np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2195,6 +2196,7 @@ GOLDEN_QUERIES = [
     "raster_blend",
     "raster_psnr_gate",
     "raster_warp_utm",
+    "raster_warp_gcp",
     "grid_tin",
     "image_phash_dedup",
     "image_phash_neardup",
@@ -2324,6 +2326,102 @@ def _q_warp_utm(spark, sf_dir):
     chain; golden-checksum oracle recomputes single-process)."""
     imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
     return rp.warp_to_utm(imgs)
+
+
+def _q_warp_gcp(spark, sf_dir):
+    """gdalwarp -order 1|2 / -tps: per-image GCP fit (CRS polynomial,
+    alg/gdal_crs.cpp:594; thin-plate spline,
+    alg/thinplatespline.cpp:180) + warp through the fitted inverse;
+    golden-checksum oracle recomputes single-process."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return rp.warp_with_gcps(imgs)
+
+
+_GCP_PROBES = [(100.0, 100.0), (300.0, 200.0), (50.0, 400.0), (511.0, 17.0)]
+
+
+def _q_gcp_fit(spark, sf_dir):
+    """GCP polynomial fit as a grouped Spark operator
+    (GDALCreateGCPTransformer, alg/gdal_crs.cpp:594): per nation, nine
+    control points on a 3x3 pixel grid carry an exactly-quadratic geo
+    mapping (binary-fraction coefficients keyed on the nation key);
+    an order-2 CRS fit inside applyInPandas must recover it exactly,
+    and the probe-point transforms are value-checked against the
+    closed-form quadratic in DuckDB. fit_ok pins the at-GCP residual.
+
+    Spark shape: groupBy(n_nationkey).applyInPandas — each model fit
+    stays inside its Arrow group, thousands of independent fits would
+    parallelize across executors with no driver involvement."""
+    import pandas as _pd
+    from gdal_spark.functions.gcp import PolyTransform
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    g = (
+        nation.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(8))))
+        .select(
+            "n_nationkey",
+            ((F.col("i") % 3) * F.lit(256.0)).alias("px"),
+            ((F.col("i").cast("int") / F.lit(3)).cast("int") * F.lit(256.0)).alias("py"),
+        )
+        .withColumn(
+            "gx",
+            F.col("n_nationkey") * F.lit(2.0)
+            + F.col("px") / F.lit(1024.0)
+            + (F.col("n_nationkey") % 5) * F.col("px") * F.col("py") / F.lit(16777216.0),
+        )
+        .withColumn(
+            "gy",
+            F.col("n_nationkey").cast("double")
+            + F.col("py") / F.lit(1024.0)
+            + (F.col("n_nationkey") % 3 + 1) * F.col("px") * F.col("px") / F.lit(33554432.0),
+        )
+    )
+
+    qx = _np.array([p[0] for p in _GCP_PROBES])
+    qy = _np.array([p[1] for p in _GCP_PROBES])
+
+    def fit(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        t = PolyTransform(pdf["px"].values, pdf["py"].values,
+                          pdf["gx"].values, pdf["gy"].values, 2)
+        fx, fy = t(pdf["px"].values, pdf["py"].values)
+        resid = float(
+            _np.hypot(fx - pdf["gx"].values, fy - pdf["gy"].values).max()
+        )
+        tx, ty = t(qx, qy)
+        return _pd.DataFrame(
+            {
+                "n_nationkey": pdf["n_nationkey"].iloc[0],
+                "probe_id": _np.arange(len(qx)),
+                "gx": tx,
+                "gy": ty,
+                "fit_ok": resid < 1e-9,
+            }
+        )
+
+    out = g.groupBy("n_nationkey").applyInPandas(
+        fit, schema="n_nationkey int, probe_id int, gx double, gy double, fit_ok boolean"
+    )
+    return out.select(
+        "n_nationkey",
+        "probe_id",
+        F.round("gx", 6).alias("gx"),
+        F.round("gy", 6).alias("gy"),
+        "fit_ok",
+    )
+
+
+GCP_FIT_ORACLE = """
+SELECT n_nationkey,
+       probe_id,
+       ROUND(2.0 * n_nationkey + px / 1024.0
+             + (n_nationkey % 5) * px * py / 16777216.0, 6) AS gx,
+       ROUND(CAST(n_nationkey AS DOUBLE) + py / 1024.0
+             + (n_nationkey % 3 + 1) * px * px / 33554432.0, 6) AS gy,
+       TRUE AS fit_ok
+FROM nation
+CROSS JOIN (VALUES (0, 100.0, 100.0), (1, 300.0, 200.0),
+                   (2, 50.0, 400.0), (3, 511.0, 17.0)) AS p(probe_id, px, py)
+"""
 
 
 def _q_proximity(spark, sf_dir):
@@ -2474,8 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash,
         "dedup_components": _q_dedup_components,
         "ann_topk": _q_ann,
-        "ann_ivf": _q_ann_ivf,
-        "ann_recall": _q_ann_recall,
+        "gcp_fit_points": _q_gcp_fit,
         "saved_plan_exec": _q_saved_plan,
         # --- golden-oracled raster/pixel queries ---
         "raster_checksums": _q_raster_checksums,
@@ -2492,21 +2589,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_blend": _q_mosaic_blend,
         "raster_psnr_gate": _q_psnr_gate,
         "raster_warp_utm": _q_warp_utm,
+        "raster_warp_gcp": _q_warp_gcp,
         "grid_tin": _q_grid_tin,
         "image_phash_dedup": _q_phash_dedup,
-        "image_phash_neardup": _q_phash_neardup,
         "raster_proximity": _q_proximity,
         "raster_sieve": _q_sieve,
         "raster_fillnodata": _q_fillnodata,
         "raster_polygonize": _q_polygonize,
         "raster_contour": _q_contour,
         "raster_palette": _q_palette,
-        "raster_histogram": _q_histogram,
         "raster_pansharpen": _q_pansharpen,
         "raster_viewshed": _q_viewshed,
         "tile_pyramid": _q_tile_pyramid,
         "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
         # --- 50-cap boundary: variants of already-witnessed families ---
+        "ann_ivf": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
+        "image_phash_neardup": _q_phash_neardup,
+        "raster_histogram": _q_histogram,
         "pip_join_salted": lambda spark, sf: _q_pip(spark, sf, salt=8),
         "tile_assign_geodetic": _q_tile_assign_geodetic,
         "zonal_stats_full": _q_zonal_full,
@@ -2600,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_oracle(),
         "text_fingerprint": FINGERPRINT_ORACLE,
         "ann_topk": _ann_oracle(),
+        "gcp_fit_points": GCP_FIT_ORACLE,
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_recall": _ann_recall_oracle(),

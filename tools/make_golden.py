@@ -482,6 +482,34 @@ def g_raster_warp_utm(sf_dir, out_w=64, out_h=64):
     return schema, rows
 
 
+def g_raster_warp_gcp(sf_dir, out_w=64, out_h=64):
+    from gdal_spark.raster.pipeline import synth_gcps, warp_gcp_array
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        gcps = synth_gcps(
+            okey, fp["w"], fp["h"], fp["lon_min"], fp["lat_min"],
+            fp["lon_max"], fp["lat_max"],
+        )
+        for m in ("poly1", "poly2", "tps"):
+            out, _, rms = warp_gcp_array(arr, gcps, m, out_w, out_h, "bilinear")
+            b = out[:, :, 0] if out.ndim == 3 else out
+            # integer nano-degrees: raw rms doubles diverge ~1e-14
+            # between BLAS contexts (see pipeline.warp_with_gcps)
+            rows.append(
+                (fp["image_id"], m, out_w, out_h, checksum_band(b), round(rms * 1e9))
+            )
+    schema = pa.schema(
+        [("image_id", STR), ("method", STR), ("w", I32), ("h", I32),
+         ("checksum", I32), ("rms_ndeg", I64)]
+    )
+    return schema, rows
+
+
 def g_raster_proximity(sf_dir, target_min=200, maxdist=64.0):
     from gdal_spark.raster.morphology import edt
 
@@ -821,6 +849,7 @@ GOLDEN_BUILDERS = {
     "raster_blend": g_raster_blend,
     "raster_psnr_gate": g_raster_psnr_gate,
     "raster_warp_utm": g_raster_warp_utm,
+    "raster_warp_gcp": g_raster_warp_gcp,
     "grid_tin": g_grid_tin,
     "image_phash_dedup": g_image_phash_dedup,
     "image_phash_neardup": g_image_phash_neardup,
