@@ -2197,6 +2197,7 @@ GOLDEN_QUERIES = [
     "raster_psnr_gate",
     "raster_warp_utm",
     "raster_warp_gcp",
+    "raster_rpc_ortho",
     "grid_tin",
     "image_phash_dedup",
     "image_phash_neardup",
@@ -2424,6 +2425,57 @@ CROSS JOIN (VALUES (0, 100.0, 100.0), (1, 300.0, 200.0),
 """
 
 
+def _q_rpc_ortho(spark, sf_dir):
+    """gdalwarp -rpc (alg/gdal_rpc.cpp): constant-height RPC
+    orthorectification per image; golden-checksum oracle recomputes
+    single-process."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return rp.rpc_orthorectify(imgs)
+
+
+def _rpc_world_model():
+    from gdal_spark.functions.rpc import synth_rpc
+
+    return synth_rpc(42, 4096, 2048, -180.0, -85.0, 180.0, 85.0)
+
+
+def _rpc_project_sql() -> tuple[str, str]:
+    from gdal_spark.functions.rpc import forward_sql
+
+    return forward_sql(_rpc_world_model(), "lon", "lat")
+
+
+def _q_rpc_project(spark, sf_dir):
+    """RPC forward projection of a point layer (the
+    GDALCreateRPCTransformer forward direction, alg/gdal_rpc.cpp:189
+    RPCComputeTerms + the 4-polynomial rational evaluation) as pure
+    Spark SQL: the generated rational-polynomial expression stays
+    inside whole-stage codegen — no UDF — and the DuckDB oracle runs
+    the IDENTICAL SQL text, so doubles match bit-for-bit."""
+    pts = synth.points(spark, sf_dir)
+    samp_sql, line_sql = _rpc_project_sql()
+    return pts.select(
+        F.col("pt_id").cast("long").alias("pt_id"),
+        F.expr(samp_sql).alias("samp"),
+        F.expr(line_sql).alias("line"),
+    )
+
+
+def _rpc_project_oracle() -> str:
+    samp_sql, line_sql = _rpc_project_sql()
+    from gdal_spark.sources.synth import POINT_LAT_SQL, POINT_LON_SQL
+
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS pt_id,
+         {POINT_LON_SQL} AS lon,
+         {POINT_LAT_SQL} AS lat
+  FROM customer
+)
+SELECT pt_id, {samp_sql} AS samp, {line_sql} AS line FROM pts
+"""
+
+
 def _q_proximity(spark, sf_dir):
     """gdal_proximity (alg/gdalproximity.cpp): exact EDT to pixels
     >= 200, byte-scaled at maxdist 64."""
@@ -2573,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "ann_topk": _q_ann,
         "gcp_fit_points": _q_gcp_fit,
+        "rpc_project_points": _q_rpc_project,
         "saved_plan_exec": _q_saved_plan,
         # --- golden-oracled raster/pixel queries ---
         "raster_checksums": _q_raster_checksums,
@@ -2601,8 +2654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_pansharpen": _q_pansharpen,
         "raster_viewshed": _q_viewshed,
         "tile_pyramid": _q_tile_pyramid,
-        "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
         # --- 50-cap boundary: variants of already-witnessed families ---
+        "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
+        "raster_rpc_ortho": _q_rpc_ortho,
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall,
         "image_phash_neardup": _q_phash_neardup,
@@ -2701,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": FINGERPRINT_ORACLE,
         "ann_topk": _ann_oracle(),
         "gcp_fit_points": GCP_FIT_ORACLE,
+        "rpc_project_points": _rpc_project_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_recall": _ann_recall_oracle(),

@@ -510,6 +510,37 @@ def g_raster_warp_gcp(sf_dir, out_w=64, out_h=64):
     return schema, rows
 
 
+def g_raster_rpc_ortho(sf_dir, out_w=64, out_h=64):
+    import numpy as np
+    from gdal_spark.functions.rpc import RPCTransform, synth_rpc
+    from gdal_spark.raster.warp import sample_at
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        m = synth_rpc(okey, fp["w"], fp["h"], fp["lon_min"], fp["lat_min"],
+                      fp["lon_max"], fp["lat_max"])
+        t = RPCTransform(m)
+        lon = fp["lon_min"] + (np.arange(out_w) + 0.5) * (fp["lon_max"] - fp["lon_min"]) / out_w
+        lat = fp["lat_max"] - (np.arange(out_h) + 0.5) * (fp["lat_max"] - fp["lat_min"]) / out_h
+        glon, glat = np.meshgrid(lon, lat)
+        sx, sy = t.forward(glon, glat, np.full_like(glon, 0.0))
+        out, _ = sample_at(arr, sx, sy, "bilinear")
+        px0 = (glon - m.long_off) / m.long_scale * m.samp_scale + m.samp_off
+        py0 = (m.lat_off - glat) / m.lat_scale * m.line_scale + m.line_off
+        disp = float(np.hypot(sx - px0, sy - py0).mean())
+        b = out[:, :, 0] if out.ndim == 3 else out
+        rows.append((fp["image_id"], out_w, out_h, checksum_band(b), round(disp * 1e6)))
+    schema = pa.schema(
+        [("image_id", STR), ("w", I32), ("h", I32), ("checksum", I32),
+         ("mean_disp_mpx", I64)]
+    )
+    return schema, rows
+
+
 def g_raster_proximity(sf_dir, target_min=200, maxdist=64.0):
     from gdal_spark.raster.morphology import edt
 
@@ -850,6 +881,7 @@ GOLDEN_BUILDERS = {
     "raster_psnr_gate": g_raster_psnr_gate,
     "raster_warp_utm": g_raster_warp_utm,
     "raster_warp_gcp": g_raster_warp_gcp,
+    "raster_rpc_ortho": g_raster_rpc_ortho,
     "grid_tin": g_grid_tin,
     "image_phash_dedup": g_image_phash_dedup,
     "image_phash_neardup": g_image_phash_neardup,
