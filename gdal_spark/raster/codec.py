@@ -12,12 +12,16 @@ Pillow/imagecodecs/cv2, so:
   4:2:0, restart intervals on decode. Default quality 98 keeps the
   noisy synthetic fixtures above the PSNR ≥ 40 dB lossy gate
   (``apps/gdalalg_raster_compare.cpp:1094``) with margin.
-- **WebP remains a clearly-marked deterministic fake lossy codec**
-  (``FakeLossyCodec``: quantize-to-step-4 + zlib — NOT webp; VP8
-  arithmetic coding is out of scope, the fake keeps the fmt='webp'
-  rows exercising the lossy tolerance path). Swap for
-  Pillow/imagecodecs on a cluster; every caller goes through this
-  module only.
+- **WebP is implemented for real** (``gdal_spark.raster.webp``):
+  lossless VP8L per the public WebP Lossless Bitstream Specification
+  — RIFF container, canonical prefix codes, literal streams (no
+  transforms/color-cache/LZ77 on encode; decoder covers the same
+  subset and raises loudly beyond it). VP8L is lossless, so fmt='webp'
+  rows are checksum-exact, mirroring GDAL's WEBP_LOSSLESS=YES path
+  (``frmts/webp/webpdataset.cpp``).
+- The round-1 ``FakeLossyCodec`` (quantize+zlib) is kept only for
+  decoding legacy fixture bytes; no encoder path emits it anymore.
+  Every caller goes through this module only.
 
 Arrays are HxW (gray) or HxWxC uint8.
 """
@@ -216,7 +220,9 @@ def encode_image(arr: np.ndarray, fmt: str, compress_level: int = 6) -> bytes:
 
         return jpeg.encode(arr, quality=JPEG_QUALITY)
     if fmt == "webp":
-        return fake_lossy_encode(arr, fmt, compress_level)
+        from gdal_spark.raster import webp
+
+        return webp.encode(arr)
     raise NotImplementedError(f"codec {fmt!r} not available in this container")
 
 
@@ -228,11 +234,14 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from gdal_spark.raster import jpeg
 
         return jpeg.decode(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from gdal_spark.raster import webp
+
+        return webp.decode(b)
     if b[:8] == FAKE_MAGIC:
         return fake_lossy_decode(b)
     raise NotImplementedError(
-        f"payload is not PNG/JPEG/fake-lossy (fmt hint {fmt!r}); "
-        "real webp decoding requires Pillow/imagecodecs — stubbed here"
+        f"payload is not PNG/JPEG/WebP-VP8L/fake-lossy (fmt hint {fmt!r})"
     )
 
 

@@ -147,9 +147,12 @@ def stack_bands(images: DataFrame, group_col: str = "pair_id") -> DataFrame:
 
 def lossy_psnr_gate(images: DataFrame, min_db: float = 40.0) -> DataFrame:
     """gdal raster compare metrics per image: re-encode through the
-    lossy stub and measure PSNR vs the original (the BASELINE.json
-    per-row invariant: PSNR ≥ 40 dB for lossy codecs; checksum-exact
-    for PNG). Returns (image_id, fmt, lossless_exact, psnr_db, ok)."""
+    REAL codec for the row's fmt and measure round-trip fidelity (the
+    BASELINE.json per-row invariant: PSNR ≥ 40 dB for lossy codecs;
+    exact for lossless). PNG and WebP-VP8L are lossless → exact;
+    JPEG (baseline DCT) is lossy → PSNR gate, metric per
+    ``apps/gdalalg_raster_compare.cpp:1094``. Returns
+    (image_id, fmt, lossless_exact, psnr_db, ok)."""
     _ensure(images)
     schema = "image_id string, fmt string, lossless_exact boolean, psnr_db double, ok boolean"
 
@@ -158,12 +161,11 @@ def lossy_psnr_gate(images: DataFrame, min_db: float = 40.0) -> DataFrame:
             rows = []
             for r in pdf.itertuples():
                 arr = codec.decode_image(r.bytes, r.fmt)
-                if r.fmt == "png":
-                    rt = codec.png_decode(codec.png_encode(arr, 1))
-                    exact = bool((rt == arr).all())
+                rt = codec.decode_image(codec.encode_image(arr, r.fmt, 1), r.fmt)
+                if r.fmt in ("png", "webp"):
+                    exact = rt.shape == arr.shape and bool((rt == arr).all())
                     rows.append((r.image_id, r.fmt, exact, float("inf"), exact))
                 else:
-                    rt = codec.fake_lossy_decode(codec.fake_lossy_encode(arr, r.fmt))
                     p = codec.psnr(arr, rt)
                     rows.append((r.image_id, r.fmt, False, p, bool(p >= min_db)))
             if rows:

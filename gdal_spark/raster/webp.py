@@ -1,0 +1,587 @@
+"""Lossless WebP (VP8L) codec, pure NumPy + stdlib.
+
+Replaces the round-1/2 ``FakeLossyCodec`` for ``fmt='webp'`` so the
+last remaining codec row of the ``input_hint`` schema (``fmt`` ∈
+png/jpeg/webp) carries a real, spec-conformant container. Reference
+behavior surface: ``frmts/webp/webpdataset.cpp`` (libwebp wrapper);
+this module is an original from-scratch implementation of the public
+"WebP Lossless Bitstream Specification" (VP8L, Google, RFC-hosted at
+developers.google.com/speed/webp/docs/webp_lossless_bitstream_specification).
+
+VP8L is **lossless**, so the per-row invariant of BASELINE.json
+(`decoded-pixel allclose, PSNR >= 40 dB for lossy`) is met exactly:
+round-trip PSNR is infinite and ``lossless_exact`` holds, mirroring
+GDAL's own behavior for WEBP_LOSSLESS=YES rasters.
+
+Scope:
+
+- ENCODE: full-spec-valid literal streams — RIFF/WEBP/VP8L container,
+  no transforms, no color cache, no meta-prefix image, per-channel
+  canonical prefix codes (simple 1-/2-symbol form or full
+  code-length-coded form with 16/17/18 run symbols, lengths
+  limited to 15). LZ77 backward references are never emitted (the
+  synthetic fixtures are gradient+noise; per-channel entropy coding
+  is the operative compression — the stream stays spec-valid without
+  refs, any conformant VP8L decoder reads it).
+- DECODE: the no-transform / no-cache / no-meta literal subset (a
+  superset of everything the encoder emits). Transforms, color
+  cache, meta prefix images and backward references raise
+  ``NotImplementedError`` with an explicit message; swapping in
+  Pillow/libwebp on a real cluster lifts that (the container has
+  neither — this codec exists so the lossless invariant is measured
+  against real WebP bytes, not a stand-in).
+
+Design for Spark: the encoder is vectorized whole-image — channel
+histograms, canonical code construction, per-pixel symbol→(bits,len)
+table lookup, and a 15-pass LSB-first bit packer are all NumPy array
+programs; only the prefix-code headers (≤ a few hundred bits) go
+through a scalar token list. The decoder's prefix-code scan is
+bit-serial by nature (each code length gates the next read), so it
+runs as a table-driven (2^15 LUT) Python loop over symbols, exactly
+like the JPEG decoder's Huffman scan; both run inside Arrow-batched
+pandas UDFs (one call per image, many images per batch).
+
+Bit conventions (spec §"RIFF header" / §"Prefix coding"):
+- bytes little-endian; within a byte, bits are consumed LSB first;
+- multi-bit ``ReadBits(n)`` fields arrive LSB-first;
+- canonical prefix-code bits are read MSB-of-code first (DEFLATE
+  convention), i.e. the writer emits ``bit_reverse(code, len)``
+  through the LSB-first packer.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Order in which code-length-code lengths are transmitted (spec §"Code
+# lengths" — same role as DEFLATE's order but VP8L-specific).
+K_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+MAX_CODE_LEN = 15  # spec limit for symbol codes
+MAX_CL_LEN = 7  # code-length-code lengths are stored in 3 bits
+
+GREEN_ALPHABET = 256 + 24  # literals + length codes (no color cache)
+DIST_ALPHABET = 40
+
+
+# ---------------------------------------------------------------------------
+# Canonical prefix codes
+# ---------------------------------------------------------------------------
+
+
+def _huffman_lengths(counts: np.ndarray, limit: int) -> np.ndarray:
+    """Code length per symbol from frequency counts, max depth ``limit``.
+
+    Standard heap Huffman; if the tree exceeds ``limit``, counts are
+    repeatedly halved (ceil, floor 1) and rebuilt — each rebuild is a
+    true Huffman tree, so the resulting code is always complete
+    (Kraft sum == 1), which conformant decoders verify.
+    """
+    import heapq
+
+    counts = counts.astype(np.int64)
+    nz = np.flatnonzero(counts)
+    lengths = np.zeros(len(counts), dtype=np.int32)
+    if len(nz) == 0:
+        return lengths
+    if len(nz) == 1:
+        lengths[nz[0]] = 1
+        return lengths
+    work = counts.copy()
+    while True:
+        # heap items: (count, tiebreak, [symbols...])
+        heap = [(int(work[s]), int(s), [int(s)]) for s in nz]
+        heapq.heapify(heap)
+        depth = np.zeros(len(counts), dtype=np.int32)
+        tie = len(counts)
+        while len(heap) > 1:
+            c1, _, s1 = heapq.heappop(heap)
+            c2, _, s2 = heapq.heappop(heap)
+            for s in s1:
+                depth[s] += 1
+            for s in s2:
+                depth[s] += 1
+            heapq.heappush(heap, (c1 + c2, tie, s1 + s2))
+            tie += 1
+        if depth.max() <= limit:
+            return depth
+        work = np.maximum((work + 1) // 2, np.where(work > 0, 1, 0))
+
+
+def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """Canonical code value per symbol (DEFLATE ordering: increasing
+    length, ties by symbol index). Zero-length symbols get code 0."""
+    codes = np.zeros(len(lengths), dtype=np.int64)
+    max_len = int(lengths.max()) if len(lengths) else 0
+    code = 0
+    bl_count = np.bincount(lengths, minlength=max_len + 1)
+    next_code = np.zeros(max_len + 2, dtype=np.int64)
+    for ln in range(1, max_len + 1):
+        code = (code + int(bl_count[ln - 1])) << 1
+        next_code[ln] = code
+    for sym in range(len(lengths)):
+        ln = int(lengths[sym])
+        if ln:
+            codes[sym] = next_code[ln]
+            next_code[ln] += 1
+    return codes
+
+
+def _bit_reverse(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Reverse the low ``lens`` bits of each value (vectorized)."""
+    out = np.zeros_like(vals)
+    v = vals.copy()
+    maxlen = int(lens.max()) if len(lens) else 0
+    for _ in range(maxlen):
+        out = (out << 1) | (v & 1)
+        v >>= 1
+    # symbols with shorter lengths were reversed over maxlen bits;
+    # shift the surplus back out
+    return out >> (maxlen - lens)
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _TokenWriter:
+    """Collects (value, nbits) tokens; packs LSB-first in one pass."""
+
+    def __init__(self):
+        self.vals: list[int] = []
+        self.lens: list[int] = []
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits:
+            self.vals.append(int(value))
+            self.lens.append(int(nbits))
+
+    def extend_arrays(self, vals: np.ndarray, lens: np.ndarray) -> None:
+        keep = lens > 0
+        self.vals.extend(vals[keep].tolist())
+        self.lens.extend(lens[keep].tolist())
+
+    def pack(self) -> bytes:
+        vals = np.asarray(self.vals, dtype=np.int64)
+        lens = np.asarray(self.lens, dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        total = int(offs[-1])
+        bits = np.zeros(total, dtype=np.uint8)
+        if len(lens):
+            maxlen = int(lens.max())
+            starts = offs[:-1]
+            for b in range(maxlen):
+                m = lens > b
+                bits[starts[m] + b] = (vals[m] >> b) & 1
+        return np.packbits(bits, bitorder="little").tobytes()
+
+
+class _BitReader:
+    """LSB-first bit reader over bytes, O(1) peeks via 32-bit words."""
+
+    def __init__(self, data: bytes):
+        pad = data + b"\x00" * 8
+        n = (len(pad) + 3) // 4
+        self.words = struct.unpack("<%dI" % n, pad[: n * 4].ljust(n * 4, b"\x00"))
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def peek(self, n: int) -> int:
+        i, s = divmod(self.pos, 32)
+        w = self.words
+        v = w[i] >> s
+        if s:
+            v |= w[i + 1] << (32 - s)
+        return v & ((1 << n) - 1)
+
+    def read(self, n: int) -> int:
+        v = self.peek(n)
+        self.pos += n
+        return v
+
+
+class _PrefixCode:
+    """Decoder-side prefix code: 2^15 LUT of (symbol, length)."""
+
+    __slots__ = ("lut_sym", "lut_len", "single")
+
+    def __init__(self, lengths: np.ndarray, symbols: np.ndarray | None = None):
+        """``lengths[i]`` is the code length of symbol ``symbols[i]``
+        (or of symbol ``i`` when ``symbols`` is None)."""
+        if symbols is None:
+            symbols = np.arange(len(lengths))
+        nz = lengths > 0
+        if nz.sum() == 1:
+            self.single = int(symbols[np.flatnonzero(nz)[0]])
+            self.lut_sym = None
+            self.lut_len = None
+            return
+        self.single = -1
+        codes = _canonical_codes(lengths)
+        lut_sym = np.zeros(1 << MAX_CODE_LEN, dtype=np.int32)
+        lut_len = np.zeros(1 << MAX_CODE_LEN, dtype=np.int32)
+        for i in np.flatnonzero(nz):
+            ln = int(lengths[i])
+            code = int(codes[i])
+            rc = 0
+            c = code
+            for _ in range(ln):
+                rc = (rc << 1) | (c & 1)
+                c >>= 1
+            idx = rc + (np.arange(1 << (MAX_CODE_LEN - ln)) << ln)
+            lut_sym[idx] = int(symbols[i])
+            lut_len[idx] = ln
+        if (lut_len == 0).any():
+            raise ValueError("incomplete prefix code")
+        self.lut_sym = lut_sym
+        self.lut_len = lut_len
+
+    def read(self, br: _BitReader) -> int:
+        if self.single >= 0:
+            return self.single
+        idx = br.peek(MAX_CODE_LEN)
+        br.pos += int(self.lut_len[idx])
+        return int(self.lut_sym[idx])
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _rle_code_lengths(lengths: np.ndarray) -> list[tuple[int, int, int]]:
+    """RLE a code-length sequence into (cl_symbol, extra_value,
+    extra_bits) triples using spec symbols 16 (repeat previous
+    non-zero 3-6×), 17 (zeros 3-10×), 18 (zeros 11-138×)."""
+    out: list[tuple[int, int, int]] = []
+    n = len(lengths)
+    i = 0
+    while i < n:
+        v = int(lengths[i])
+        j = i
+        while j < n and int(lengths[j]) == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            while run >= 11:
+                take = min(run, 138)
+                out.append((18, take - 11, 7))
+                run -= take
+            while run >= 3:
+                take = min(run, 10)
+                out.append((17, take - 3, 3))
+                run -= take
+            out.extend([(0, 0, 0)] * run)
+        else:
+            out.append((v, 0, 0))
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                out.append((16, take - 3, 2))
+                run -= take
+            out.extend([(v, 0, 0)] * run)
+        i = j
+    return out
+
+
+def _write_full_code(tw: _TokenWriter, lengths: np.ndarray) -> None:
+    """Emit a full (non-simple) prefix code header for ``lengths``."""
+    tw.put(0, 1)  # is_simple = 0
+    triples = _rle_code_lengths(lengths)
+    cl_counts = np.zeros(19, dtype=np.int64)
+    for sym, _, _ in triples:
+        cl_counts[sym] += 1
+    cl_lengths = _huffman_lengths(cl_counts, MAX_CL_LEN)
+    if (cl_lengths > 0).sum() == 1:
+        # single-symbol CL code would be incomplete; add a 1-bit pair
+        # with a dummy second symbol (cheapest unused one)
+        used = int(np.flatnonzero(cl_lengths)[0])
+        dummy = 0 if used != 0 else 1
+        cl_lengths[:] = 0
+        cl_lengths[used] = 1
+        cl_lengths[dummy] = 1
+    cl_codes = _canonical_codes(cl_lengths)
+    # transmit CL lengths in kOrder, trimmed to the last non-zero
+    order_lens = [int(cl_lengths[s]) for s in K_CL_ORDER]
+    num = 19
+    while num > 4 and order_lens[num - 1] == 0:
+        num -= 1
+    tw.put(num - 4, 4)
+    for k in range(num):
+        tw.put(order_lens[k], 3)
+    tw.put(0, 1)  # use_max_symbol = 0 (full alphabet, 17/18 cover zeros)
+    for sym, extra, ebits in triples:
+        ln = int(cl_lengths[sym])
+        code = int(cl_codes[sym])
+        rc = 0
+        for _ in range(ln):
+            rc = (rc << 1) | (code & 1)
+            code >>= 1
+        tw.put(rc, ln)
+        if ebits:
+            tw.put(extra, ebits)
+
+
+def _build_channel_code(
+    tw: _TokenWriter, values: np.ndarray, alphabet: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Write the prefix-code header for one channel and return the
+    encode tables (reversed_code[sym], len[sym]) over ``alphabet``."""
+    counts = np.bincount(values, minlength=alphabet).astype(np.int64)
+    distinct = np.flatnonzero(counts)
+    rev = np.zeros(alphabet, dtype=np.int64)
+    lens = np.zeros(alphabet, dtype=np.int64)
+    if len(distinct) <= 2 and (len(distinct) == 0 or distinct.max() < 256):
+        # simple code (1 or 2 symbols, each ≤ 8 bits)
+        syms = sorted(int(s) for s in distinct) or [0]
+        tw.put(1, 1)  # is_simple
+        tw.put(len(syms) - 1, 1)  # num_symbols - 1
+        tw.put(1, 1)  # first symbol in 8 bits
+        tw.put(syms[0], 8)
+        if len(syms) == 2:
+            tw.put(syms[1], 8)
+            lens[syms[0]] = 1
+            lens[syms[1]] = 1
+            rev[syms[0]] = 0
+            rev[syms[1]] = 1
+        # 1 symbol: zero-length code, nothing to emit per token
+        return rev, lens
+    lengths = _huffman_lengths(counts, MAX_CODE_LEN)
+    _write_full_code(tw, lengths)
+    codes = _canonical_codes(lengths)
+    nz = lengths > 0
+    rev[nz] = _bit_reverse(codes[nz], lengths[nz])
+    lens[nz] = lengths[nz]
+    return rev, lens
+
+
+def encode(arr: np.ndarray) -> bytes:
+    """Encode HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 as a
+    lossless WebP (VP8L) file. Gray is stored as R=G=B."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        r = g = b = arr
+        a = None
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        a = None
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        r, g, b, a = (arr[:, :, i] for i in range(4))
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError(f"VP8L dimensions out of range: {w}x{h}")
+    alpha_used = a is not None and bool((a != 255).any())
+    av = (a if a is not None else np.full((h, w), 255, dtype=np.uint8)).ravel()
+    gv, rv, bv = g.ravel(), r.ravel(), b.ravel()
+
+    tw = _TokenWriter()
+    tw.put(w - 1, 14)
+    tw.put(h - 1, 14)
+    tw.put(1 if alpha_used else 0, 1)
+    tw.put(0, 3)  # version
+    tw.put(0, 1)  # no transforms
+    tw.put(0, 1)  # no color cache
+    tw.put(0, 1)  # no meta prefix image
+    # five prefix codes: green(+len), red, blue, alpha, distance
+    g_rev, g_len = _build_channel_code(tw, gv, GREEN_ALPHABET)
+    r_rev, r_len = _build_channel_code(tw, rv, 256)
+    b_rev, b_len = _build_channel_code(tw, bv, 256)
+    a_rev, a_len = _build_channel_code(tw, av, 256)
+    _build_channel_code(tw, np.zeros(1, dtype=np.int64), DIST_ALPHABET)
+
+    # pixel stream: per pixel G,R,B,A codes — vectorized table lookup,
+    # interleaved via C-order ravel of an (N,4) stack
+    vals = np.stack([g_rev[gv], r_rev[rv], b_rev[bv], a_rev[av]], axis=1).ravel()
+    lens = np.stack([g_len[gv], r_len[rv], b_len[bv], a_len[av]], axis=1).ravel()
+    tw.extend_arrays(vals, lens)
+
+    payload = b"\x2f" + tw.pack()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _read_code(br: _BitReader, alphabet: int) -> _PrefixCode:
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_8 = br.read(1)
+        s0 = br.read(8 if first_8 else 1)
+        if num_symbols == 2:
+            s1 = br.read(8)
+            return _PrefixCode(
+                np.array([1, 1]), symbols=np.array([s0, s1])
+            )
+        return _PrefixCode(np.array([1]), symbols=np.array([s0]))
+    # full code: code-length code first
+    num = br.read(4) + 4
+    cl_lengths = np.zeros(19, dtype=np.int64)
+    for k in range(num):
+        cl_lengths[K_CL_ORDER[k]] = br.read(3)
+    cl_code = _PrefixCode(cl_lengths)
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = np.zeros(alphabet, dtype=np.int64)
+    sym = 0
+    prev = 8
+    while sym < alphabet:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + br.read(2)
+            lengths[sym : sym + rep] = prev
+            sym += rep
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:
+            sym += 11 + br.read(7)
+    return _PrefixCode(lengths)
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """Decode a lossless WebP (VP8L) file — the no-transform /
+    no-cache / no-meta literal subset (everything :func:`encode`
+    emits). Returns HxWx4 if alpha is used, else HxWx3."""
+    b = bytes(buf)
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    off = 12
+    payload = None
+    while off + 8 <= len(b):
+        tag = b[off : off + 4]
+        (ln,) = struct.unpack_from("<I", b, off + 4)
+        if tag == b"VP8L":
+            payload = b[off + 8 : off + 8 + ln]
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy VP8 / extended WebP decoding requires libwebp — "
+                "only VP8L lossless is implemented in-container"
+            )
+        off += 8 + ln + (ln & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk found")
+    if payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha_hint = br.read(1)
+    version = br.read(3)
+    if version != 0:
+        raise ValueError(f"unsupported VP8L version {version}")
+    if br.read(1):
+        raise NotImplementedError(
+            "VP8L transforms (predictor/color/subtract-green/palette) "
+            "not implemented — this decoder covers the literal subset "
+            "the in-repo encoder emits; use libwebp for general files"
+        )
+    if br.read(1):
+        raise NotImplementedError("VP8L color cache not implemented")
+    if br.read(1):
+        raise NotImplementedError("VP8L meta prefix image not implemented")
+    g_code = _read_code(br, GREEN_ALPHABET)
+    r_code = _read_code(br, 256)
+    b_code = _read_code(br, 256)
+    a_code = _read_code(br, 256)
+    _read_code(br, DIST_ALPHABET)
+
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    # hot loop: inline the bit reader (32-bit word peeks) and the four
+    # LUTs as Python lists — the prefix scan is inherently bit-serial,
+    # everything around it is vectorized
+    words = br.words
+    pos = br.pos
+    mask15 = (1 << MAX_CODE_LEN) - 1
+
+    def _tab(code: _PrefixCode):
+        if code.single >= 0:
+            return None, None, code.single
+        return code.lut_sym.tolist(), code.lut_len.tolist(), -1
+
+    gs, gl, g1 = _tab(g_code)
+    rs, rl, r1 = _tab(r_code)
+    bs, bl, b1 = _tab(b_code)
+    as_, al, a1 = _tab(a_code)
+    col_g = [0] * n
+    col_r = [0] * n
+    col_b = [0] * n
+    col_a = [0] * n
+    for i in range(n):
+        if g1 >= 0:
+            s = g1
+        else:
+            wi, sh = divmod(pos, 32)
+            v = words[wi] >> sh
+            if sh:
+                v |= words[wi + 1] << (32 - sh)
+            idx = v & mask15
+            s = gs[idx]
+            pos += gl[idx]
+        if s >= 256:
+            raise NotImplementedError(
+                "VP8L backward references / color-cache hits not "
+                "implemented (the in-repo encoder emits literals only)"
+            )
+        col_g[i] = s
+        if r1 >= 0:
+            col_r[i] = r1
+        else:
+            wi, sh = divmod(pos, 32)
+            v = words[wi] >> sh
+            if sh:
+                v |= words[wi + 1] << (32 - sh)
+            idx = v & mask15
+            col_r[i] = rs[idx]
+            pos += rl[idx]
+        if b1 >= 0:
+            col_b[i] = b1
+        else:
+            wi, sh = divmod(pos, 32)
+            v = words[wi] >> sh
+            if sh:
+                v |= words[wi + 1] << (32 - sh)
+            idx = v & mask15
+            col_b[i] = bs[idx]
+            pos += bl[idx]
+        if a1 >= 0:
+            col_a[i] = a1
+        else:
+            wi, sh = divmod(pos, 32)
+            v = words[wi] >> sh
+            if sh:
+                v |= words[wi + 1] << (32 - sh)
+            idx = v & mask15
+            col_a[i] = as_[idx]
+            pos += al[idx]
+    br.pos = pos
+    out[:, 1] = col_g
+    out[:, 0] = col_r
+    out[:, 2] = col_b
+    out[:, 3] = col_a
+    img = out.reshape(h, w, 4)
+    if alpha_hint and (img[:, :, 3] != 255).any():
+        return img
+    return img[:, :, :3]

@@ -62,7 +62,10 @@ def test_fake_lossy_psnr():
 def test_decode_dispatch():
     a = synth(c=1)
     assert np.array_equal(C.decode_image(C.encode_image(a, "png")), a)
-    assert C.decode_image(C.encode_image(a, "webp")).shape == a.shape
+    # VP8L stores ARGB: gray comes back as identical R=G=B planes
+    wrt = C.decode_image(C.encode_image(a, "webp"))
+    assert wrt.shape == a.shape + (3,)
+    assert all(np.array_equal(wrt[:, :, i], a) for i in range(3))
     assert C.decode_image(C.encode_image(a, "jpeg")).shape == a.shape  # real T.81
     with pytest.raises(NotImplementedError):
         C.decode_image(b"RIFF....WEBPVP8 real webp not supported")

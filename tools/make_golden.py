@@ -378,12 +378,11 @@ def g_raster_psnr_gate(sf_dir, min_db=40.0):
             continue
         fp = footprint(okey)
         arr = decoded_pixels(fp)
-        if fp["fmt"] == "png":
-            rt = codec.png_decode(codec.png_encode(arr, 1))
-            exact = bool((rt == arr).all())
+        rt = codec.decode_image(codec.encode_image(arr, fp["fmt"], 1), fp["fmt"])
+        if fp["fmt"] in ("png", "webp"):
+            exact = rt.shape == arr.shape and bool((rt == arr).all())
             rows.append((fp["image_id"], fp["fmt"], exact, float("inf"), exact))
         else:
-            rt = codec.fake_lossy_decode(codec.fake_lossy_encode(arr, fp["fmt"]))
             p = round(codec.psnr(arr, rt), 2)
             rows.append((fp["image_id"], fp["fmt"], False, p, bool(p >= min_db)))
     schema = pa.schema(
