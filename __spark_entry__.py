@@ -1202,6 +1202,134 @@ FROM aoi
 """
 
 
+def _q_check_coverage(spark, sf_dir):
+    """gdal vector check-coverage (apps/gdalalg_vector_check_coverage
+    .cpp, GEOS GEOSCoverageIsValid): per-tile invalid boundary edges
+    over a 3x3 tiling of each AOI with a defect chosen by
+    poly_id % 3 — 0: east tile extended left by d (overlap: east's
+    left/bottom/top + center's right/bottom/top + the four partially
+    overlapped neighbors' collinear edges, all hand-traced); 1: center
+    shrunk by g (enclosed ring gap narrower than the per-patch
+    threshold → the 8 gap-boundary edges flag); 2: perfect (valid).
+    Every flagged count and edge length is closed-form from the AOI
+    bounds — a non-circular SQL value oracle."""
+    from gdal_spark.operators.coverage import check_coverage
+
+    tiles = synth.coverage_tiles(spark, sf_dir)
+    out = check_coverage(tiles, by="patch")
+    return out.select(
+        F.col("patch").alias("poly_id"),
+        "fid",
+        "n_invalid",
+        F.round("invalid_len", 6).alias("invalid_len"),
+        "is_valid",
+    )
+
+
+_COVERAGE_DIMS_CTE = f"""
+cov AS (
+  SELECT poly_id, poly_id % 3 AS var,
+         (lon_max - lon_min) / 3.0 AS tw,
+         (lat_max - lat_min) / 3.0 AS th,
+         CAST(0.1 AS DOUBLE) * (lon_max - lon_min) / 3.0 AS d,
+         CAST(0.05 AS DOUBLE) * (CASE WHEN (lon_max - lon_min) <= (lat_max - lat_min)
+               THEN (lon_max - lon_min) ELSE (lat_max - lat_min) END) / 3.0 AS g,
+         CAST(f.fid AS BIGINT) AS fid
+  FROM aoi CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8)) AS f(fid)
+)"""
+
+
+CHECK_COVERAGE_ORACLE = f"""
+WITH {AOI_CTE}, {_COVERAGE_DIMS_CTE}
+SELECT poly_id, fid,
+       CAST(CASE
+         WHEN var = 0 AND fid IN (4, 5) THEN 3
+         WHEN var = 0 AND fid IN (1, 2, 7, 8) THEN 1
+         WHEN var = 1 AND fid = 4 THEN 4
+         WHEN var = 1 AND fid IN (1, 3, 5, 7) THEN 1
+         ELSE 0 END AS INTEGER) AS n_invalid,
+       round(CASE
+         WHEN var = 0 AND fid = 5 THEN th + 2.0 * (tw + d)
+         WHEN var = 0 AND fid = 4 THEN th + 2.0 * tw
+         WHEN var = 0 AND fid IN (1, 2, 7, 8) THEN tw
+         WHEN var = 1 AND fid = 4 THEN 2.0 * (tw - 2.0 * g) + 2.0 * (th - 2.0 * g)
+         WHEN var = 1 AND fid IN (1, 7) THEN tw
+         WHEN var = 1 AND fid IN (3, 5) THEN th
+         ELSE CAST(0.0 AS DOUBLE) END, 6) AS invalid_len,
+       (var = 2 OR (var = 0 AND fid IN (0, 3, 6))
+        OR (var = 1 AND fid IN (0, 2, 6, 8))) AS is_valid
+FROM cov
+"""
+
+
+def _q_clean_coverage(spark, sf_dir):
+    """gdal vector clean-coverage (apps/gdalalg_vector_clean_coverage
+    .cpp, GEOS GEOSCoverageClean): same defect fixture; overlap
+    resolved by merge-strategy=max-area (the extended east tile is
+    larger, so the center loses the d-wide strip), the ring gap is
+    merged into its longest-shared-border neighbor (the shrunk center
+    itself — its full perimeter beats any single outer edge),
+    restoring the perfect tiling. All output areas closed-form."""
+    from gdal_spark.operators.coverage import clean_coverage
+
+    tiles = synth.coverage_tiles(spark, sf_dir)
+    out = clean_coverage(tiles, by="patch", merge_strategy="max-area")
+    return out.select(
+        F.col("patch").alias("poly_id"),
+        "fid",
+        F.round("area", 6).alias("area"),
+    )
+
+
+CLEAN_COVERAGE_ORACLE = f"""
+WITH {AOI_CTE}, {_COVERAGE_DIMS_CTE}
+SELECT poly_id, fid,
+       round(CASE
+         WHEN var = 0 AND fid = 5 THEN (tw + d) * th
+         WHEN var = 0 AND fid = 4 THEN (tw - d) * th
+         ELSE tw * th END, 6) AS area
+FROM cov
+"""
+
+
+def _q_simplify_coverage(spark, sf_dir):
+    """gdal vector simplify-coverage (apps/gdalalg_vector_simplify_
+    coverage.cpp, GEOS GEOSCoverageSimplifyVW): two tiles per AOI
+    sharing a 6-point zigzag mid edge; Visvalingam-Whyatt over the
+    shared arc drops every zigzag vertex on BOTH sides identically
+    (crack-free), preserve-boundary keeps the outer corners → each
+    tile becomes its clean half-rectangle (4 pts, area W/2 x H);
+    tolerance=0 is the identity (10 pts)."""
+    from gdal_spark.operators.coverage import simplify_coverage
+
+    zz = synth.coverage_zigzag(spark, sf_dir)
+    simp = simplify_coverage(
+        zz, by="patch", tolerance=1.0e6, preserve_boundary=True
+    ).select(
+        F.col("patch").alias("poly_id"),
+        "fid",
+        "n_pts",
+        F.round("area", 6).alias("area"),
+    )
+    raw = simplify_coverage(zz, by="patch", tolerance=0.0).select(
+        F.col("patch").alias("poly_id"),
+        "fid",
+        F.col("n_pts").alias("n_pts_raw"),
+    )
+    return simp.join(raw, ["poly_id", "fid"])
+
+
+SIMPLIFY_COVERAGE_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id, CAST(f.fid AS BIGINT) AS fid,
+       CAST(4 AS INTEGER) AS n_pts,
+       round((lon_max - lon_min) * CAST(0.5 AS DOUBLE)
+             * (lat_max - lat_min), 6) AS area,
+       CAST(10 AS INTEGER) AS n_pts_raw
+FROM aoi CROSS JOIN (VALUES (0), (1)) AS f(fid)
+"""
+
+
 def _tri_sq_inter_sql(a: str, b: str) -> str:
     """Closed-form area of {x,y ≥ 0, x+y ≤ a} ∩ [0,b]² as dual-dialect
     SQL (all three regimes of the hypotenuse vs the square)."""
@@ -2619,6 +2747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_general_boolean": _q_st_general_boolean,
         "vector_dissolve_geom": _q_dissolve_geom,
         "vector_concave_hull": _q_concave_hull,
+        "vector_check_coverage": _q_check_coverage,
+        "vector_clean_coverage": _q_clean_coverage,
+        "vector_simplify_coverage": _q_simplify_coverage,
         "hilbert_order": _q_hilbert,
         "reproject_utm": _q_reproject_utm,
         "dedup_minhash_lsh": _q_minhash,
@@ -2745,6 +2876,9 @@ def oracle_sql() -> dict[str, str]:
         "vector_dissolve": DISSOLVE_ORACLE,
         "vector_hull_valid": HULL_VALID_ORACLE,
         "vector_concave_hull": CONCAVE_HULL_ORACLE,
+        "vector_check_coverage": CHECK_COVERAGE_ORACLE,
+        "vector_clean_coverage": CLEAN_COVERAGE_ORACLE,
+        "vector_simplify_coverage": SIMPLIFY_COVERAGE_ORACLE,
         "saved_plan_exec": SAVED_PLAN_ORACLE,
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),

@@ -308,3 +308,105 @@ def images(
             yield pd.DataFrame(rows)
 
     return fp.mapInPandas(gen, schema=IMG_SCHEMA)
+
+
+def coverage_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonal-coverage fixture for the check/clean-coverage
+    operators (apps/gdalalg_vector_{check,clean}_coverage.cpp): one
+    3x3 tiling of each AOI rectangle with a deterministic defect by
+    ``poly_id % 3`` — 0: the east tile (fid 5) extended left by
+    d = 0.1*tile_w into the center tile (overlap + misaligned
+    collinear edges); 1: the center tile (fid 4) shrunk by
+    g = 0.05*min(tile_w, tile_h) on all sides (an enclosed ring gap of
+    inscribed diameter (2-sqrt(2))*2*g < gap_w); 2: a perfect tiling.
+    ``gap_w`` carries the per-patch gap threshold 2*g."""
+    base = aoi(spark, sf_dir, with_wkb=False)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                W = r.lon_max - r.lon_min
+                H = r.lat_max - r.lat_min
+                tw, th = W / 3.0, H / 3.0
+                d = 0.1 * tw
+                g = 0.05 * min(tw, th)
+                var = int(r.poly_id) % 3
+                for rr in range(3):
+                    for cc in range(3):
+                        fid = 3 * rr + cc
+                        x0 = r.lon_min + tw * cc
+                        x1 = r.lon_min + tw * (cc + 1)
+                        y0 = r.lat_min + th * rr
+                        y1 = r.lat_min + th * (rr + 1)
+                        if var == 0 and fid == 5:
+                            x0 = x0 - d
+                        if var == 1 and fid == 4:
+                            x0, x1 = x0 + g, x1 - g
+                            y0, y1 = y0 + g, y1 - g
+                        rows.append(
+                            {
+                                "patch": int(r.poly_id),
+                                "fid": fid,
+                                "geom": G.wkb_bbox_polygon(x0, y0, x1, y1),
+                                "gap_w": 2.0 * g,
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(
+        gen, schema="patch long, fid long, geom binary, gap_w double"
+    )
+
+
+def coverage_zigzag(spark: SparkSession, sf_dir: str, k: int = 6) -> DataFrame:
+    """Two-tile coverage per AOI whose shared mid edge is a k-point
+    zigzag (x = mid ± 0.02*W alternating, vertex-exact on both sides)
+    — the simplify-coverage fixture: VW drops every zigzag vertex
+    (shared arc) while the node endpoints and, with preserve-boundary,
+    the outer corners survive."""
+    base = aoi(spark, sf_dir, with_wkb=False)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                W = r.lon_max - r.lon_min
+                H = r.lat_max - r.lat_min
+                xm = r.lon_min + W * 0.5
+                e = 0.02 * W
+                mids = [
+                    [xm + (e if i % 2 else -e), r.lat_min + H * i / (k + 1)]
+                    for i in range(1, k + 1)
+                ]
+                left = np.array(
+                    [[xm, r.lat_min]]
+                    + mids
+                    + [
+                        [xm, r.lat_max],
+                        [r.lon_min, r.lat_max],
+                        [r.lon_min, r.lat_min],
+                        [xm, r.lat_min],
+                    ]
+                )
+                right = np.array(
+                    [
+                        [xm, r.lat_min],
+                        [r.lon_max, r.lat_min],
+                        [r.lon_max, r.lat_max],
+                        [xm, r.lat_max],
+                    ]
+                    + mids[::-1]
+                    + [[xm, r.lat_min]]
+                )
+                for fid, ring in ((0, left), (1, right)):
+                    rows.append(
+                        {
+                            "patch": int(r.poly_id),
+                            "fid": fid,
+                            "geom": G.wkb_polygon([ring]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return base.mapInPandas(gen, schema="patch long, fid long, geom binary")
