@@ -1381,7 +1381,8 @@ def _q_st_general_boolean(spark, sf_dir):
                round(coalesce(ST_Area(ST_Union(tri, sqr)), 0.0)
                      - coalesce(ST_Area(ST_Intersection(tri, sqr)), 0.0), 6) AS sym_ab,
                round(coalesce(ST_Area(ST_Intersection(tri, tri_c)), 0.0), 6) AS inter_ac,
-               round(ST_Area(ST_Buffer(tri, 0.5)), 6) AS buf_area
+               round(ST_Area(ST_Buffer(tri, 0.5)), 6) AS buf_area,
+               round(ST_Area(ST_Buffer(tri, -0.2)), 6) AS erode_area
         FROM shapes
         """
     )
@@ -1409,7 +1410,10 @@ SELECT poly_id,
        round(a * a / 2.0 + b * b - 2.0 * {inter_ab}, 6) AS sym_ab,
        round((a - 2.0) * (a - 2.0) / 2.0, 6) AS inter_ac,
        round(a * a / 2.0 + (2.0 * a + a * CAST({math.sqrt(2.0)!r} AS DOUBLE)) * 0.5
-             + CAST({ngon!r} AS DOUBLE) * 0.25, 6) AS buf_area
+             + CAST({ngon!r} AS DOUBLE) * 0.25, 6) AS buf_area,
+       round((a - CAST(0.2 AS DOUBLE) * (2.0 + CAST({math.sqrt(2.0)!r} AS DOUBLE)))
+             * (a - CAST(0.2 AS DOUBLE) * (2.0 + CAST({math.sqrt(2.0)!r} AS DOUBLE)))
+             / 2.0, 6) AS erode_area
 FROM shapes
 """
 

@@ -213,9 +213,17 @@ def buffer_geom(g: G.Geom, dist: float, quadsegs: int = 8) -> bytes:
     - general polygon → union of the polygon, one offset rectangle per
       edge and one disc n-gon per vertex (round joins), evaluated by
       the slab boolean kernel (``functions.clipper``) — the standard
-      GEOS offset-curve construction."""
+      GEOS offset-curve construction,
+    - NEGATIVE dist (erosion) → ``P \\ dilate(∂P, |dist|)``: the same
+      edge-rect + vertex-disc pieces minus the polygon itself give the
+      |dist|-neighborhood of the boundary; subtracting it from P is
+      exactly the morphological erosion (reflex vertices get the round
+      concave arc GEOS produces). Fully consumed polygons come back as
+      POLYGON EMPTY, GEOS-style."""
     n = 4 * quadsegs
     if g.gtype == G.WKB_POINT:
+        if dist <= 0:
+            return _empty_polygon_wkb()
         cx, cy = g.coords[0][0]
         ang = 2.0 * math.pi * np.arange(n) / n
         ring = np.stack([cx + dist * np.cos(ang), cy + dist * np.sin(ang)], axis=1)
@@ -224,16 +232,32 @@ def buffer_geom(g: G.Geom, dist: float, quadsegs: int = 8) -> bytes:
     if r is None:
         from gdal_spark.functions import clipper
 
-        if dist <= 0:
-            raise NotImplementedError("negative buffer of general polygons")
-        rings, roles = clipper.boolean_rings(
-            clipper.buffer_rings(g, dist, quadsegs), "union"
-        )
+        if dist == 0:
+            return G.wkb_polygon(g.rings) if len(g.rings) == 1 else clipper.rings_to_wkb(
+                g.rings, g.ring_roles
+            )
+        pieces = clipper.buffer_rings(g, abs(dist), quadsegs)
+        if dist > 0:
+            rings, roles = clipper.boolean_rings(pieces, "union")
+        else:
+            # erosion: boundary pieces are everything after the
+            # polygon's own rings (buffer_rings emits those first)
+            boundary = pieces[len(g.rings):]
+            dil_rings, _ = clipper.boolean_rings(boundary, "union")
+            rings, roles = clipper.boolean_rings([g.rings, dil_rings], "difference")
         out = clipper.rings_to_wkb(rings, roles)
         if out is None:
+            if dist < 0:
+                return _empty_polygon_wkb()
             raise ValueError("buffer produced empty geometry")
         return out
     x0, y0, x1, y1 = r
+    if dist < 0:
+        if x1 + 2 * dist <= x0 or y1 + 2 * dist <= y0:
+            return _empty_polygon_wkb()
+        return G.wkb_bbox_polygon(x0 - dist, y0 - dist, x1 + dist, y1 + dist)
+    if dist == 0:
+        return G.wkb_bbox_polygon(x0, y0, x1, y1)
     corners = [(x1, y1, 0.0), (x0, y1, 0.5), (x0, y0, 1.0), (x1, y0, 1.5)]
     pts = []
     for cx, cy, start in corners:
@@ -241,6 +265,14 @@ def buffer_geom(g: G.Geom, dist: float, quadsegs: int = 8) -> bytes:
         pts.append(np.stack([cx + dist * np.cos(ang), cy + dist * np.sin(ang)], axis=1))
     ring = np.vstack(pts)
     return G.wkb_polygon([ring])
+
+
+def _empty_polygon_wkb() -> bytes:
+    """POLYGON EMPTY (0 rings) — what GEOS returns for a buffer that
+    consumes its input."""
+    import struct
+
+    return struct.pack("<BII", 1, G.WKB_POLYGON, 0)
 
 
 def intersection_geom(ga: G.Geom, gb: G.Geom) -> bytes | None:

@@ -116,3 +116,73 @@ def test_union_many_geoms_wkb():
     gs = [G.parse_wkb(G.wkb_polygon([sq(0, 0, 2, 2)])), G.parse_wkb(G.wkb_polygon([sq(1, 1, 3, 3)]))]
     out = clipper.union_many(gs)
     assert G.geom_area(G.parse_wkb(out)) == pytest.approx(7.0)
+
+
+# ---------------------------------------------------------------------------
+# negative buffer (erosion) — closed-form oracles
+# ---------------------------------------------------------------------------
+
+
+def test_negative_buffer_rect():
+    import numpy as np
+    from gdal_spark.functions import geometry as G, predicates as P
+
+    r = G.parse_wkb(G.wkb_bbox_polygon(0, 0, 4, 2))
+    out = G.parse_wkb(P.buffer_geom(r, -0.5))
+    assert abs(G.geom_area(out) - 3.0) < 1e-12
+    # full consumption → POLYGON EMPTY
+    out = G.parse_wkb(P.buffer_geom(r, -1.5))
+    assert not out.rings and G.geom_area(out) == 0.0
+
+
+def test_negative_buffer_l_shape_reflex_arc():
+    """Erosion of an L: the reflex corner leaves a round concave arc —
+    area = 5 + 0.25 - quarter 32-gon(r), derived by hand from
+    P \\ dilate(boundary, r)."""
+    import math
+
+    import numpy as np
+    from gdal_spark.functions import geometry as G, predicates as P
+
+    ring = np.array([[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]], float)
+    L = G.Geom(gtype=G.WKB_POLYGON, rings=[ring], ring_roles=[True])
+    out = G.parse_wkb(P.buffer_geom(L, -0.5))
+    n, r = 32, 0.5
+    expect = 5.0 + 0.25 - (n / 8) * r * r * math.sin(2 * math.pi / n)
+    assert abs(G.geom_area(out) - expect) < 1e-9
+
+
+def test_negative_buffer_holed_polygon():
+    """Square with a hole: erosion shrinks the shell and dilates the
+    hole (round-cornered) — closed form via the dilated-hole area."""
+    import math
+
+    import numpy as np
+    from gdal_spark.functions import geometry as G, predicates as P
+
+    sq = G.Geom(
+        gtype=G.WKB_POLYGON,
+        rings=[
+            np.array([[0, 0], [6, 0], [6, 6], [0, 6], [0, 0]], float),
+            np.array([[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]], float),
+        ],
+        ring_roles=[True, False],
+    )
+    out = G.parse_wkb(P.buffer_geom(sq, -0.5))
+    n, r = 32, 0.5
+    ngon_full = (n / 2) * r * r * math.sin(2 * math.pi / n)
+    expect = 25.0 - (4.0 + 4.0 * (2 * 0.5) + ngon_full)
+    assert abs(G.geom_area(out) - expect) < 1e-9
+
+
+def test_negative_buffer_triangle_exact():
+    """Convex erosion is arc-free: right-isoceles triangle legs a,
+    erode r → legs a - r(2+sqrt(2)), the st_general_boolean oracle."""
+    import math
+
+    from gdal_spark.functions import geometry as G, predicates as P
+
+    tri = G.parse_wkb(P.parse_wkt("POLYGON ((0 0, 6 0, 0 6, 0 0))"))
+    out = G.parse_wkb(P.buffer_geom(tri, -0.2))
+    L = 6 - 0.2 * (2 + math.sqrt(2))
+    assert abs(G.geom_area(out) - L * L / 2) < 1e-9
