@@ -957,6 +957,56 @@ def _q_grid_tin(spark, sf_dir):
     )
 
 
+def _q_grid_tin_cells(spark, sf_dir):
+    """Distributed per-cell TIN (the 10^8-site scale path of gdalgrid
+    linear — no driver collect, no broadcast): sites partitioned into
+    4×4 spatial cells with a one-ring halo; each cell triangulates its
+    3×3 neighborhood and certifies every triangle by the
+    empty-circumcircle containment argument. Oracle: sites lie on the
+    plane z = 0.37·x − 0.21·y + 5, so EVERY interpolated pixel must
+    reproduce the plane exactly (barycentric interpolation of a linear
+    field is the field, for any triangulation) and every triangle must
+    certify — a closed-form SQL value oracle for the distributed path."""
+    from gdal_spark.operators.tin import grid_linear_cells
+
+    xmin, ymin, xmax, ymax = GRID_BOUNDS
+    g = 24  # 25x25 regular sites, corners included → full-hull coverage
+    sites = spark.range((g + 1) * (g + 1)).selectExpr(
+        f"CAST({xmin!r} AS DOUBLE) + CAST(id % {g + 1} AS DOUBLE)"
+        f" * CAST({(xmax - xmin)!r} AS DOUBLE) / {g}.0 AS lon",
+        f"CAST({ymin!r} AS DOUBLE) + CAST(id DIV {g + 1} AS DOUBLE)"
+        f" * CAST({(ymax - ymin)!r} AS DOUBLE) / {g}.0 AS lat",
+    ).selectExpr(
+        "lon",
+        "lat",
+        "CAST(0.37 AS DOUBLE) * lon - CAST(0.21 AS DOUBLE) * lat"
+        " + CAST(5.0 AS DOUBLE) AS v",
+    )
+    out = grid_linear_cells(
+        spark, sites, "v", GRID_BOUNDS, GRID_NX, GRID_NY, cells_x=4, cells_y=4
+    )
+    px = F.lit(xmin) + (F.col("gx") + F.lit(0.5)) * F.lit((xmax - xmin)) / F.lit(
+        float(GRID_NX)
+    )
+    py = F.lit(ymin) + (F.col("gy") + F.lit(0.5)) * F.lit((ymax - ymin)) / F.lit(
+        float(GRID_NY)
+    )
+    plane = F.lit(0.37) * px - F.lit(0.21) * py + F.lit(5.0)
+    return out.select(
+        F.col("gx").cast("int"),
+        F.col("gy").cast("int"),
+        F.round(F.col("value") - plane, 6).alias("plane_err"),
+        "certified",
+    )
+
+
+GRID_TIN_CELLS_ORACLE = f"""
+SELECT CAST(x.gx AS INTEGER) AS gx, CAST(y.gy AS INTEGER) AS gy,
+       CAST(0.0 AS DOUBLE) AS plane_err, TRUE AS certified
+FROM range({GRID_NX}) AS x(gx) CROSS JOIN range({GRID_NY}) AS y(gy)
+"""
+
+
 def _q_st_functions(spark, sf_dir):
     """ST_ scalar surface (ogrsqlitesqlfunctions.cpp:1188-1240) through
     spark.sql over a registered view — the ExecuteSQL dialect path."""
@@ -2779,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_warp_utm": _q_warp_utm,
         "raster_warp_gcp": _q_warp_gcp,
         "grid_tin": _q_grid_tin,
+        "grid_tin_cells": _q_grid_tin_cells,
         "image_phash_dedup": _q_phash_dedup,
         "raster_proximity": _q_proximity,
         "raster_sieve": _q_sieve,
@@ -2880,6 +2931,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_dissolve": DISSOLVE_ORACLE,
         "vector_hull_valid": HULL_VALID_ORACLE,
         "vector_concave_hull": CONCAVE_HULL_ORACLE,
+        "grid_tin_cells": GRID_TIN_CELLS_ORACLE,
         "vector_check_coverage": CHECK_COVERAGE_ORACLE,
         "vector_clean_coverage": CLEAN_COVERAGE_ORACLE,
         "vector_simplify_coverage": SIMPLIFY_COVERAGE_ORACLE,

@@ -217,3 +217,167 @@ def grid_linear(
                 )
 
     return grid.mapInPandas(interp, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Distributed per-cell TIN (the 10^8-site scale path)
+# ---------------------------------------------------------------------------
+
+
+def _circumcircle(ax, ay, bx, by, cx, cy):
+    """(center_x, center_y, radius) of the circumcircle, or None for
+    degenerate triangles."""
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        return None
+    a2 = ax * ax + ay * ay
+    b2 = bx * bx + by * by
+    c2 = cx * cx + cy * cy
+    ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    return ux, uy, float(np.hypot(ax - ux, ay - uy))
+
+
+def grid_linear_cells(
+    spark: SparkSession,
+    points: DataFrame,
+    value_col: str,
+    bounds: tuple[float, float, float, float],
+    nx: int,
+    ny: int,
+    cells_x: int = 4,
+    cells_y: int = 4,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Distributed TIN without any driver collect or broadcast: sites
+    are hash-partitioned into ``cells_x × cells_y`` spatial cells and
+    replicated to each cell's one-ring halo (a 9x explode, pure SQL);
+    every cell triangulates only its 3×3 neighborhood's sites and
+    interpolates its own block of grid pixels.
+
+    **Certification** (why this equals the global TIN): by the
+    Delaunay empty-circumcircle property, a triangle of the LOCAL
+    Delaunay whose circumcircle (a) is empty of local sites — true by
+    construction — and (b) lies entirely inside the region whose sites
+    were all gathered (the 3×3 cell box, unbounded on sides that touch
+    the data domain edge) is also a triangle of the GLOBAL Delaunay:
+    no ungathered site can invalidate it. Pixels whose containing
+    triangle fails (b) are still emitted but flagged
+    ``certified = false`` — at production density (sites ≫ cells) the
+    flag never trips; a sparse patch degrades loudly, not wrongly.
+
+    Scale: shuffle volume = 9× the site table (halo replication) + the
+    output pixels; no single node ever sees more than a 3×3
+    neighborhood. This is the ``grid_linear`` plan for site sets past
+    the broadcast bound (``MAX_BROADCAST_SITES``).
+    """
+    lon_min, lat_min, lon_max, lat_max = bounds
+    cw = (lon_max - lon_min) / cells_x
+    chh = (lat_max - lat_min) / cells_y
+
+    pts = points.select(
+        F.col(lon).alias("x"), F.col(lat).alias("y"), F.col(value_col).alias("v")
+    )
+    # home cell, clamped into the grid
+    pts = pts.withColumn(
+        "cx0",
+        F.least(
+            F.lit(cells_x - 1),
+            F.greatest(F.lit(0), F.floor((F.col("x") - lon_min) / cw)),
+        ).cast("int"),
+    ).withColumn(
+        "cy0",
+        F.least(
+            F.lit(cells_y - 1),
+            F.greatest(F.lit(0), F.floor((F.col("y") - lat_min) / chh)),
+        ).cast("int"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    halo = (
+        pts.withColumn("o", F.explode(offs))
+        .withColumn("cx", F.col("cx0") + F.col("o.dx"))
+        .withColumn("cy", F.col("cy0") + F.col("o.dy"))
+        .filter(
+            (F.col("cx") >= 0)
+            & (F.col("cx") < cells_x)
+            & (F.col("cy") >= 0)
+            & (F.col("cy") < cells_y)
+        )
+        .select("cx", "cy", "x", "y", "v")
+    )
+
+    schema = "gx int, gy int, value double, certified boolean"
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cx, cy = int(key[0]), int(key[1])
+        pdf = pdf.sort_values(["x", "y", "v"])
+        sites = pdf[["x", "y"]].to_numpy(dtype=np.float64)
+        vals = pdf["v"].to_numpy(dtype=np.float64)
+        if len(sites) < 3:
+            return pd.DataFrame(columns=["gx", "gy", "value", "certified"])
+        # gathered region: 3x3 cell box; a side at the domain edge is
+        # unbounded (no sites exist beyond the domain)
+        rx0 = lon_min + (cx - 1) * cw if cx > 0 else -np.inf
+        rx1 = lon_min + (cx + 2) * cw if cx < cells_x - 1 else np.inf
+        ry0 = lat_min + (cy - 1) * chh if cy > 0 else -np.inf
+        ry1 = lat_min + (cy + 2) * chh if cy < cells_y - 1 else np.inf
+        tris = delaunay(sites)
+        cert = []
+        for t in tris:
+            cc = _circumcircle(*sites[t[0]], *sites[t[1]], *sites[t[2]])
+            cert.append(
+                cc is not None
+                and cc[0] - cc[2] >= rx0
+                and cc[0] + cc[2] <= rx1
+                and cc[1] - cc[2] >= ry0
+                and cc[1] + cc[2] <= ry1
+            )
+        # this cell's pixel block
+        gx0, gx1 = cx * nx // cells_x, (cx + 1) * nx // cells_x
+        gy0, gy1 = cy * ny // cells_y, (cy + 1) * ny // cells_y
+        dx = (lon_max - lon_min) / nx
+        dy = (lat_max - lat_min) / ny
+        gxx, gyy = np.meshgrid(
+            np.arange(gx0, gx1), np.arange(gy0, gy1), indexing="ij"
+        )
+        qx = lon_min + (gxx.ravel() + 0.5) * dx
+        qy = lat_min + (gyy.ravel() + 0.5) * dy
+        out = np.full(qx.shape, np.nan)
+        okflag = np.ones(qx.shape, dtype=bool)
+        # certified triangles first; uncertified only fill leftovers
+        for pass_certified in (True, False):
+            for t, ok in zip(tris, cert):
+                if ok != pass_certified:
+                    continue
+                a, b, c = t
+                ax, ay = sites[a]
+                bx, by = sites[b]
+                ccx, ccy = sites[c]
+                den = (by - ccy) * (ax - ccx) + (ccx - bx) * (ay - ccy)
+                if den == 0:
+                    continue
+                w1 = ((by - ccy) * (qx - ccx) + (ccx - bx) * (qy - ccy)) / den
+                w2 = ((ccy - ay) * (qx - ccx) + (ax - ccx) * (qy - ccy)) / den
+                w3 = 1.0 - w1 - w2
+                m = np.isnan(out) & (w1 >= 0) & (w2 >= 0) & (w3 >= 0)
+                out[m] = w1[m] * vals[a] + w2[m] * vals[b] + w3[m] * vals[c]
+                if not pass_certified:
+                    okflag[m] = False
+        keep = ~np.isnan(out)
+        return pd.DataFrame(
+            {
+                "gx": gxx.ravel()[keep].astype(np.int32),
+                "gy": gyy.ravel()[keep].astype(np.int32),
+                "value": out[keep],
+                "certified": okflag[keep],
+            }
+        )
+
+    return halo.groupBy("cx", "cy").applyInPandas(run, schema=schema)

@@ -197,3 +197,61 @@ def test_saved_plan_roundtrip(spark):
 
     with pytest.raises(ValueError):
         saved.loads('{"type": "other"}')
+
+def test_grid_linear_cells_matches_broadcast(spark):
+    """The distributed per-cell TIN (one-ring halo + circumcircle
+    certification) must reproduce the broadcast TIN exactly on a
+    jittered site set: every certified local triangle is a global
+    Delaunay triangle (empty-circle argument), and on this density
+    every pixel certifies."""
+    import numpy as np
+
+    from gdal_spark.operators.tin import grid_linear, grid_linear_cells
+
+    rng = np.random.default_rng(42)
+    g = 12
+    xs = np.linspace(0, 10, g)
+    pts = []
+    for i, x in enumerate(xs):
+        for j, y in enumerate(np.linspace(0, 8, g)):
+            jx = 0.0 if i in (0, g - 1) else float(rng.uniform(-0.3, 0.3))
+            jy = 0.0 if j in (0, g - 1) else float(rng.uniform(-0.2, 0.2))
+            pts.append((float(x + jx), float(y + jy), float(np.sin(x) + y * 0.1)))
+    df = spark.createDataFrame(pts, "lon double, lat double, v double")
+    bounds = (0.0, 0.0, 10.0, 8.0)
+    a = {
+        (r.gx, r.gy): r.value
+        for r in grid_linear(spark, df, "v", bounds, 20, 16).collect()
+    }
+    rows = grid_linear_cells(
+        spark, df, "v", bounds, 20, 16, cells_x=4, cells_y=4
+    ).collect()
+    b = {(r.gx, r.gy): r.value for r in rows}
+    assert all(r.certified for r in rows)
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12, (k, a[k], b[k])
+
+
+def test_grid_linear_cells_plane_exact(spark):
+    """Sites on a plane -> every interpolated pixel equals the plane
+    value regardless of triangulation (the gdalgrid linear invariant)."""
+    import numpy as np
+
+    from gdal_spark.operators.tin import grid_linear_cells
+
+    pts = [
+        (float(x), float(y), float(2.0 * x - 0.5 * y + 3.0))
+        for x in np.linspace(0, 6, 7)
+        for y in np.linspace(0, 6, 7)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double, v double")
+    rows = grid_linear_cells(
+        spark, df, "v", (0.0, 0.0, 6.0, 6.0), 12, 12, cells_x=3, cells_y=3
+    ).collect()
+    assert len(rows) == 144
+    for r in rows:
+        px = (r.gx + 0.5) * 0.5
+        py = (r.gy + 0.5) * 0.5
+        assert abs(r.value - (2.0 * px - 0.5 * py + 3.0)) < 1e-9
+        assert r.certified
