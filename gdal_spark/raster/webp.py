@@ -90,23 +90,31 @@ def _huffman_lengths(counts: np.ndarray, limit: int) -> np.ndarray:
         lengths[nz[0]] = 1
         return lengths
     work = counts.copy()
+    m = len(nz)
     while True:
-        # heap items: (count, tiebreak, [symbols...])
-        heap = [(int(work[s]), int(s), [int(s)]) for s in nz]
+        # heap of (count, tiebreak, node); parent pointers instead of
+        # per-merge symbol-list concatenation (that was O(n²))
+        heap = [(int(work[s]), int(i), int(i)) for i, s in enumerate(nz)]
         heapq.heapify(heap)
-        depth = np.zeros(len(counts), dtype=np.int32)
-        tie = len(counts)
+        parent = [0] * (2 * m - 1)
+        nxt = m
         while len(heap) > 1:
-            c1, _, s1 = heapq.heappop(heap)
-            c2, _, s2 = heapq.heappop(heap)
-            for s in s1:
-                depth[s] += 1
-            for s in s2:
-                depth[s] += 1
-            heapq.heappush(heap, (c1 + c2, tie, s1 + s2))
-            tie += 1
-        if depth.max() <= limit:
-            return depth
+            c1, _, n1 = heapq.heappop(heap)
+            c2, _, n2 = heapq.heappop(heap)
+            parent[n1] = nxt
+            parent[n2] = nxt
+            heapq.heappush(heap, (c1 + c2, nxt, nxt))
+            nxt += 1
+        root = nxt - 1
+        depth_nodes = [0] * nxt
+        for node in range(nxt - 2, -1, -1):
+            depth_nodes[node] = depth_nodes[parent[node]] + 1
+        lengths[:] = 0
+        lengths[nz] = depth_nodes[:m]
+        if root == 0:  # single node (can't happen: m >= 2 here)
+            lengths[nz] = 1
+        if lengths.max() <= limit:
+            return lengths
         work = np.maximum((work + 1) // 2, np.where(work > 0, 1, 0))
 
 
@@ -533,7 +541,8 @@ def decode(buf: bytes) -> np.ndarray:
         if g1 >= 0:
             s = g1
         else:
-            wi, sh = divmod(pos, 32)
+            wi = pos >> 5
+            sh = pos & 31
             v = words[wi] >> sh
             if sh:
                 v |= words[wi + 1] << (32 - sh)
@@ -549,7 +558,8 @@ def decode(buf: bytes) -> np.ndarray:
         if r1 >= 0:
             col_r[i] = r1
         else:
-            wi, sh = divmod(pos, 32)
+            wi = pos >> 5
+            sh = pos & 31
             v = words[wi] >> sh
             if sh:
                 v |= words[wi + 1] << (32 - sh)
@@ -559,7 +569,8 @@ def decode(buf: bytes) -> np.ndarray:
         if b1 >= 0:
             col_b[i] = b1
         else:
-            wi, sh = divmod(pos, 32)
+            wi = pos >> 5
+            sh = pos & 31
             v = words[wi] >> sh
             if sh:
                 v |= words[wi + 1] << (32 - sh)
@@ -569,7 +580,8 @@ def decode(buf: bytes) -> np.ndarray:
         if a1 >= 0:
             col_a[i] = a1
         else:
-            wi, sh = divmod(pos, 32)
+            wi = pos >> 5
+            sh = pos & 31
             v = words[wi] >> sh
             if sh:
                 v |= words[wi + 1] << (32 - sh)

@@ -1,0 +1,210 @@
+"""Zarr v2 multidim source — the `GDALGroup`/`GDALMDArray` model.
+
+Reference surface: ``gcore/multidim/gdal_multidim.h`` (GDALGroup /
+GDALMDArray) and ``frmts/zarr/`` (GDAL's Zarr driver, Zarr v2
+encoding). SURVEY §1.1 declared multidim out of scope v1; this closes
+the common 2-D case the image workload actually meets: a chunked 2-D
+array read as a DataFrame of chunks, decoded in Arrow batches, with
+**chunk pruning as the partition-pruning analogue** — a window read
+lists only the chunk files it intersects, exactly like GDAL's
+``GetBlockRef`` and Spark's parquet partition pruning.
+
+Format notes (public Zarr v2 spec):
+- ``.zarray`` JSON: shape, chunks, dtype (NumPy endian-coded str),
+  order ('C'/'F'), compressor (null or {"id": "zlib", "level": n}),
+  fill_value; chunk files named ``"<i>.<j>"`` (dot-separated, one
+  index per dimension).
+- Edge chunks are stored FULL-SIZE (padded with fill_value).
+
+Scope: 2-D arrays, C order, zlib or uncompressed, any NumPy numeric
+dtype. Blosc/LZ4 compressors raise loudly (not in this container).
+
+Scale design: ``read_zarr_chunks`` parallelizes over chunk files via
+``spark.read.format("binaryFile")`` (each chunk decodes independently
+inside ``mapInPandas``); a 100 TB array is just more chunk files.
+``window`` prunes with a pathGlobFilter-free filter on the chunk
+indices parsed from the file name — the filter reaches the file scan
+(binaryFile lists then filters by path column before reading content
+at 0 I/O cost for pruned rows thanks to lazy content loading... in
+practice we pre-compute the matching file list and pass it to load(),
+so pruned chunks are never even listed as splits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_zarr(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, int],
+    compressor: str | None = "zlib",
+    level: int = 1,
+    fill_value=0,
+) -> None:
+    """Write a 2-D NumPy array as a Zarr v2 store (test/fixture
+    helper — the engine's sinks stay parquet/Iceberg; this exists so
+    the reader can be exercised hermetically)."""
+    if arr.ndim != 2:
+        raise ValueError("2-D arrays only")
+    os.makedirs(path, exist_ok=True)
+    cy, cx = chunks
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": [cy, cx],
+        "dtype": arr.dtype.str,
+        "order": "C",
+        "compressor": (
+            {"id": "zlib", "level": level} if compressor == "zlib" else None
+        ),
+        "fill_value": fill_value,
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    h, w = arr.shape
+    for i in range(-(-h // cy)):
+        for j in range(-(-w // cx)):
+            block = np.full((cy, cx), fill_value, dtype=arr.dtype)
+            part = arr[i * cy : min((i + 1) * cy, h), j * cx : min((j + 1) * cx, w)]
+            block[: part.shape[0], : part.shape[1]] = part
+            raw = block.tobytes(order="C")
+            if compressor == "zlib":
+                raw = zlib.compress(raw, level)
+            with open(os.path.join(path, f"{i}.{j}"), "wb") as f:
+                f.write(raw)
+
+
+def read_zarray_meta(path: str) -> dict:
+    with open(os.path.join(path, ".zarray")) as f:
+        meta = json.load(f)
+    if len(meta["shape"]) != 2 or meta.get("order", "C") != "C":
+        raise NotImplementedError("only 2-D C-order Zarr v2 arrays supported")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise NotImplementedError(
+            f"compressor {comp.get('id')!r} needs its codec library — "
+            "only zlib/uncompressed are available in-container"
+        )
+    return meta
+
+
+def read_zarr_chunks(
+    spark: SparkSession,
+    path: str,
+    window: tuple[int, int, int, int] | None = None,
+) -> DataFrame:
+    """Chunked scan → (cy, cx, y0, x0, h, w, values array<double>)
+    per chunk, edge chunks trimmed to the array shape. ``window`` =
+    (y_off, x_off, h, w) prunes chunk FILES before Spark ever lists
+    them (the RasterIO window-read / partition-pruning analogue)."""
+    meta = read_zarray_meta(path)
+    H, W = meta["shape"]
+    CY, CX = meta["chunks"]
+    dtype = np.dtype(meta["dtype"])
+    compressed = meta.get("compressor") is not None
+
+    ny, nx = -(-H // CY), -(-W // CX)
+    if window is not None:
+        wy, wx, wh, ww = window
+        i0, i1 = wy // CY, min(ny - 1, (wy + wh - 1) // CY)
+        j0, j1 = wx // CX, min(nx - 1, (wx + ww - 1) // CX)
+    else:
+        i0, i1, j0, j1 = 0, ny - 1, 0, nx - 1
+    files = [
+        os.path.join(path, f"{i}.{j}")
+        for i in range(i0, i1 + 1)
+        for j in range(j0, j1 + 1)
+        if os.path.exists(os.path.join(path, f"{i}.{j}"))
+    ]
+    if not files:
+        return spark.createDataFrame(
+            [], "cy int, cx int, y0 int, x0 int, h int, w int, values array<double>"
+        )
+    scan = spark.read.format("binaryFile").load(files)
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                name = os.path.basename(r.path)
+                i, j = (int(v) for v in name.split("."))
+                raw = bytes(r.content)
+                if compressed:
+                    raw = zlib.decompress(raw)
+                block = np.frombuffer(raw, dtype=dtype).reshape(CY, CX)
+                h = min(CY, H - i * CY)
+                w = min(CX, W - j * CX)
+                rows.append(
+                    {
+                        "cy": i,
+                        "cx": j,
+                        "y0": i * CY,
+                        "x0": j * CX,
+                        "h": h,
+                        "w": w,
+                        "values": block[:h, :w].astype(np.float64).ravel().tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return scan.mapInPandas(
+        decode, schema="cy int, cx int, y0 int, x0 int, h int, w int, values array<double>"
+    )
+
+
+def zarr_band_stats(spark: SparkSession, path: str) -> DataFrame:
+    """gdalinfo -stats over a Zarr array (GDALMDArray.GetStatistics,
+    ``gcore/multidim/gdal_multidim.h``): per-chunk partial aggregates
+    combined by Spark — one row (count, vmin, vmax, vsum, mean).
+    Map-side partials: no per-pixel rows ever shuffle."""
+    chunks = read_zarr_chunks(spark, path)
+    per = chunks.select(
+        F.size("values").alias("n"),
+        F.array_min("values").alias("mn"),
+        F.array_max("values").alias("mx"),
+        F.aggregate(
+            "values", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("s"),
+    )
+    return per.agg(
+        F.sum("n").cast("long").alias("count"),
+        F.min("mn").alias("vmin"),
+        F.max("mx").alias("vmax"),
+        F.round(F.sum("s"), 6).alias("vsum"),
+        F.round(F.sum("s") / F.sum("n"), 6).alias("mean"),
+    )
+
+
+def zarr_window_values(
+    spark: SparkSession, path: str, window: tuple[int, int, int, int]
+) -> DataFrame:
+    """Window read → long-form (y, x, value) rows clipped to the
+    window; only intersecting chunk files are ever read."""
+    wy, wx, wh, ww = window
+    chunks = read_zarr_chunks(spark, path, window)
+    exploded = chunks.select(
+        "y0",
+        "x0",
+        "w",
+        F.posexplode("values").alias("pos", "value"),
+    ).select(
+        (F.col("y0") + F.expr("pos DIV w")).cast("int").alias("y"),
+        (F.col("x0") + F.col("pos") % F.col("w")).cast("int").alias("x"),
+        "value",
+    )
+    return exploded.filter(
+        (F.col("y") >= wy)
+        & (F.col("y") < wy + wh)
+        & (F.col("x") >= wx)
+        & (F.col("x") < wx + ww)
+    )
