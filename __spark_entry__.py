@@ -2832,16 +2832,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_tin_cells": _q_grid_tin_cells,
         "image_phash_dedup": _q_phash_dedup,
         "raster_proximity": _q_proximity,
-        "raster_sieve": _q_sieve,
-        "raster_fillnodata": _q_fillnodata,
         "raster_polygonize": _q_polygonize,
         "raster_contour": _q_contour,
-        "raster_palette": _q_palette,
-        "raster_pansharpen": _q_pansharpen,
         "raster_viewshed": _q_viewshed,
         "tile_pyramid": _q_tile_pyramid,
         # --- 50-cap boundary: variants of already-witnessed families ---
         "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
+        "raster_sieve": _q_sieve,
+        "raster_fillnodata": _q_fillnodata,
+        "raster_palette": _q_palette,
+        "raster_pansharpen": _q_pansharpen,
         "raster_rpc_ortho": _q_rpc_ortho,
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall,
