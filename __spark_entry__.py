@@ -1007,6 +1007,70 @@ FROM range({GRID_NX}) AS x(gx) CROSS JOIN range({GRID_NY}) AS y(gy)
 """
 
 
+def _q_audio_features(spark, sf_dir):
+    """Multimodal audio column (training-data-pipeline axis): WAV
+    payloads (real RIFF PCM codec, stdlib-only) decoded in Arrow
+    batches; RMS / zero-crossing-rate / spectral-centroid (NumPy rFFT)
+    per clip. Fixture = pure tones at 220·(1+okey%8) Hz, so every
+    feature is closed-form: RMS = A/√2, ZCR → 2f, centroid = f (the
+    tone lands on an exact FFT bin — integer cycles per window). The
+    oracle pins the deviations to their rounded-zero closed forms."""
+    from gdal_spark.sources.media import audio_clips, audio_features
+
+    clips = audio_clips(spark, sf_dir)
+    out = audio_features(clips)
+    sqrt2 = 2.0 ** 0.5
+    return out.select(
+        "okey",
+        F.round(F.abs(F.col("rms") - F.lit(0.5) / F.lit(sqrt2)), 4).alias("rms_err"),
+        F.round(
+            F.col("zcr") / (F.lit(2.0) * F.lit(220.0) * (1 + F.col("okey") % 8)), 2
+        ).alias("zcr_ratio"),
+        F.round(
+            F.abs(F.col("centroid_hz") - F.lit(220.0) * (1 + F.col("okey") % 8)), 0
+        ).alias("centroid_err"),
+        F.round("duration_s", 3).alias("duration_s"),
+    )
+
+
+AUDIO_FEATURES_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(0.0 AS DOUBLE) AS rms_err,
+       CAST(1.0 AS DOUBLE) AS zcr_ratio,
+       CAST(0.0 AS DOUBLE) AS centroid_err,
+       CAST(0.5 AS DOUBLE) AS duration_s
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+
+
+def _q_video_frame_sample(spark, sf_dir):
+    """Multimodal video column: GSMJ frame container (length-prefixed
+    independent PNG frames — an MJPEG/sample-table analogue);
+    frame-sampling decodes ONLY the sampled frames' byte ranges.
+    Frame k of clip okey is the constant color (okey + 7k) % 256, so
+    each sampled frame's pixel mean is closed-form."""
+    from gdal_spark.sources.media import frame_sample, video_clips
+
+    vids = video_clips(spark, sf_dir)
+    return frame_sample(vids, every=4).select(
+        "okey",
+        "frame_idx",
+        F.round("mean_value", 6).alias("mean_value"),
+        "w",
+        "h",
+    )
+
+
+VIDEO_FRAME_SAMPLE_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(f.fidx AS INTEGER) AS frame_idx,
+       round(CAST((o_orderkey + 7 * f.fidx) % 256 AS DOUBLE), 6) AS mean_value,
+       CAST(32 AS INTEGER) AS w, CAST(32 AS INTEGER) AS h
+FROM orders CROSS JOIN (VALUES (0), (4), (8)) AS f(fidx)
+WHERE o_orderkey % 100 = 0
+"""
+
+
 def _q_st_functions(spark, sf_dir):
     """ST_ scalar surface (ogrsqlitesqlfunctions.cpp:1188-1240) through
     spark.sql over a registered view — the ExecuteSQL dialect path."""
@@ -2833,11 +2897,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_dedup": _q_phash_dedup,
         "raster_proximity": _q_proximity,
         "raster_polygonize": _q_polygonize,
-        "raster_contour": _q_contour,
+        "audio_features": _q_audio_features,
+        "video_frame_sample": _q_video_frame_sample,
         "raster_viewshed": _q_viewshed,
         "tile_pyramid": _q_tile_pyramid,
         # --- 50-cap boundary: variants of already-witnessed families ---
         "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
+        "raster_contour": _q_contour,
         "raster_sieve": _q_sieve,
         "raster_fillnodata": _q_fillnodata,
         "raster_palette": _q_palette,
@@ -2932,6 +2998,8 @@ def oracle_sql() -> dict[str, str]:
         "vector_hull_valid": HULL_VALID_ORACLE,
         "vector_concave_hull": CONCAVE_HULL_ORACLE,
         "grid_tin_cells": GRID_TIN_CELLS_ORACLE,
+        "audio_features": AUDIO_FEATURES_ORACLE,
+        "video_frame_sample": VIDEO_FRAME_SAMPLE_ORACLE,
         "vector_check_coverage": CHECK_COVERAGE_ORACLE,
         "vector_clean_coverage": CLEAN_COVERAGE_ORACLE,
         "vector_simplify_coverage": SIMPLIFY_COVERAGE_ORACLE,
