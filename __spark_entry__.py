@@ -2887,7 +2887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_reclassify": _q_reclassify,
         "raster_band_calc": _q_band_calc,
         "raster_dem_metrics": _q_dem,
-        "raster_color_map": _q_color_map,
         "raster_blend": _q_mosaic_blend,
         "raster_psnr_gate": _q_psnr_gate,
         "raster_warp_utm": _q_warp_utm,
@@ -2908,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_fillnodata": _q_fillnodata,
         "raster_palette": _q_palette,
         "raster_pansharpen": _q_pansharpen,
+        "raster_color_map": _q_color_map,
         "raster_rpc_ortho": _q_rpc_ortho,
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall,
