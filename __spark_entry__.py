@@ -1597,6 +1597,68 @@ FROM shapes
 """
 
 
+def _q_st_extended(spark, sf_dir):
+    """Round-3 additions to the ST_ registration surface
+    (``ogrsqlitesqlfunctions.cpp:1111-1240``, ``ogr/ogr_geometry.h:
+    557-584``): geom×geom ST_Distance, ST_SymDifference, ST_Boundary
+    (+ST_Length over the boundary), ST_Simplify (DP), ST_IsSimple and
+    the ogr_deflate/ogr_inflate blob pair — each with a closed-form
+    arithmetic oracle over the same nation-derived shapes."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation_se")
+    return spark.sql(
+        f"""
+        WITH shapes AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS poly_id, n_name,
+                 {_GB_A} AS a,
+                 ST_MakeEnvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                                 {_GB_A}, {_GB_A}) AS ra,
+                 ST_MakeEnvelope({_GB_A} + 2.0, CAST(0 AS DOUBLE),
+                                 {_GB_A} + 4.0, CAST(2 AS DOUBLE)) AS rb,
+                 ST_MakeEnvelope({_GB_A} + 2.0, {_GB_A} + 2.0,
+                                 {_GB_A} + 3.0, {_GB_A} + 3.0) AS rd,
+                 ST_MakeEnvelope(CAST(1 AS DOUBLE), CAST(1 AS DOUBLE),
+                                 {_GB_A} + 1.0, {_GB_A} + 1.0) AS rc,
+                 ST_GeomFromText(concat(
+                   'POLYGON ((0 0, ', CAST({_GB_A} / 2 AS STRING), ' 0, ',
+                   CAST({_GB_A} AS STRING), ' 0, ', CAST({_GB_A} AS STRING), ' ',
+                   CAST({_GB_A} / 2 AS STRING), ', ', CAST({_GB_A} AS STRING), ' ',
+                   CAST({_GB_A} AS STRING), ', ', CAST({_GB_A} / 2 AS STRING), ' ',
+                   CAST({_GB_A} AS STRING), ', 0 ', CAST({_GB_A} AS STRING), ', 0 ',
+                   CAST({_GB_A} / 2 AS STRING), ', 0 0))')) AS dense
+          FROM nation_se
+        )
+        SELECT poly_id,
+               round(ST_Distance(ra, rb), 6) AS dist_ab,
+               round(ST_Distance(ra, rd), 6) AS dist_diag,
+               round(ST_Area(ST_SymDifference(ra, rc)), 6) AS symdiff_area,
+               round(ST_Length(ST_Boundary(ra)), 6) AS boundary_len,
+               ST_NPoints(ST_Simplify(dense, CAST(0.1 AS DOUBLE))) AS simp_npoints,
+               round(ST_Length(ST_Simplify(dense, CAST(0.1 AS DOUBLE))), 6) AS simp_len,
+               ST_IsSimple(ra) AS simple_flag,
+               CAST(length(ogr_inflate(ogr_deflate(n_name))) AS INT) AS inflate_len
+        FROM shapes
+        """
+    )
+
+
+ST_EXTENDED_ORACLE = f"""
+SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+       round(CAST(2 AS DOUBLE), 6) AS dist_ab,
+       round(2.0 * sqrt(CAST(2 AS DOUBLE)), 6) AS dist_diag,
+       round(2.0 * ({_GB_A} * {_GB_A} - ({_GB_A} - 1.0) * ({_GB_A} - 1.0)), 6)
+           AS symdiff_area,
+       round(4.0 * {_GB_A}, 6) AS boundary_len,
+       5 AS simp_npoints,
+       round(4.0 * {_GB_A}, 6) AS simp_len,
+       TRUE AS simple_flag,
+       CAST(strlen(n_name) AS INT) AS inflate_len
+FROM nation
+"""
+
+
 def _q_saved_plan(spark, sf_dir):
     """Streamed-algorithm dataset (.gdalg.json analogue,
     frmts/gdalg/gdalgdriver.cpp:190): a pipeline serialized to JSON,
@@ -2429,6 +2491,7 @@ _REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
 
 GOLDEN_QUERIES = [
     "raster_checksums",
+    "geotiff_cog",
     "raster_translate",
     "raster_resample_kernels",
     "raster_as_features",
@@ -2464,6 +2527,17 @@ GOLDEN_QUERIES = [
 def _golden_oracle(name: str, sf_name: str = "sf0.01") -> str:
     path = _os.path.join(_REPO_DIR, "golden", sf_name, f"{name}.parquet")
     return f"SELECT * FROM read_parquet('{path}')"
+
+
+def _q_geotiff_cog(spark, sf_dir):
+    """GeoTIFF/COG writer round trip (frmts/gtiff + cogdriver.cpp): decode →
+    tiled-Deflate COG with 2 internal average overviews → re-parse; emits
+    checksums + the two COG layout invariants. The TIFF kernels themselves
+    are pinned externally in tests/test_tiff.py against GDAL-produced
+    fixtures with GDAL-published checksums (autotest/gcore/tiff_read.py:45);
+    this golden row pins the distributed run."""
+    imgs = synth.images(spark, sf_dir, where="okey % 40 = 0")
+    return rp.cog_roundtrip(imgs, block=64, overviews=2)
 
 
 def _q_raster_checksums(spark, sf_dir):
@@ -2892,7 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_warp_utm": _q_warp_utm,
         "raster_warp_gcp": _q_warp_gcp,
         "grid_tin": _q_grid_tin,
-        "grid_tin_cells": _q_grid_tin_cells,
+        "geotiff_cog": _q_geotiff_cog,
         "image_phash_dedup": _q_phash_dedup,
         "raster_proximity": _q_proximity,
         "raster_polygonize": _q_polygonize,
@@ -2901,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_viewshed": _q_viewshed,
         "tile_pyramid": _q_tile_pyramid,
         # --- 50-cap boundary: variants of already-witnessed families ---
+        "grid_tin_cells": _q_grid_tin_cells,
         "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
         "raster_contour": _q_contour,
         "raster_sieve": _q_sieve,
@@ -2936,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_metrics": _q_grid_metrics,
         "st_predicates": _q_st_predicates,
         "st_constructive": _q_st_constructive,
+        "st_extended": _q_st_extended,
         "morton_order": _q_morton,
         "vector_segmentize": _q_segmentize,
         "vector_dissolve": _q_dissolve,
@@ -2989,6 +3065,7 @@ def oracle_sql() -> dict[str, str]:
         "st_functions": ST_ORACLE,
         "st_predicates": ST_PRED_ORACLE,
         "st_constructive": _st_constructive_oracle(),
+        "st_extended": ST_EXTENDED_ORACLE,
         "st_general_boolean": _st_general_boolean_oracle(),
         "vector_dissolve_geom": _dissolve_geom_oracle(),
         "morton_order": _morton_oracle(),

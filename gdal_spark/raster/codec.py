@@ -223,6 +223,10 @@ def encode_image(arr: np.ndarray, fmt: str, compress_level: int = 6) -> bytes:
         from gdal_spark.raster import webp
 
         return webp.encode(arr)
+    if fmt in ("tif", "tiff", "gtiff"):
+        from gdal_spark.raster import tiff
+
+        return tiff.encode_geotiff(arr)
     raise NotImplementedError(f"codec {fmt!r} not available in this container")
 
 
@@ -238,10 +242,14 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from gdal_spark.raster import webp
 
         return webp.decode(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+        from gdal_spark.raster import tiff
+
+        return tiff.decode(b)
     if b[:8] == FAKE_MAGIC:
         return fake_lossy_decode(b)
     raise NotImplementedError(
-        f"payload is not PNG/JPEG/WebP-VP8L/fake-lossy (fmt hint {fmt!r})"
+        f"payload is not PNG/JPEG/WebP-VP8L/GeoTIFF/fake-lossy (fmt hint {fmt!r})"
     )
 
 

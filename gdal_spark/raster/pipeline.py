@@ -617,3 +617,79 @@ def rpc_orthorectify(images: DataFrame, out_size: tuple[int, int] = (64, 64),
                 )
 
     return images.mapInPandas(run, schema=schema)
+
+
+def cog_roundtrip(images: DataFrame, block: int = 64, overviews: int = 2) -> DataFrame:
+    """Re-encode each image as a COG-structured GeoTIFF and verify it.
+
+    The write side of the GTiff/COG driver surface
+    (``frmts/gtiff/cogdriver.cpp``): per image, decode → write a tiled
+    Deflate GeoTIFF with ``overviews`` internal 2:1-average levels and a
+    deterministic geotransform → parse the produced container back and
+    emit the structural + pixel evidence:
+
+    - ``n_ifds``, ``cog_size`` — container shape;
+    - ``cs_full`` / ``cs_ov1`` — GDAL checksums of the decoded full
+      resolution and first overview (full-res must round-trip lossless);
+    - ``lossless`` — decoded full-res equals the source pixels;
+    - ``headers_first`` / ``ov_before_full`` — the two COG layout
+      invariants (all IFDs before all payloads, overview payloads
+      before full-resolution payloads);
+    - ``gt_x0`` / ``epsg`` — georeferencing survived the round trip.
+
+    Map-only (no shuffle): one Arrow batch in, one result batch out.
+    """
+    from gdal_spark.raster import tiff
+
+    _ensure_batch(images)
+    schema = (
+        "image_id string, fmt string, w int, h int, n_ifds int, cog_size long, "
+        "cs_full int, cs_ov1 int, lossless boolean, headers_first boolean, "
+        "ov_before_full boolean, gt_x0 double, epsg int"
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                gt = (float(r.w) * 10.0, 0.5, 0.0, float(r.h) * 10.0, 0.0, -0.5)
+                cog = tiff.encode_geotiff(
+                    arr, gt, 3857, block=(block, block),
+                    compression="deflate", overviews=overviews,
+                )
+                offs = tiff.ifd_offsets(cog)
+                full, info = tiff.decode_full(cog, 0)
+                ov1 = tiff.decode_full(cog, 1)[0] if len(offs) > 1 else full
+                bo, big, _ = tiff._read_header(cog)
+
+                def _tiles(o):
+                    t = tiff._read_ifd(cog, bo, big, o)[0][324]
+                    return t if isinstance(t, list) else [t]
+
+                min_payload = min(min(_tiles(o)) for o in offs)
+                rows.append(
+                    (
+                        r.image_id, r.fmt, r.w, r.h, len(offs), len(cog),
+                        checksum_bands(np.atleast_3d(full))[0],
+                        checksum_bands(np.atleast_3d(ov1))[0],
+                        bool(np.array_equal(full, arr)),
+                        max(offs) < min_payload,
+                        min(_tiles(offs[0])) > max(_tiles(offs[-1]))
+                        if len(offs) > 1
+                        else True,
+                        info["geotransform"][0],
+                        info["epsg"],
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "fmt", "w", "h", "n_ifds", "cog_size",
+                        "cs_full", "cs_ov1", "lossless", "headers_first",
+                        "ov_before_full", "gt_x0", "epsg",
+                    ],
+                )
+
+    return images.mapInPandas(run, schema=schema)

@@ -864,8 +864,55 @@ def g_tile_pyramid_geodetic(sf_dir, min_zoom=8, max_zoom=10, tile_size=256):
     return schema, rows
 
 
+def g_geotiff_cog(sf_dir):
+    from gdal_spark.raster import tiff
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 40:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        gt = (float(fp["w"]) * 10.0, 0.5, 0.0, float(fp["h"]) * 10.0, 0.0, -0.5)
+        cog = tiff.encode_geotiff(
+            arr, gt, 3857, block=(64, 64), compression="deflate", overviews=2
+        )
+        offs = tiff.ifd_offsets(cog)
+        full, info = tiff.decode_full(cog, 0)
+        ov1 = tiff.decode_full(cog, 1)[0] if len(offs) > 1 else full
+        bo, big, _ = tiff._read_header(cog)
+
+        def tiles(o):
+            t = tiff._read_ifd(cog, bo, big, o)[0][324]
+            return t if isinstance(t, list) else [t]
+
+        min_payload = min(min(tiles(o)) for o in offs)
+        rows.append(
+            (
+                fp["image_id"], fp["fmt"], fp["w"], fp["h"], len(offs), len(cog),
+                checksum_bands(np.atleast_3d(full))[0],
+                checksum_bands(np.atleast_3d(ov1))[0],
+                bool(np.array_equal(full, arr)),
+                bool(max(offs) < min_payload),
+                bool(min(tiles(offs[0])) > max(tiles(offs[-1]))) if len(offs) > 1 else True,
+                info["geotransform"][0],
+                info["epsg"],
+            )
+        )
+    schema = pa.schema(
+        [
+            ("image_id", STR), ("fmt", STR), ("w", I32), ("h", I32),
+            ("n_ifds", I32), ("cog_size", I64), ("cs_full", I32),
+            ("cs_ov1", I32), ("lossless", BOOL), ("headers_first", BOOL),
+            ("ov_before_full", BOOL), ("gt_x0", F64), ("epsg", I32),
+        ]
+    )
+    return schema, rows
+
+
 GOLDEN_BUILDERS = {
     "raster_checksums": g_raster_checksums,
+    "geotiff_cog": g_geotiff_cog,
     "raster_translate": g_raster_translate,
     "raster_resample_kernels": g_raster_resample_kernels,
     "raster_as_features": g_raster_as_features,
