@@ -203,6 +203,36 @@ def geom_length(g: G.Geom) -> float:
     return total
 
 
+def geom_distance(ga: G.Geom, gb: G.Geom) -> float:
+    """ST_Distance(geomA, geomB) — GEOS ``Distance``
+    (``ogr/ogr_geometry.h:557``, SQLite registration
+    ``ogrsqlitesqlfunctions.cpp:1188``): 0 when the geometries
+    intersect, else the minimum Euclidean distance.  For
+    non-intersecting piecewise-linear geometries the minimum is always
+    attained at a vertex-to-segment pair, so evaluating A-vertices vs
+    B and B-vertices vs A (vectorized point-to-segment kernel) is
+    exact, not an approximation."""
+    inter = G.geoms_intersect(ga, gb)
+    if inter:
+        return 0.0
+    # point-in-polygon containment without boundary crossing
+    for g1, g2 in ((ga, gb), (gb, ga)):
+        if g2.rings:
+            pts = np.concatenate([p for p in (g1.rings or g1.coords)])
+            if bool(G.points_in_geom(pts[:, 0], pts[:, 1], g2).any()):
+                return 0.0
+    best = np.inf
+    pa = np.concatenate([p for p in (ga.rings or ga.coords)])
+    pb = np.concatenate([p for p in (gb.rings or gb.coords)])
+    for pts, g2 in ((pa, gb), (pb, ga)):
+        d = G.points_to_geom_distance(pts[:, 0], pts[:, 1], g2)
+        if d.size and np.isfinite(d.min()):
+            best = min(best, float(d.min()))
+    # vertex×vertex covers point geometries (no segments to project onto)
+    vv = np.hypot(pa[:, None, 0] - pb[None, :, 0], pa[:, None, 1] - pb[None, :, 1])
+    return min(best, float(vv.min()))
+
+
 def buffer_geom(g: G.Geom, dist: float, quadsegs: int = 8) -> bytes:
     """ST_Buffer for the supported classes (GEOS default quadsegs=8):
 

@@ -325,6 +325,136 @@ def st_srid(wkb: pd.Series) -> pd.Series:
     return pd.Series([None if b is None else 4326 for b in wkb])
 
 
+@pandas_udf(BinaryType())
+def st_symdifference(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    """GEOS SymDifference (ogr_geometry.h:578; SQLite reg :1188) via the
+    general slab boolean kernel."""
+    from gdal_spark.functions.clipper import boolean_geom
+
+    def f(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return boolean_geom(G.parse_wkb(bytes(a)), G.parse_wkb(bytes(b)), "symdifference")
+
+    return pd.Series([f(a, b) for a, b in zip(wa, wb)])
+
+
+@pandas_udf(BinaryType())
+def st_geomfromwkb(b: pd.Series) -> pd.Series:
+    """ST_GeomFromWKB: parse-validate; storage form is already WKB."""
+
+    def f(x):
+        if x is None:
+            return None
+        G.parse_wkb(bytes(x))  # raises on malformed input
+        return bytes(x)
+
+    return b.map(f)
+
+
+@pandas_udf(BinaryType())
+def st_boundary(wkb: pd.Series) -> pd.Series:
+    """GEOS Boundary (ogr_geometry.h:560): polygon → its rings as a
+    (Multi)LineString; linestring parts pass through unchanged."""
+
+    def f(b):
+        if b is None:
+            return None
+        g = G.parse_wkb(bytes(b))
+        parts = [np.asarray(p) for p in (g.rings or g.coords)]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return G.wkb_linestring(parts[0])
+        body = b"".join(G.wkb_linestring(p) for p in parts)
+        import struct as _s
+
+        return b"\x01" + _s.pack("<II", 5, len(parts)) + body  # MultiLineString
+
+    return wkb.map(f)
+
+
+@pandas_udf(BinaryType())
+def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+    """Douglas–Peucker per ring (GEOS Simplify, ogr_geometry.h:584;
+    pipeline step apps/gdalalg_vector_simplify.cpp). Ring endpoints are
+    kept, so rings stay closed; collapsed rings (<4 pts) are dropped,
+    matching SimplifyPreserveTopology's keep-valid behavior on the
+    polygon classes this kernel supports."""
+    from gdal_spark.operators.vector_ops import simplify_ring
+
+    def f(b, t):
+        if b is None:
+            return None
+        g = G.parse_wkb(bytes(b))
+        if not g.rings:
+            from gdal_spark.operators.vector_ops import dp_simplify
+
+            return G.wkb_linestring(dp_simplify(np.asarray(g.coords[0]), float(t)))
+        out_rings, out_roles = [], []
+        for ring, role in zip(g.rings, g.ring_roles):
+            s = simplify_ring(np.asarray(ring), float(t))
+            if len(s) >= 4:
+                out_rings.append(s)
+                out_roles.append(role)
+        from gdal_spark.functions.clipper import rings_to_wkb
+
+        return rings_to_wkb(out_rings, out_roles)
+
+    return pd.Series([f(b, t) for b, t in zip(wkb, tol)])
+
+
+@pandas_udf(BooleanType())
+def st_issimple(wkb: pd.Series) -> pd.Series:
+    """ST_IsSimple: for the polygonal classes simplicity coincides with
+    ring non-self-intersection, i.e. the validity kernel; points are
+    always simple."""
+
+    def f(b):
+        if b is None:
+            return None
+        g = G.parse_wkb(bytes(b))
+        if not g.rings:
+            return True
+        return P.is_valid(g)
+
+    return wkb.map(f)
+
+
+@pandas_udf(DoubleType())
+def st_distance_geoms(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if (a is None or b is None)
+            else P.geom_distance(G.parse_wkb(bytes(a)), G.parse_wkb(bytes(b)))
+            for a, b in zip(wa, wb)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def ogr_deflate(data: pd.Series) -> pd.Series:
+    """ogr_deflate(blob|text) → zlib blob (ogrsqlitesqlfunctions.cpp:1111)."""
+    import zlib
+
+    return data.map(
+        lambda v: None
+        if v is None
+        else zlib.compress(v.encode() if isinstance(v, str) else bytes(v))
+    )
+
+
+@pandas_udf(BinaryType())
+def ogr_inflate(data: pd.Series) -> pd.Series:
+    """ogr_inflate(blob) → decompressed blob (ogrsqlitesqlfunctions.cpp:1124)."""
+    import zlib
+
+    return data.map(lambda v: None if v is None else zlib.decompress(bytes(v)))
+
+
 _REGISTRY = {
     "ST_Area": st_area,
     "ST_GeometryType": st_geometrytype,
@@ -336,7 +466,8 @@ _REGISTRY = {
     "ST_IntersectsBox": st_intersects_box,
     "ST_MakePoint": st_makepoint,
     "ST_MakeEnvelope": st_makeenvelope,
-    "ST_Distance": st_distance_point,
+    "ST_Distance": st_distance_geoms,
+    "ST_DistancePoint": st_distance_point,
     # geom × geom predicates (ogrsqlitesqlfunctions.cpp:1188-1240)
     "ST_Intersects": st_intersects,
     "ST_Disjoint": st_disjoint,
@@ -359,6 +490,14 @@ _REGISTRY = {
     "ST_Envelope": st_envelope,
     "ST_NPoints": st_npoints,
     "ST_SRID": st_srid,
+    "ST_SymDifference": st_symdifference,
+    "ST_GeomFromWKB": st_geomfromwkb,
+    "ST_Boundary": st_boundary,
+    "ST_Simplify": st_simplify,
+    "ST_SimplifyPreserveTopology": st_simplify,
+    "ST_IsSimple": st_issimple,
+    "ogr_deflate": ogr_deflate,
+    "ogr_inflate": ogr_inflate,
 }
 
 

@@ -279,7 +279,7 @@ def test_st_functions_sql(spark):
         SELECT ST_Area(geom) a, ST_GeometryType(geom) t, ST_X(geom) x, ST_Y(geom) y,
                ST_IsEmpty(geom) e, ST_ContainsPoint(geom, 1.0, 1.0) c1,
                ST_ContainsPoint(geom, 5.0, 1.0) c2,
-               ST_Distance(geom, 5.0, 1.0) d,
+               ST_DistancePoint(geom, 5.0, 1.0) d,
                ST_AsText(geom) wkt
         FROM t_geoms
         """

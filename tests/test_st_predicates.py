@@ -154,3 +154,52 @@ def test_dissolve_general_polygons(spark):
     assert out["a"].n_polys == 2
     assert out["b"].union_area == 4.0
     assert out["a"].env_lon_max == 5.0
+
+
+# --- round-3 ST additions (geom_distance / symdifference / boundary /
+# simplify / deflate) -------------------------------------------------------
+
+
+def test_geom_distance_cases():
+    from gdal_spark.functions.geometry import parse_wkb, wkb_bbox_polygon, wkb_point
+    from gdal_spark.functions.predicates import geom_distance
+
+    ra = parse_wkb(wkb_bbox_polygon(0, 0, 4, 4))
+    rb = parse_wkb(wkb_bbox_polygon(6, 0, 8, 2))   # horizontal gap 2
+    rd = parse_wkb(wkb_bbox_polygon(6, 6, 7, 7))   # diagonal gap 2*sqrt(2)
+    ri = parse_wkb(wkb_bbox_polygon(2, 2, 3, 3))   # contained
+    pt = parse_wkb(wkb_point(4, 7))                # 3 above the top edge
+    p2 = parse_wkb(wkb_point(10, 7))
+    assert geom_distance(ra, rb) == 2.0
+    assert abs(geom_distance(ra, rd) - 2.0 * 2.0**0.5) < 1e-12
+    assert geom_distance(ra, ri) == 0.0
+    assert geom_distance(ra, ra) == 0.0
+    assert geom_distance(ra, pt) == 3.0
+    assert geom_distance(pt, ra) == 3.0
+    assert geom_distance(pt, p2) == 6.0  # point x point: vertex-vertex term
+
+
+def test_st_extended_sql_surface(spark):
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    r = spark.sql(
+        """
+        SELECT ST_Distance(ST_MakeEnvelope(0.0D, 0.0D, 4.0D, 4.0D),
+                           ST_MakeEnvelope(6.0D, 0.0D, 8.0D, 2.0D)) AS d,
+               ST_Area(ST_SymDifference(ST_MakeEnvelope(0.0D, 0.0D, 4.0D, 4.0D),
+                                        ST_MakeEnvelope(1.0D, 1.0D, 5.0D, 5.0D))) AS sd,
+               ST_Length(ST_Boundary(ST_MakeEnvelope(0.0D, 0.0D, 4.0D, 4.0D))) AS bl,
+               ST_NPoints(ST_Simplify(ST_GeomFromText(
+                   'POLYGON ((0 0, 2 0, 4 0, 4 2, 4 4, 2 4, 0 4, 0 2, 0 0))'),
+                   0.1D)) AS np,
+               ST_IsSimple(ST_MakeEnvelope(0.0D, 0.0D, 4.0D, 4.0D)) AS simple,
+               CAST(length(ogr_inflate(ogr_deflate('hello world'))) AS INT) AS n
+        """
+    ).collect()[0]
+    assert r.d == 2.0
+    assert abs(r.sd - 14.0) < 1e-9  # 2*(16-9)
+    assert r.bl == 16.0
+    assert r.np == 5
+    assert r.simple
+    assert r.n == 11
