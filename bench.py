@@ -63,6 +63,7 @@ def run(sf_dir: str, cpus: str | None) -> dict:
         "intersection_geom",
         "raster_checksums",
         "rasterize_burn",
+        "geotiff_cog",
         "tile_pyramid",
     ]
     timings: dict[str, float] = {}
