@@ -2492,6 +2492,7 @@ _REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
 GOLDEN_QUERIES = [
     "raster_checksums",
     "geotiff_cog",
+    "raster_cutline",
     "raster_translate",
     "raster_resample_kernels",
     "raster_as_features",
@@ -2527,6 +2528,17 @@ GOLDEN_QUERIES = [
 def _golden_oracle(name: str, sf_name: str = "sf0.01") -> str:
     path = _os.path.join(_REPO_DIR, "golden", sf_name, f"{name}.parquet")
     return f"SELECT * FROM read_parquet('{path}')"
+
+
+def _q_raster_cutline(spark, sf_dir):
+    """gdalwarp -cutline / -crop_to_cutline (apps/gdalwarp_lib.cpp cutline
+    path; mask semantics alg/gdalwarper.h:72-111): broadcast-AOI overlap
+    join, per-pair pixel-center mask + envelope crop; checksums + valid-
+    pixel counts golden-oracled."""
+    from gdal_spark.raster.rasterize import warp_cutline
+
+    imgs = synth.images(spark, sf_dir, where="okey % 50 = 0")
+    return warp_cutline(imgs, synth.aoi(spark, sf_dir))
 
 
 def _q_geotiff_cog(spark, sf_dir):
@@ -2964,7 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_blend": _q_mosaic_blend,
         "raster_psnr_gate": _q_psnr_gate,
         "raster_warp_utm": _q_warp_utm,
-        "raster_warp_gcp": _q_warp_gcp,
+        "raster_cutline": _q_raster_cutline,
         "grid_tin": _q_grid_tin,
         "geotiff_cog": _q_geotiff_cog,
         "image_phash_dedup": _q_phash_dedup,
@@ -2975,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_viewshed": _q_viewshed,
         "tile_pyramid": _q_tile_pyramid,
         # --- 50-cap boundary: variants of already-witnessed families ---
+        "raster_warp_gcp": _q_warp_gcp,
         "grid_tin_cells": _q_grid_tin_cells,
         "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
         "raster_contour": _q_contour,

@@ -138,3 +138,105 @@ def reclassify(images: DataFrame, mapping: list[tuple[int, int, int]]) -> DataFr
                 )
 
     return images.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp -cutline / -crop_to_cutline
+# ---------------------------------------------------------------------------
+
+
+def cutline_array(arr, bounds, g):
+    """The per-pair cutline kernel (``gdalwarp -cutline`` +
+    ``-crop_to_cutline``, ``apps/gdalwarp_lib.cpp`` cutline path;
+    mask semantics ``alg/gdalwarper.h:72-111``): pixels whose CENTER
+    falls outside the polygon are set to nodata 0; the cropped window
+    is the pixel range intersecting the cutline envelope.
+
+    Returns (masked_full, cropped, n_valid). ``bounds`` =
+    (lon_min, lat_min, lon_max, lat_max) of the image footprint;
+    pixel (row, col) center maps linearly into it (north-up grid).
+    """
+    h, w = arr.shape[:2]
+    lon_min, lat_min, lon_max, lat_max = (float(v) for v in bounds)
+    px = (lon_max - lon_min) / w
+    py = (lat_max - lat_min) / h
+    lon = lon_min + (np.arange(w) + 0.5) * px
+    lat = lat_max - (np.arange(h) + 0.5) * py
+    glon = np.broadcast_to(lon[None, :], (h, w)).ravel()
+    glat = np.broadcast_to(lat[:, None], (h, w)).ravel()
+    inside = G.points_in_rings(glon, glat, g.rings).reshape(h, w)
+    masked = arr.copy()
+    masked[~inside] = 0
+    gx0, gy0, gx1, gy1 = G.geom_bbox(g)
+    c0 = max(0, int(np.floor((gx0 - lon_min) / px)))
+    c1 = min(w, int(np.ceil((gx1 - lon_min) / px)))
+    r0 = max(0, int(np.floor((lat_max - gy1) / py)))
+    r1 = min(h, int(np.ceil((lat_max - gy0) / py)))
+    cropped = masked[r0:r1, c0:c1] if (r1 > r0 and c1 > c0) else masked[:0, :0]
+    return masked, cropped, int(inside.sum())
+
+
+def warp_cutline(images: DataFrame, aoi: DataFrame) -> DataFrame:
+    """Cutline-masked warp output per intersecting (image, AOI) pair.
+
+    Plan: broadcast the dimension-sized AOI layer, bbox-overlap
+    equi-free join (Catalyst turns the range predicates into a
+    BroadcastNestedLoop over the broadcast side only — no shuffle of
+    the fact table), then one Arrow batch per partition masks pixels.
+    Emits checksums of the masked and cropped rasters plus valid-pixel
+    counts — the gdalwarp golden currency.
+    """
+    from gdal_spark.raster import codec
+
+    pairs = images.join(
+        F.broadcast(
+            aoi.select(
+                "poly_id",
+                F.col("lon_min").alias("a_lon_min"),
+                F.col("lat_min").alias("a_lat_min"),
+                F.col("lon_max").alias("a_lon_max"),
+                F.col("lat_max").alias("a_lat_max"),
+                F.col("geom").alias("aoi_wkb"),
+            )
+        ),
+        on=(
+            (F.col("lon_min") < F.col("a_lon_max"))
+            & (F.col("lon_max") > F.col("a_lon_min"))
+            & (F.col("lat_min") < F.col("a_lat_max"))
+            & (F.col("lat_max") > F.col("a_lat_min"))
+        ),
+        how="inner",
+    )
+    schema = (
+        "image_id string, poly_id long, cs_masked int, cs_cropped int, "
+        "crop_w int, crop_h int, n_valid long, valid_frac double"
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                band = arr if arr.ndim == 2 else arr[:, :, 0]
+                g = G.parse_wkb(bytes(r.aoi_wkb))
+                masked, cropped, n_valid = cutline_array(
+                    band, (r.lon_min, r.lat_min, r.lon_max, r.lat_max), g
+                )
+                rows.append(
+                    (
+                        r.image_id, int(r.poly_id), checksum_band(masked),
+                        checksum_band(cropped) if cropped.size else 0,
+                        cropped.shape[1], cropped.shape[0], n_valid,
+                        round(n_valid / band.size, 9),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id", "poly_id", "cs_masked", "cs_cropped",
+                        "crop_w", "crop_h", "n_valid", "valid_frac",
+                    ],
+                )
+
+    return pairs.mapInPandas(run, schema=schema)

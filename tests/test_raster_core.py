@@ -253,3 +253,31 @@ def test_png_sub_filter_runs():
         + C._chunk(b"IEND", b"")
     )
     assert np.array_equal(C.png_decode(buf), a)
+
+
+def test_cutline_kernel_closed_form():
+    """gdalwarp -cutline semantics on a hand-checkable grid: 8x8 image over
+    [0,8]x[0,8], cutline = rectangle [0,0]-[3.5,8] → pixel centers 0.5..7.5,
+    columns with center < 3.5 survive (cols 0,1,2), crop window spans
+    cols 0..ceil(3.5)=4."""
+    import numpy as np
+
+    from gdal_spark.functions.geometry import parse_wkb, wkb_bbox_polygon
+    from gdal_spark.raster.rasterize import cutline_array
+
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8) + 1  # no zeros
+    g = parse_wkb(wkb_bbox_polygon(0.0, 0.0, 3.5, 8.0))
+    masked, cropped, n_valid = cutline_array(arr, (0.0, 0.0, 8.0, 8.0), g)
+    assert n_valid == 3 * 8
+    assert (masked[:, :3] > 0).all() and (masked[:, 3:] == 0).all()
+    assert cropped.shape == (8, 4)
+    # scalar re-derivation of the masked checksum
+    from gdal_spark.raster.checksum import checksum_band
+
+    expect = arr.copy()
+    expect[:, 3:] = 0
+    assert checksum_band(masked) == checksum_band(expect)
+    # cutline fully outside → everything masked, empty crop
+    g2 = parse_wkb(wkb_bbox_polygon(100.0, 100.0, 101.0, 101.0))
+    m2, c2, nv2 = cutline_array(arr, (0.0, 0.0, 8.0, 8.0), g2)
+    assert nv2 == 0 and (m2 == 0).all() and c2.size == 0

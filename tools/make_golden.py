@@ -864,6 +864,49 @@ def g_tile_pyramid_geodetic(sf_dir, min_zoom=8, max_zoom=10, tile_size=256):
     return schema, rows
 
 
+def g_raster_cutline(sf_dir):
+    from gdal_spark.raster.rasterize import cutline_array
+
+    aois = aoi_rows(sf_dir)
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 50:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        band = arr if arr.ndim == 2 else arr[:, :, 0]
+        for a in aois:
+            if not (
+                fp["lon_min"] < a["lon_max"]
+                and fp["lon_max"] > a["lon_min"]
+                and fp["lat_min"] < a["lat_max"]
+                and fp["lat_max"] > a["lat_min"]
+            ):
+                continue
+            g = G.parse_wkb(a["wkb"])
+            masked, cropped, n_valid = cutline_array(
+                band,
+                (fp["lon_min"], fp["lat_min"], fp["lon_max"], fp["lat_max"]),
+                g,
+            )
+            rows.append(
+                (
+                    fp["image_id"], a["poly_id"], checksum_band(masked),
+                    checksum_band(cropped) if cropped.size else 0,
+                    cropped.shape[1], cropped.shape[0], n_valid,
+                    round(n_valid / band.size, 9),
+                )
+            )
+    schema = pa.schema(
+        [
+            ("image_id", STR), ("poly_id", I64), ("cs_masked", I32),
+            ("cs_cropped", I32), ("crop_w", I32), ("crop_h", I32),
+            ("n_valid", I64), ("valid_frac", F64),
+        ]
+    )
+    return schema, rows
+
+
 def g_geotiff_cog(sf_dir):
     from gdal_spark.raster import tiff
 
@@ -913,6 +956,7 @@ def g_geotiff_cog(sf_dir):
 GOLDEN_BUILDERS = {
     "raster_checksums": g_raster_checksums,
     "geotiff_cog": g_geotiff_cog,
+    "raster_cutline": g_raster_cutline,
     "raster_translate": g_raster_translate,
     "raster_resample_kernels": g_raster_resample_kernels,
     "raster_as_features": g_raster_as_features,
