@@ -2597,7 +2597,7 @@ def _q_dem(spark, sf_dir):
     from gdal_spark.raster.dem import dem_metrics
 
     imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
-    return dem_metrics(imgs)
+    return dem_metrics(imgs, ops=("slope", "hillshade", "roughness", "tpi", "tri", "aspect", "hillshade_combined", "hillshade_md", "hillshade_igor"))
 
 
 def _q_rasterize(spark, sf_dir):

@@ -128,3 +128,92 @@ def dem_metrics(images: DataFrame, ops: tuple = ("slope", "hillshade", "roughnes
                 yield pd.DataFrame(rows, columns=["image_id"] + [f"cs_{op}" for op in ops])
 
     return images.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# gdaldem hillshade variants: -combined / -multidirectional / -igor
+# (apps/gdaldem_lib.cpp:1151-1180, 1255-1311, 947-1013)
+# ---------------------------------------------------------------------------
+
+
+def _horn_xy(z: np.ndarray, xres: float, yres: float):
+    """Reference-convention Horn gradients (gdaldem_lib.cpp:783-796):
+    x = (west − east) / ewres, y = (south − north) / nsres, with the
+    north-up geotransform's nsres = −yres. The /8 of the classic Horn
+    kernel lives in z_factor = z/8 (gdaldem_lib.cpp:1195)."""
+    a, b, c, d, e, f, g, h, i = _windows(z.astype(np.float64))
+    x = ((a + 2 * d + g) - (c + 2 * f + i)) / xres
+    y = ((g + 2 * h + i) - (a + 2 * b + c)) / (-yres)
+    return x, y
+
+
+def hillshade_combined(z, azimuth: float = 315.0, altitude: float = 45.0,
+                       xres: float = 1.0, yres: float = 1.0,
+                       zfactor: float = 1.0) -> np.ndarray:
+    """gdaldem hillshade -combined (GDALHillshadeCombinedAlg,
+    gdaldem_lib.cpp:1151-1180): oblique shading attenuated by
+    arctan(slope), output 1..255 float (Byte conversion downstream)."""
+    x, y = _horn_xy(z, xres, yres)
+    zf = zfactor / 8.0
+    az = np.radians(azimuth)
+    alt = np.radians(altitude)
+    slope = (x * x + y * y) * zf * zf
+    num = np.sin(alt) - (y * np.cos(az) * np.cos(alt) * zf
+                         - x * np.sin(az) * np.cos(alt) * zf)
+    cang = np.arccos(np.clip(num / np.sqrt(1.0 + slope), -1.0, 1.0))
+    cang = 1.0 - cang * np.arctan(np.sqrt(slope)) / ((np.pi * np.pi) / 4.0)
+    return np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+
+
+def hillshade_multidirectional(z, altitude: float = 45.0, xres: float = 1.0,
+                               yres: float = 1.0, zfactor: float = 1.0) -> np.ndarray:
+    """gdaldem hillshade -multidirectional (USGS OF 92-422;
+    GDALHillshadeMultiDirectionalAlg, gdaldem_lib.cpp:1255-1311):
+    sin²-weighted blend of the 225/270/315/360° azimuths."""
+    x, y = _horn_xy(z, xres, yres)
+    zf = zfactor / 8.0
+    alt = np.radians(altitude)
+    xx, yy = x * x, y * y
+    s = xx + yy
+    sin127 = 127.0 * np.sin(alt)
+    c225 = np.cos(np.radians(225.0)) * np.cos(alt) * zf  # negative
+    czm = np.cos(alt) * zf
+    v225 = np.maximum(sin127 + (x - y) * 127.0 * c225, 0.0)
+    v270 = np.maximum(sin127 - x * 127.0 * czm, 0.0)
+    v315 = np.maximum(sin127 + (x + y) * 127.0 * c225, 0.0)
+    v360 = np.maximum(sin127 - y * 127.0 * czm, 0.0)
+    w225 = 0.5 * s - x * y
+    w270 = xx
+    w315 = s - w225
+    w360 = yy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        blend = (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360) / s
+        cang = 1.0 + blend / np.sqrt(1.0 + zf * zf * s)
+    return np.where(s == 0.0, 1.0 + 254.0 * np.sin(alt), cang)
+
+
+def hillshade_igor(z, azimuth: float = 315.0, xres: float = 1.0,
+                   yres: float = 1.0, zfactor: float = 1.0) -> np.ndarray:
+    """gdaldem hillshade -igor (GDALHillshadeIgorAlg,
+    gdaldem_lib.cpp:947-1013): shadowness = slope strength × aspect
+    alignment with the anti-light direction, output 0..255."""
+    x, y = _horn_xy(z, xres, yres)
+    zf = zfactor / 8.0
+    slope_degrees = np.degrees(np.arctan(np.sqrt(x * x + y * y) * zf))
+    a, b, c, d, e, f, g, h, i = _windows(z.astype(np.float64))
+    dx = (c + 2 * f + i) - (a + 2 * d + g)      # east − west, unscaled
+    dy2 = (g + 2 * h + i) - (a + 2 * b + c)     # south − north, unscaled
+    aspect = np.arctan2(dy2, -dx)
+    az = np.radians(azimuth)
+    two_pi = 2.0 * np.pi
+    target = 1.5 * np.pi - az
+    diff = np.abs(np.mod(aspect, two_pi) - np.mod(target, two_pi))
+    diff = np.where(diff > np.pi, two_pi - diff, diff)
+    aspect_strength = 1.0 - diff / np.pi
+    shadowness = 1.0 - (slope_degrees / 90.0) * aspect_strength
+    return 255.0 * shadowness
+
+
+_DEM_FUNCS["hillshade_combined"] = hillshade_combined
+_DEM_FUNCS["hillshade_md"] = hillshade_multidirectional
+_DEM_FUNCS["hillshade_igor"] = hillshade_igor

@@ -110,3 +110,79 @@ def test_blend_vs_loop():
         for x in range(6):
             v = float(a[y, x]) * 0.5 + float(b[y, x]) * 0.25 + float(c[y, x]) * 0.25
             assert got[y, x] == min(255, max(0, int(np.floor(v + 0.5))))
+
+
+def test_hillshade_variants_scalar_oracle():
+    """Per-pixel scalar re-derivation of gdaldem -combined /
+    -multidirectional / -igor, transcribed independently from
+    apps/gdaldem_lib.cpp (double precision), vs the vectorized kernels."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark.raster.dem import (
+        hillshade_combined,
+        hillshade_igor,
+        hillshade_multidirectional,
+    )
+
+    rng = np.random.default_rng(99)
+    z = (rng.random((12, 14)) * 80).astype(np.float64)
+    xres, yres, zf_user, az_deg, alt_deg = 2.0, 3.0, 1.5, 315.0, 45.0
+    zf = zf_user / 8.0
+    az, alt = math.radians(az_deg), math.radians(alt_deg)
+
+    comb = hillshade_combined(z, az_deg, alt_deg, xres, yres, zf_user)
+    md = hillshade_multidirectional(z, alt_deg, xres, yres, zf_user)
+    igor = hillshade_igor(z, az_deg, xres, yres, zf_user)
+
+    for rr in range(1, 11):
+        for cc in range(1, 13):
+            win = [z[rr - 1, cc - 1], z[rr - 1, cc], z[rr - 1, cc + 1],
+                   z[rr, cc - 1], z[rr, cc], z[rr, cc + 1],
+                   z[rr + 1, cc - 1], z[rr + 1, cc], z[rr + 1, cc + 1]]
+            x = ((win[0] + 2 * win[3] + win[6]) - (win[2] + 2 * win[5] + win[8])) / xres
+            y = ((win[6] + 2 * win[7] + win[8]) - (win[0] + 2 * win[1] + win[2])) / (-yres)
+            xx_plus_yy = x * x + y * y
+            slope = xx_plus_yy * zf * zf
+
+            # combined (gdaldem_lib.cpp:1151)
+            num = math.sin(alt) - (y * math.cos(az) * math.cos(alt) * zf
+                                   - x * math.sin(az) * math.cos(alt) * zf)
+            cang = math.acos(max(-1.0, min(1.0, num / math.sqrt(1.0 + slope))))
+            cang = 1.0 - cang * math.atan(math.sqrt(slope)) / ((math.pi ** 2) / 4)
+            expect = 1.0 if cang <= 0 else 1.0 + 254.0 * cang
+            assert abs(comb[rr - 1, cc - 1] - expect) < 1e-9
+
+            # multidirectional (gdaldem_lib.cpp:1255)
+            if xx_plus_yy == 0.0:
+                expect_md = 1.0 + 254.0 * math.sin(alt)
+            else:
+                s127 = 127.0 * math.sin(alt)
+                c225 = 127.0 * math.cos(math.radians(225.0)) * math.cos(alt) * zf
+                czm = 127.0 * math.cos(alt) * zf
+                v225 = max(s127 + (x - y) * c225, 0.0)
+                v270 = max(s127 - x * czm, 0.0)
+                v315 = max(s127 + (x + y) * c225, 0.0)
+                v360 = max(s127 - y * czm, 0.0)
+                w225 = 0.5 * xx_plus_yy - x * y
+                w270 = x * x
+                w315 = xx_plus_yy - w225
+                w360 = y * y
+                expect_md = 1.0 + (
+                    (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)
+                    / xx_plus_yy
+                ) / math.sqrt(1.0 + zf * zf * xx_plus_yy)
+            assert abs(md[rr - 1, cc - 1] - expect_md) < 1e-9
+
+            # igor (gdaldem_lib.cpp:947)
+            slope_deg = math.degrees(math.atan(math.sqrt(xx_plus_yy) * zf))
+            dx = (win[2] + 2 * win[5] + win[8]) - (win[0] + 2 * win[3] + win[6])
+            dy2 = (win[6] + 2 * win[7] + win[8]) - (win[0] + 2 * win[1] + win[2])
+            aspect = math.atan2(dy2, -dx)
+            target = 1.5 * math.pi - az
+            d = abs(aspect % (2 * math.pi) - target % (2 * math.pi))
+            if d > math.pi:
+                d = 2 * math.pi - d
+            expect_ig = 255.0 * (1.0 - (slope_deg / 90.0) * (1.0 - d / math.pi))
+            assert abs(igor[rr - 1, cc - 1] - expect_ig) < 1e-9

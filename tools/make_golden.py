@@ -302,7 +302,7 @@ def g_raster_band_calc(sf_dir):
 
 
 def g_raster_dem_metrics(sf_dir):
-    ops = ("slope", "hillshade", "roughness", "tpi", "tri", "aspect")
+    ops = ("slope", "hillshade", "roughness", "tpi", "tri", "aspect", "hillshade_combined", "hillshade_md", "hillshade_igor")
     rows = []
     for okey in order_keys(sf_dir):
         if okey % 200:
