@@ -2493,6 +2493,7 @@ GOLDEN_QUERIES = [
     "raster_checksums",
     "geotiff_cog",
     "raster_cutline",
+    "st_geodesic",
     "raster_translate",
     "raster_resample_kernels",
     "raster_as_features",
@@ -2528,6 +2529,26 @@ GOLDEN_QUERIES = [
 def _golden_oracle(name: str, sf_name: str = "sf0.01") -> str:
     path = _os.path.join(_REPO_DIR, "golden", sf_name, f"{name}.parquet")
     return f"SELECT * FROM read_parquet('{path}')"
+
+
+def _q_st_geodesic(spark, sf_dir):
+    """Ellipsoidal ST_Area(g, use_ellipsoid)/ST_Length analogues
+    (ogrsqlitesqlfunctions.cpp:1230-1240) over the AOI layer; the
+    kernels are externally pinned against the reference's published
+    PROJ/Karney values in tests/test_geodesic.py, this golden row pins
+    the distributed run."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    synth.aoi(spark, sf_dir).createOrReplaceTempView("aoi_geod")
+    return spark.sql(
+        """
+        SELECT CAST(poly_id AS BIGINT) AS poly_id,
+               round(ST_GeodesicArea(geom), 3) AS area_m2,
+               round(ST_GeodesicLength(geom), 6) AS len_m
+        FROM aoi_geod
+        """
+    )
 
 
 def _q_raster_cutline(spark, sf_dir):
@@ -3025,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_predicates": _q_st_predicates,
         "st_constructive": _q_st_constructive,
         "st_extended": _q_st_extended,
+        "st_geodesic": _q_st_geodesic,
         "morton_order": _q_morton,
         "vector_segmentize": _q_segmentize,
         "vector_dissolve": _q_dissolve,

@@ -435,6 +435,30 @@ def st_distance_geoms(wa: pd.Series, wb: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(DoubleType())
+def st_geodesic_area(wkb: pd.Series) -> pd.Series:
+    """The SQLite dialect's ST_Area(geom, use_ellipsoid)
+    (ogrsqlitesqlfunctions.cpp:1230) / OGRGeometry::get_GeodesicArea —
+    WGS84 ellipsoidal area, verified against the reference's published
+    values (autotest/ogr/ogr_geom.py:4742) in tests/test_geodesic.py."""
+    from gdal_spark.functions.geodesic import geodesic_area
+
+    return wkb.map(
+        lambda b: geodesic_area(G.parse_wkb(bytes(b))) if b is not None else None
+    )
+
+
+@pandas_udf(DoubleType())
+def st_geodesic_length(wkb: pd.Series) -> pd.Series:
+    """ST_Length(geom, use_ellipsoid) / get_GeodesicLength — Vincenty
+    segment sum (autotest/ogr/ogr_geom.py:4926)."""
+    from gdal_spark.functions.geodesic import geodesic_length
+
+    return wkb.map(
+        lambda b: geodesic_length(G.parse_wkb(bytes(b))) if b is not None else None
+    )
+
+
 @pandas_udf(BinaryType())
 def ogr_deflate(data: pd.Series) -> pd.Series:
     """ogr_deflate(blob|text) → zlib blob (ogrsqlitesqlfunctions.cpp:1111)."""
@@ -498,6 +522,8 @@ _REGISTRY = {
     "ST_IsSimple": st_issimple,
     "ogr_deflate": ogr_deflate,
     "ogr_inflate": ogr_inflate,
+    "ST_GeodesicArea": st_geodesic_area,
+    "ST_GeodesicLength": st_geodesic_length,
 }
 
 

@@ -907,6 +907,19 @@ def g_raster_cutline(sf_dir):
     return schema, rows
 
 
+def g_st_geodesic(sf_dir):
+    from gdal_spark.functions.geodesic import geodesic_area, geodesic_length
+
+    rows = []
+    for a in aoi_rows(sf_dir):
+        g = G.parse_wkb(a["wkb"])
+        rows.append(
+            (a["poly_id"], round(geodesic_area(g), 3), round(geodesic_length(g), 6))
+        )
+    schema = pa.schema([("poly_id", I64), ("area_m2", F64), ("len_m", F64)])
+    return schema, rows
+
+
 def g_geotiff_cog(sf_dir):
     from gdal_spark.raster import tiff
 
@@ -957,6 +970,7 @@ GOLDEN_BUILDERS = {
     "raster_checksums": g_raster_checksums,
     "geotiff_cog": g_geotiff_cog,
     "raster_cutline": g_raster_cutline,
+    "st_geodesic": g_st_geodesic,
     "raster_translate": g_raster_translate,
     "raster_resample_kernels": g_raster_resample_kernels,
     "raster_as_features": g_raster_as_features,
