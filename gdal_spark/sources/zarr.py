@@ -208,3 +208,69 @@ def zarr_window_values(
         & (F.col("x") >= wx)
         & (F.col("x") < wx + ww)
     )
+
+
+def write_zarr_distributed(
+    chunks: DataFrame,
+    path: str,
+    shape: tuple[int, int],
+    chunk_shape: tuple[int, int],
+    dtype: str = "<f8",
+    compressor: str | None = "zlib",
+    level: int = 1,
+    fill_value=0,
+) -> None:
+    """Distributed Zarr v2 sink (the GDAL Zarr driver's write side,
+    ``frmts/zarr/zarrarray.cpp``, as a Spark job).
+
+    Zarr's one-file-per-chunk layout is what makes it a natural
+    distributed sink: every executor writes its partition's chunk
+    files straight to the store (object-store pattern — one PUT per
+    chunk, no driver funnel, no shuffle), and the driver writes the
+    tiny ``.zarray`` metadata document once.  Writes go through a
+    temp-file + atomic rename so a re-run/resume can never leave a
+    torn chunk (the tiler-manifest idempotency rule applied to the
+    multidim model).
+
+    ``chunks`` must carry ``cy, cx`` (chunk indices) and ``values``
+    (row-major doubles, trimmed edge chunks allowed — padded back to
+    full chunk size with ``fill_value`` per the Zarr spec's
+    full-size-edge-chunk rule).
+    """
+    os.makedirs(path, exist_ok=True)
+    dt = np.dtype(dtype)
+    meta = {
+        "zarr_format": 2,
+        "shape": [int(shape[0]), int(shape[1])],
+        "chunks": [int(chunk_shape[0]), int(chunk_shape[1])],
+        "dtype": dt.str,
+        "order": "C",
+        "compressor": (
+            {"id": "zlib", "level": int(level)} if compressor == "zlib" else None
+        ),
+        "fill_value": fill_value,
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    CY, CX = int(chunk_shape[0]), int(chunk_shape[1])
+    H, W = int(shape[0]), int(shape[1])
+
+    def write_partition(rows):
+        for r in rows:
+            i, j = int(r.cy), int(r.cx)
+            block = np.full((CY, CX), fill_value, dtype=dt)
+            h = min(CY, H - i * CY)
+            w = min(CX, W - j * CX)
+            vals = np.asarray(r.values, dtype=np.float64).reshape(h, w)
+            block[:h, :w] = vals.astype(dt)
+            raw = block.tobytes(order="C")
+            if compressor == "zlib":
+                raw = zlib.compress(raw, level)
+            final = os.path.join(path, f"{i}.{j}")
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(raw)
+            os.replace(tmp, final)  # atomic: resume-safe
+
+    chunks.foreachPartition(write_partition)

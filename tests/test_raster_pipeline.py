@@ -209,3 +209,41 @@ def test_band_histogram_non_divisor_bins(imgs):
             assert rows[k].n == oracle[k]
             assert rows[k].bin_min == pytest.approx(k * width - 0.5)
             assert rows[k].bin_max == pytest.approx((k + 1) * width - 0.5)
+
+
+def test_mbtiles_sink_roundtrip(imgs, spark, tmp_path):
+    """MBTiles 1.3 sink (frmts/mbtiles): pyramid → single-file SQLite →
+    read back bit-identical; metadata zoom range; TMS row convention."""
+    import sqlite3
+
+    from gdal_spark.raster.mbtiles import (
+        mbtiles_metadata,
+        read_mbtiles,
+        write_mbtiles,
+    )
+
+    pyr = tiler.build_pyramid(imgs, min_zoom=10, max_zoom=11).cache()
+    path = str(tmp_path / "pyr.mbtiles")
+    meta = write_mbtiles(pyr, path, name="t")
+    assert meta["minzoom"] == "10" and meta["maxzoom"] == "11"
+    assert mbtiles_metadata(path)["format"] == "png"
+
+    src = {(r.z, r.tx, r.ty): bytes(r.tile) for r in pyr.collect()}
+    back = {(r.z, r.tx, r.ty): bytes(r.tile) for r in read_mbtiles(spark, path).collect()}
+    assert back == src
+    assert meta["tile_count"] == len(src)
+
+    # spec: tile_row is TMS; the y column (XYZ) must equal 2^z-1-tile_row
+    con = sqlite3.connect(path)
+    z, tx, trow = con.execute("SELECT zoom_level, tile_column, tile_row FROM tiles LIMIT 1").fetchone()
+    con.close()
+    xyz = {(r.z, r.tx): r.y for r in pyr.select("z", "tx", "ty", "y").collect() if r.ty == trow and r.tx == tx and r.z == z}
+    assert xyz[(z, tx)] == (1 << z) - 1 - trow
+
+    # unique index: rewriting replaces, not duplicates
+    write_mbtiles(pyr, path, name="t")
+    con = sqlite3.connect(path)
+    n = con.execute("SELECT count(*) FROM tiles").fetchone()[0]
+    con.close()
+    assert n == len(src)
+    pyr.unpersist()

@@ -73,3 +73,54 @@ def test_unsupported_compressor_raises(tmp_path):
         )
     with pytest.raises(NotImplementedError, match="blosc"):
         Z.read_zarray_meta(p)
+
+
+def test_distributed_zarr_writer_roundtrip(spark, tmp_path):
+    """read → transform → distributed write → read back; atomic-rename
+    resume safety and edge-chunk padding included."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gdal_spark.sources.zarr import (
+        read_zarr_chunks,
+        write_zarr,
+        write_zarr_distributed,
+    )
+
+    rng = np.random.default_rng(17)
+    arr = (rng.random((70, 53)) * 100).astype("<f8")  # non-divisible by chunks
+    src = str(tmp_path / "src.zarr")
+    dst = str(tmp_path / "dst.zarr")
+    write_zarr(src, arr, chunks=(32, 16))
+
+    chunks = read_zarr_chunks(spark, src)
+    doubled = chunks.withColumn(
+        "values", F.transform("values", lambda v: v * F.lit(2.0))
+    )
+    write_zarr_distributed(
+        doubled, dst, shape=arr.shape, chunk_shape=(32, 16), dtype="<f8"
+    )
+
+    back = read_zarr_chunks(spark, dst).collect()
+    out = np.zeros_like(arr)
+    for r in back:
+        out[r.y0 : r.y0 + r.h, r.x0 : r.x0 + r.w] = np.asarray(r.values).reshape(
+            r.h, r.w
+        )
+    assert np.array_equal(out, arr * 2.0)
+
+    # window read on the written store still prunes to the right values
+    win = read_zarr_chunks(spark, dst, window=(40, 20, 10, 10)).collect()
+    assert all(r.y0 + r.h > 32 for r in win)  # only bottom chunk rows listed
+
+    # re-write is idempotent (atomic replace, same bytes)
+    write_zarr_distributed(
+        doubled, dst, shape=arr.shape, chunk_shape=(32, 16), dtype="<f8"
+    )
+    back2 = read_zarr_chunks(spark, dst).collect()
+    out2 = np.zeros_like(arr)
+    for r in back2:
+        out2[r.y0 : r.y0 + r.h, r.x0 : r.x0 + r.w] = np.asarray(r.values).reshape(
+            r.h, r.w
+        )
+    assert np.array_equal(out2, arr * 2.0)
