@@ -451,8 +451,13 @@ def _extend(bits: int, sz: int) -> int:
     return bits if bits >= (1 << (sz - 1)) else bits - (1 << sz) + 1
 
 
-def decode(buf: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → uint8 (h, w) or (h, w, 3)."""
+def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
+    """Decode baseline JFIF bytes → uint8 (h, w) or (h, w, 3).
+
+    ``raw_components=True`` skips the YCbCr→RGB inversion and returns
+    the decoded component planes as-is — required for JPEG-in-TIFF
+    payloads tagged PHOTOMETRIC_RGB, whose three components are
+    untransformed R,G,B."""
     buf = bytes(buf)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -666,4 +671,10 @@ def decode(buf: bytes) -> np.ndarray:
         planes.append(plane[:h_img, :w_img])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if raw_components:
+        # JPEG-in-TIFF with PHOTOMETRIC_RGB stores untransformed R,G,B
+        # components (frmts/gtiff JPEG path): no YCbCr inversion
+        return np.stack(
+            [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in planes], axis=-1
+        )
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])

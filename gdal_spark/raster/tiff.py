@@ -55,7 +55,6 @@ _TYPES = {
 
 _COMP_NAMES = {
     2: "CCITT RLE", 3: "CCITT G3", 4: "CCITT G4", 6: "old-JPEG",
-    7: "JPEG-in-TIFF (use libjpeg/imagecodecs on the cluster)",
     34712: "JPEG2000", 34925: "LZMA (use lzma wheel on the cluster)",
     50000: "ZSTD (use zstandard on the cluster)",
     50001: "WebP-in-TIFF", 50002: "JXL", 34887: "LERC",
@@ -210,6 +209,25 @@ def _lzw(data: bytes, out_len: int) -> bytes:
     return bytes(out)
 
 
+def _jpeg_block(data: bytes, jpegtables: bytes | None, photometric: int,
+                rows: int, bw: int, ch: int) -> bytes:
+    """Compression 7 (new-style JPEG-in-TIFF): merge the abbreviated
+    ``JPEGTables`` stream (tag 347 — SOI + DQT/DHT + EOI) into the
+    block's stream after its SOI, decode with the in-repo baseline
+    codec, crop MCU padding to the block shape.  PHOTOMETRIC_RGB (2)
+    blocks carry untransformed R,G,B components."""
+    from gdal_spark.raster import jpeg
+
+    if jpegtables and len(jpegtables) > 4 and data[:2] == b"\xff\xd8":
+        data = b"\xff\xd8" + bytes(jpegtables[2:-2]) + data[2:]
+    arr = jpeg.decode(data, raw_components=(photometric == 2))
+    a3 = arr if arr.ndim == 3 else arr[:, :, None]
+    out = np.zeros((rows, bw, ch), dtype=np.uint8)
+    ys, xs = min(rows, a3.shape[0]), min(bw, a3.shape[1])
+    out[:ys, :xs, : a3.shape[2]] = a3[:ys, :xs, :ch]
+    return out.tobytes()
+
+
 def _decompress(data: bytes, comp: int, out_len: int) -> bytes:
     if comp == 1:
         raw = data
@@ -360,7 +378,16 @@ def decode_full(buf: bytes, ifd_index: int = 0):
                 o, c = int(offsets[bi]), int(counts[bi])
                 rows = bh if tiled else min(bh, h - by * bh)
                 need = rows * bw * ch * isz
-                raw = _decompress(buf[o : o + c], comp, need)
+                if comp == 7:
+                    if isz != 1:
+                        raise NotImplementedError("12-bit JPEG-in-TIFF not supported")
+                    jt = tags.get(347)
+                    jt_b = bytes(_as_list(jt)) if jt is not None else None
+                    raw = _jpeg_block(
+                        buf[o : o + c], jt_b, int(tags.get(262, 1)), rows, bw, ch
+                    )
+                else:
+                    raw = _decompress(buf[o : o + c], comp, need)
                 block = np.frombuffer(raw, dtype=dt).reshape(rows, bw, ch)
                 block = _unpredict(block, predictor, ch)
                 y0, x0 = by * bh, bx * bw

@@ -190,7 +190,7 @@ def test_byte_tif_georeferencing():
 
 @needs_ref
 def test_unsupported_compressions_raise_loudly():
-    for name in ["gtiff/byte_ZSTD.tif", "gtiff/byte_LZMA.tif", "gtiff/byte_JPEG.tif"]:
+    for name in ["gtiff/byte_ZSTD.tif", "gtiff/byte_LZMA.tif", "gtiff/byte_LERC.tif"]:
         if not os.path.exists(os.path.join(DATA, name)):
             continue
         with pytest.raises(NotImplementedError) as ei:
@@ -290,3 +290,33 @@ def test_codec_dispatch_handles_tiff():
     rng = np.random.default_rng(5)
     arr = (rng.random((24, 31)) * 255).astype(np.uint8)
     assert np.array_equal(decode_image(encode_image(arr, "gtiff")), arr)
+
+
+@needs_ref
+def test_jpeg_in_tiff():
+    """Compression 7 (new-style JPEG) with JPEGTables merging, decoded by
+    the in-repo baseline JPEG codec: grayscale, RGB (untransformed
+    components per PHOTOMETRIC_RGB), YCbCr-subsampled and separate-plane
+    variants; fidelity vs the lossless twins (GDAL writes these at
+    quality 75)."""
+    from gdal_spark.raster.codec import psnr
+
+    ref = tiff.decode(_load("byte.tif")).astype(np.float64)
+    for name in ["gtiff/byte_JPEG.tif", "gtiff/byte_JPEG_tiled.tif"]:
+        a = tiff.decode(_load(name)).astype(np.float64)
+        assert a.shape == (20, 20)
+        assert psnr(ref, a) > 28.0
+
+    ref3 = tiff.decode(_load("rgbsmall.tif")).astype(np.float64)
+    for name, floor in [
+        ("gtiff/rgbsmall_JPEG.tif", 30.0),
+        ("gtiff/rgbsmall_JPEG_tiled.tif", 30.0),
+        ("gtiff/rgbsmall_JPEG_ycbcr.tif", 28.0),
+        ("gtiff/rgbsmall_JPEG_separate.tif", 30.0),
+        ("gtiff/rgbsmall_JPEG_tiled_separate.tif", 30.0),
+    ]:
+        if not os.path.exists(os.path.join(DATA, name)):
+            continue
+        a = tiff.decode(_load(name)).astype(np.float64)
+        assert a.shape == (50, 50, 3), name
+        assert psnr(ref3, a) > floor, name
