@@ -1955,15 +1955,18 @@ def _minhash_oracle() -> str:
         f"ELSE [text] END"
     )
     # signatures hash the SHINGLE set (matches the verify feature
-    # space — see dedup.minhash_signatures)
+    # space — see dedup.minhash_signatures); one md5 per shingle folded
+    # to a 60-bit int, then the same (a·h+b mod p) family as Spark
+    P = dedup.MINHASH_P
     mh = [
-        f"list_min(list_transform(s, x -> md5(concat('{i}|', x)))) AS mh{i}"
-        for i in range(dedup.K_MINHASH)
+        f"list_min(list_transform(s, x -> "
+        f"({dedup.SHINGLE_H_DUCK} % {P} * {a} + {b}) % {P})) AS mh{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params())
     ]
     rows = dedup.K_MINHASH // dedup.BANDS
     bands = []
     for b in range(dedup.BANDS):
-        cols = ", ".join(f"mh{b * rows + j}" for j in range(rows))
+        cols = ", ".join(f"CAST(mh{b * rows + j} AS VARCHAR)" for j in range(rows))
         bands.append(
             f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bkey FROM sig"
         )

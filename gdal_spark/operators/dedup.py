@@ -59,24 +59,52 @@ def with_shingles(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.array_distinct(F.expr(_SHINGLE_FROM_T)).alias("sh"))
 
 
+MINHASH_P = 2147483647  # 2^31 − 1: (h%p)*a+b stays well inside int64
+
+
+def minhash_params(k: int = K_MINHASH) -> list[tuple[int, int]]:
+    """Deterministic universal-hash family (a_i·h + b_i mod p), same
+    constants formatted into the Spark AND DuckDB SQL texts."""
+    return [
+        ((i * 2654435761 + 1) % (MINHASH_P - 1) + 1, (i * 40503 + 17) % MINHASH_P)
+        for i in range(k)
+    ]
+
+
+# one md5 per shingle → 60-bit integer, shared verbatim across dialects
+SHINGLE_H_SPARK = "CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)"
+SHINGLE_H_DUCK = "CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)"
+
+
 def minhash_signatures(docs: DataFrame, k: int = K_MINHASH) -> DataFrame:
     """Min-wise hashes over the 3-gram SHINGLE set — the same feature
     space the Jaccard verify uses. (Hashing unigram token sets instead
     makes every doc over a small vocabulary collide into every bucket:
-    candidate pairs go quadratic. Measured: 178 s → 9 s at sf0.1.)"""
+    candidate pairs go quadratic. Measured: 178 s → 9 s at sf0.1.)
+
+    Round-3 cost fix: ONE md5 per shingle (folded to a 60-bit int),
+    then k cheap universal-hash permutations (a·h+b mod 2³¹−1) inside
+    whole-stage codegen — replacing k md5 calls per shingle (the
+    signature stage was ~16× the necessary digest work)."""
     sh = with_shingles(docs)
+    params = minhash_params(k)
     sigs = [
-        F.expr(f"array_min(transform(sh, x -> md5(concat('{i}|', x))))").alias(f"mh{i}")
-        for i in range(k)
+        F.expr(
+            f"array_min(transform(hsh, h -> (h % {MINHASH_P} * {a} + {b}) % {MINHASH_P}))"
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
     ]
-    return sh.select("doc_id", *sigs)
+    hashed = sh.withColumn(
+        "hsh", F.expr(f"transform(sh, x -> {SHINGLE_H_SPARK})")
+    )
+    return hashed.select("doc_id", *sigs)
 
 
 def band_exprs(k: int = K_MINHASH, bands: int = BANDS) -> list[str]:
     rows = k // bands
     out = []
     for b in range(bands):
-        cols = ", ".join(f"mh{b * rows + j}" for j in range(rows))
+        cols = ", ".join(f"CAST(mh{b * rows + j} AS STRING)" for j in range(rows))
         out.append(f"md5(concat_ws('|', {cols}))")
     return out
 
