@@ -2502,6 +2502,7 @@ GOLDEN_QUERIES = [
     "geotiff_cog",
     "raster_cutline",
     "st_geodesic",
+    "raster_color_relief",
     "raster_translate",
     "raster_resample_kernels",
     "raster_as_features",
@@ -2537,6 +2538,16 @@ GOLDEN_QUERIES = [
 def _golden_oracle(name: str, sf_name: str = "sf0.01") -> str:
     path = _os.path.join(_REPO_DIR, "golden", sf_name, f"{name}.parquet")
     return f"SELECT * FROM read_parquet('{path}')"
+
+
+def _q_color_relief(spark, sf_dir):
+    """gdaldem color-relief (GDALColorReliefGetRGBA, gdaldem_lib.cpp:
+    1639-1806): sparse ramp, interpolate/nearest/exact modes; scalar
+    per-pixel re-derivation in tests/test_scalar_oracles.py."""
+    from gdal_spark.raster.composite import color_relief
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return color_relief(imgs)
 
 
 def _q_st_geodesic(spark, sf_dir):
@@ -3027,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_palette": _q_palette,
         "raster_pansharpen": _q_pansharpen,
         "raster_color_map": _q_color_map,
+        "raster_color_relief": _q_color_relief,
         "raster_rpc_ortho": _q_rpc_ortho,
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall,

@@ -175,3 +175,97 @@ def lossy_psnr_gate(images: DataFrame, min_db: float = 40.0) -> DataFrame:
                 )
 
     return images.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# gdaldem color-relief (apps/gdaldem_lib.cpp:1639-1806)
+# ---------------------------------------------------------------------------
+
+DEFAULT_RAMP = (
+    (40.0, (0, 0, 255, 255)),
+    (90.0, (0, 255, 0, 255)),
+    (160.0, (255, 255, 0, 255)),
+    (220.0, (255, 0, 0, 255)),
+)
+
+
+def color_relief_array(band, ramp=DEFAULT_RAMP, mode: str = "interpolate"):
+    """Vectorized GDALColorReliefGetRGBA: sparse value→color ramp with
+    the reference's three selection modes — linear interpolation
+    (default, round-half-up per channel), nearest entry, exact entry
+    (miss ⇒ transparent black). Below-first/above-last clamp to the
+    end colors. NaN ramp entries (the reference's nv line) out of
+    scope — our bands are finite."""
+    rv = np.asarray([e[0] for e in ramp], dtype=np.float64)
+    rc = np.asarray([e[1] for e in ramp], dtype=np.float64)  # (n, 4)
+    n = len(rv)
+    v = band.astype(np.float64).ravel()
+    idx = np.searchsorted(rv, v, side="left")  # first entry >= v
+    out = np.zeros((v.size, 4), dtype=np.float64)
+
+    below = idx == 0
+    above = idx == n
+    mid = ~(below | above)
+    im = idx[mid]
+    exact_lo = np.zeros(v.size, dtype=bool)
+    exact_hi = np.zeros(v.size, dtype=bool)
+    exact_hi[mid] = rv[im] == v[mid]
+    exact_lo[mid] = rv[im - 1] == v[mid]
+
+    if mode == "exact":
+        hit = (below & (v == rv[0])) | (above & False) | exact_lo | exact_hi
+        src = np.where(exact_lo, idx - 1, np.clip(idx, 0, n - 1))
+        out[hit] = rc[src[hit]]
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8).reshape(
+            band.shape + (4,)
+        )
+
+    out[below] = rc[0]
+    out[above] = rc[n - 1]
+    out[exact_hi] = rc[idx[exact_hi]]
+    out[exact_lo & ~exact_hi] = rc[idx[exact_lo & ~exact_hi] - 1]
+    rest = mid & ~exact_lo & ~exact_hi
+    ir = idx[rest]
+    if mode == "nearest":
+        d_lo = v[rest] - rv[ir - 1]
+        d_hi = rv[ir] - v[rest]
+        pick = np.where(d_lo < d_hi, ir - 1, ir)  # tie → upper (C '<')
+        out[rest] = rc[pick]
+    elif mode == "interpolate":
+        ratio = (v[rest] - rv[ir - 1]) / (rv[ir] - rv[ir - 1])
+        out[rest] = rc[ir - 1] + ratio[:, None] * (rc[ir] - rc[ir - 1])
+    else:
+        raise ValueError(f"unknown color-relief mode {mode!r}")
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8).reshape(
+        band.shape + (4,)
+    )
+
+
+def color_relief(images: DataFrame, ramp=DEFAULT_RAMP,
+                 modes=("interpolate", "nearest", "exact")) -> DataFrame:
+    """Per-image color-relief checksums for each selection mode
+    (checksum of R band + sum of alpha as the exact-mode witness)."""
+    _ensure(images)
+    cols = ", ".join(f"cs_{m} int, a_{m} long" for m in modes)
+    schema = f"image_id string, {cols}"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                b = arr[:, :, 0] if arr.ndim == 3 else arr
+                vals = [r.image_id]
+                for m in modes:
+                    rgba = color_relief_array(b, ramp, m)
+                    vals.append(checksum_band(rgba[:, :, 0]))
+                    vals.append(int(rgba[:, :, 3].astype(np.int64).sum()))
+                rows.append(tuple(vals))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id"]
+                    + [f"{p}_{m}" for m in modes for p in ("cs", "a")],
+                )
+
+    return images.mapInPandas(run, schema=schema)

@@ -186,3 +186,54 @@ def test_hillshade_variants_scalar_oracle():
                 d = 2 * math.pi - d
             expect_ig = 255.0 * (1.0 - (slope_deg / 90.0) * (1.0 - d / math.pi))
             assert abs(igor[rr - 1, cc - 1] - expect_ig) < 1e-9
+
+
+def test_color_relief_scalar_oracle():
+    """Per-pixel re-derivation of GDALColorReliefGetRGBA
+    (gdaldem_lib.cpp:1639-1806) for all three selection modes."""
+    import numpy as np
+
+    from gdal_spark.raster.composite import DEFAULT_RAMP, color_relief_array
+
+    rv = [e[0] for e in DEFAULT_RAMP]
+    rc = [e[1] for e in DEFAULT_RAMP]
+    n = len(rv)
+
+    def scalar(v, mode):
+        # binary-search semantics: first i with rv[i] >= v
+        i = 0
+        while i < n and rv[i] < v:
+            i += 1
+        if i == 0:
+            if mode == "exact" and rv[0] != v:
+                return (0, 0, 0, 0)
+            return rc[0]
+        if i == n:
+            if mode == "exact" and rv[n - 1] != v:
+                return (0, 0, 0, 0)
+            return rc[n - 1]
+        if rv[i - 1] == v:
+            return rc[i - 1]
+        if rv[i] == v:
+            return rc[i]
+        if mode == "exact":
+            return (0, 0, 0, 0)
+        if mode == "nearest":
+            return rc[i - 1] if v - rv[i - 1] < rv[i] - v else rc[i]
+        ratio = (v - rv[i - 1]) / (rv[i] - rv[i - 1])
+        return tuple(
+            min(255, max(0, int(0.5 + a + ratio * (b - a))))
+            for a, b in zip(rc[i - 1], rc[i])
+        )
+
+    rng = np.random.default_rng(5)
+    band = np.concatenate(
+        [rng.integers(0, 256, 300), [40, 90, 160, 220, 39, 41, 221, 0, 255, 125]]
+    ).astype(np.float64).reshape(31, 10)
+    for mode in ("interpolate", "nearest", "exact"):
+        got = color_relief_array(band, mode=mode)
+        for rr in range(band.shape[0]):
+            for cc in range(band.shape[1]):
+                assert tuple(got[rr, cc]) == scalar(band[rr, cc], mode), (
+                    mode, band[rr, cc], tuple(got[rr, cc]), scalar(band[rr, cc], mode),
+                )

@@ -907,6 +907,31 @@ def g_raster_cutline(sf_dir):
     return schema, rows
 
 
+def g_raster_color_relief(sf_dir):
+    from gdal_spark.raster.composite import color_relief_array
+
+    modes = ("interpolate", "nearest", "exact")
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        vals = [fp["image_id"]]
+        for mode in modes:
+            rgba = color_relief_array(b, mode=mode)
+            vals.append(checksum_band(rgba[:, :, 0]))
+            vals.append(int(rgba[:, :, 3].astype(np.int64).sum()))
+        rows.append(tuple(vals))
+    schema = pa.schema(
+        [("image_id", STR)]
+        + [(f"{p}_{m}", I32 if p == "cs" else I64)
+           for m in modes for p in ("cs", "a")]
+    )
+    return schema, rows
+
+
 def g_st_geodesic(sf_dir):
     from gdal_spark.functions.geodesic import geodesic_area, geodesic_length
 
@@ -971,6 +996,7 @@ GOLDEN_BUILDERS = {
     "geotiff_cog": g_geotiff_cog,
     "raster_cutline": g_raster_cutline,
     "st_geodesic": g_st_geodesic,
+    "raster_color_relief": g_raster_color_relief,
     "raster_translate": g_raster_translate,
     "raster_resample_kernels": g_raster_resample_kernels,
     "raster_as_features": g_raster_as_features,
