@@ -40,6 +40,12 @@ def main(argv=None):
     p.add_argument("--resampling", default="near")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--subset", default=None, help="SQL filter on footprints (sandbox)")
+    p.add_argument(
+        "--mbtiles",
+        default=None,
+        help="also ship the finished pyramid as one MBTiles file "
+        "(single-file terminal hop; the cluster store stays --out)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -67,6 +73,11 @@ def main(argv=None):
         resume_manifest=manifest,
     )
     stats = tiler.write_tiles(spark, pyramid, args.out)
+    if args.mbtiles:
+        from gdal_spark.raster.mbtiles import write_mbtiles
+
+        tiles = spark.read.parquet(f"{args.out}/tiles")
+        stats["mbtiles"] = write_mbtiles(tiles, args.mbtiles)
     print(json.dumps(stats))
     if not preexisting:  # don't tear down a caller's session (tests)
         spark.stop()
