@@ -2530,6 +2530,9 @@ GOLDEN_QUERIES = [
     "raster_histogram",
     "raster_pansharpen",
     "raster_viewshed",
+    "raster_neighbors",
+    "raster_clean_collar",
+    "raster_footprint",
     "tile_pyramid",
     "tile_pyramid_geodetic",
 ]
@@ -2900,6 +2903,40 @@ def _q_viewshed(spark, sf_dir):
     return viewshed(imgs)
 
 
+def _q_neighbors(spark, sf_dir):
+    """gdal raster neighbors (apps/gdalalg_raster_neighbors.cpp:33-77,
+    frmts/vrt/vrtfilters.cpp:485-700): every named kernel at its
+    reference-default method plus the full stat family over the box
+    kernel; per-(image, kernel, method) checksum. Kernel semantics are
+    pinned against a naive per-pixel loop in tests/test_focal.py."""
+    from gdal_spark.raster.focal import neighbors
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return neighbors(imgs)
+
+
+def _q_clean_collar(spark, sf_dir):
+    """gdal raster clean-collar / nearblack (apps/nearblack_lib.cpp):
+    gdalwarp to UTM (0-filled rotated-envelope collars), then
+    floodfill removal of border-connected near-black/near-white
+    pixels + alpha; the floodfill kernel is pinned against a
+    brute-force BFS in tests/test_focal.py."""
+    from gdal_spark.raster.collar import clean_collar
+
+    imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
+    return clean_collar(imgs)
+
+
+def _q_raster_footprint(spark, sf_dir):
+    """gdal_footprint (apps/gdal_footprint_lib.cpp): valid-data mask of
+    the UTM-warped raster → 4-connected rings, min_ring_area filter,
+    georeferenced area + the -convex_hull variant's hull area."""
+    from gdal_spark.raster.collar import footprint
+
+    imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
+    return footprint(imgs)
+
+
 def _q_palette(spark, sf_dir):
     """rgb→palette median cut (alg/gdalmediancut.cpp): 16-color
     quantization per image; FS dither (alg/gdaldither.cpp) is
@@ -3081,6 +3118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "simhash_neardup": _q_simhash_neardup,
+        "raster_neighbors": _q_neighbors,
+        "raster_clean_collar": _q_clean_collar,
+        "raster_footprint": _q_raster_footprint,
     }
 
 

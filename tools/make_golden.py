@@ -991,6 +991,75 @@ def g_geotiff_cog(sf_dir):
     return schema, rows
 
 
+def g_raster_neighbors(sf_dir):
+    from gdal_spark.raster.focal import DEFAULT_SPECS, KERNELS, neighbors_array
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        b = arr[:, :, 0] if arr.ndim == 3 else arr
+        for kname, method in DEFAULT_SPECS:
+            out = neighbors_array(b, KERNELS[kname], method)
+            rows.append((fp["image_id"], kname, method, checksum_band(out)))
+    schema = pa.schema(
+        [("image_id", STR), ("kernel", STR), ("method", STR), ("checksum", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_clean_collar(sf_dir, out_w=64, out_h=64):
+    from gdal_spark.raster.collar import BLACK, WHITE, clean_collar_array, warp_utm_array
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 100:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        warped, epsg, _pw, _ph = warp_utm_array(
+            arr, fp["lon"], fp["lat"], fp["lon_min"], fp["lat_min"],
+            fp["lon_max"], fp["lat_max"], (out_w, out_h),
+        )
+        cleaned, alpha = clean_collar_array(warped, (BLACK, WHITE), 15)
+        b0 = cleaned[:, :, 0] if cleaned.ndim == 3 else cleaned
+        rows.append(
+            (fp["image_id"], epsg, int((alpha == 0).sum()),
+             checksum_band(b0), checksum_band(alpha))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("epsg", I32), ("n_collar", I32),
+         ("checksum_b0", I32), ("checksum_alpha", I32)]
+    )
+    return schema, rows
+
+
+def g_raster_footprint(sf_dir, out_w=64, out_h=64, min_ring_area=4):
+    from gdal_spark.raster.collar import footprint_digest, warp_utm_array
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 100:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        warped, epsg, px_w, px_h = warp_utm_array(
+            arr, fp["lon"], fp["lat"], fp["lon_min"], fp["lat_min"],
+            fp["lon_max"], fp["lat_max"], (out_w, out_h),
+        )
+        n_rings, valid_px, area, hull = footprint_digest(
+            warped, px_w, px_h, 0, min_ring_area
+        )
+        rows.append((fp["image_id"], epsg, n_rings, valid_px, area, hull))
+    schema = pa.schema(
+        [("image_id", STR), ("epsg", I32), ("n_rings", I32), ("valid_px", I32),
+         ("area_m2", F64), ("hull_area_m2", F64)]
+    )
+    return schema, rows
+
+
 GOLDEN_BUILDERS = {
     "raster_checksums": g_raster_checksums,
     "geotiff_cog": g_geotiff_cog,
@@ -1024,6 +1093,9 @@ GOLDEN_BUILDERS = {
     "raster_histogram": g_raster_histogram,
     "raster_pansharpen": g_raster_pansharpen,
     "raster_viewshed": g_raster_viewshed,
+    "raster_neighbors": g_raster_neighbors,
+    "raster_clean_collar": g_raster_clean_collar,
+    "raster_footprint": g_raster_footprint,
     "tile_pyramid": g_tile_pyramid,
     "tile_pyramid_geodetic": g_tile_pyramid_geodetic,
 }
@@ -1044,6 +1116,12 @@ def write_golden(sf_dir: str, only: set[str] | None = None) -> None:
 
 
 if __name__ == "__main__":
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2 :]
+    dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
     for d in dirs:
-        write_golden(d)
+        write_golden(d, only)
