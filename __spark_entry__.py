@@ -1255,6 +1255,74 @@ def _q_hull_valid(spark, sf_dir):
     )
 
 
+def _q_check_geometry(spark, sf_dir):
+    """gdal vector check-geometry (apps/gdalalg_vector_check_geometry
+    .cpp): per-feature validity reason + error location. Fixture: a
+    deterministic defect per AOI by poly_id % 4 — 0 valid rect
+    (excluded), 1 bowtie (proper self-intersection at the rect
+    center), 2 unclosed ring, 3 degenerate 3-point ring; reasons and
+    locations are closed-form in the SQL oracle."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    from gdal_spark.operators.vector_ops import check_geometry
+
+    aoi = synth.aoi(spark, sf_dir)
+
+    def _raw_poly(ring):
+        # verbatim WKB — G.wkb_polygon would auto-close the ring and
+        # erase the k=2 defect
+        out = [_struct.pack("<BII", 1, 3, 1), _struct.pack("<I", len(ring))]
+        for x, y in ring:
+            out.append(_struct.pack("<dd", x, y))
+        return b"".join(out)
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                x0, y0, x1, y1 = r.lon_min, r.lat_min, r.lon_max, r.lat_max
+                k = r.poly_id % 4
+                if k == 0:
+                    ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+                elif k == 1:  # bowtie
+                    ring = [(x0, y0), (x1, y1), (x1, y0), (x0, y1), (x0, y0)]
+                elif k == 2:  # unclosed
+                    ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+                else:  # too few points
+                    ring = [(x0, y0), (x1, y0), (x0, y0)]
+                rows.append({"poly_id": int(r.poly_id), "geom": _raw_poly(ring)})
+            yield _pd.DataFrame(rows)
+
+    defects = aoi.select("poly_id", "lon_min", "lat_min", "lon_max", "lat_max").mapInPandas(
+        gen, schema="poly_id long, geom binary"
+    )
+    out = check_geometry(defects)
+    return out.select(
+        "poly_id",
+        "error",
+        F.round("error_x", 6).alias("error_x"),
+        F.round("error_y", 6).alias("error_y"),
+    )
+
+
+CHECK_GEOMETRY_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id,
+       CASE WHEN poly_id % 4 = 1 THEN 'Self-intersection'
+            WHEN poly_id % 4 = 2
+              THEN 'Points of LinearRing do not form a closed linestring'
+            ELSE 'Too few points in geometry component' END AS error,
+       round(CASE WHEN poly_id % 4 = 1 THEN (lon_min + lon_max) / 2
+                  ELSE lon_min END, 6) AS error_x,
+       round(CASE WHEN poly_id % 4 = 1 THEN (lat_min + lat_max) / 2
+                  ELSE lat_min END, 6) AS error_y
+FROM aoi
+WHERE poly_id % 4 <> 0
+"""
+
+
 def _q_concave_hull(spark, sf_dir):
     """gdal vector concave-hull (apps/gdalalg_vector_concave_hull.cpp,
     GEOS ConcaveHull): chi-shape erosion over per-AOI point groups.
@@ -3121,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_neighbors": _q_neighbors,
         "raster_clean_collar": _q_clean_collar,
         "raster_footprint": _q_raster_footprint,
+        "vector_check_geometry": _q_check_geometry,
     }
 
 
@@ -3169,6 +3238,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_order": _hilbert_oracle(),
         "vector_segmentize": SEGMENTIZE_ORACLE,
         "vector_dissolve": DISSOLVE_ORACLE,
+        "vector_check_geometry": CHECK_GEOMETRY_ORACLE,
         "vector_hull_valid": HULL_VALID_ORACLE,
         "vector_concave_hull": CONCAVE_HULL_ORACLE,
         "grid_tin_cells": GRID_TIN_CELLS_ORACLE,

@@ -525,6 +525,62 @@ def parse_wkt(text: str) -> bytes:
     raise ValueError(f"unsupported WKT {t[:30]!r}")
 
 
+def validity_reason(g: G.Geom):
+    """(reason, x, y) of the FIRST validity defect, or (None, 0, 0).
+
+    The ``gdal vector check-geometry`` diagnostic
+    (apps/gdalalg_vector_check_geometry.cpp emits GEOS's
+    IsValidDetail reason + location): reason strings mirror GEOS —
+    "Too few points in geometry component", "Points of LinearRing do
+    not form a closed linestring", "Self-intersection" — and the
+    location is the offending vertex / crossing point."""
+    if g.gtype in (
+        G.WKB_POINT,
+        G.WKB_LINESTRING,
+        G.WKB_MULTIPOINT,
+        G.WKB_MULTILINESTRING,
+    ):
+        return None, 0.0, 0.0
+    for ring in g.rings:
+        if len(ring) < 4:
+            return (
+                "Too few points in geometry component",
+                float(ring[0][0]),
+                float(ring[0][1]),
+            )
+        if not np.array_equal(ring[0], ring[-1]):
+            return (
+                "Points of LinearRing do not form a closed linestring",
+                float(ring[0][0]),
+                float(ring[0][1]),
+            )
+        a1, a2 = ring[:-1], ring[1:]
+        n = len(a1)
+        for i in range(n):
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1:
+                    continue
+                d1 = G._cross(a1[i][0], a1[i][1], a2[i][0], a2[i][1], a1[j][0], a1[j][1])
+                d2 = G._cross(a1[i][0], a1[i][1], a2[i][0], a2[i][1], a2[j][0], a2[j][1])
+                d3 = G._cross(a1[j][0], a1[j][1], a2[j][0], a2[j][1], a1[i][0], a1[i][1])
+                d4 = G._cross(a1[j][0], a1[j][1], a2[j][0], a2[j][1], a2[i][0], a2[i][1])
+                if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                    # proper crossing point: p + t*(q-p) with
+                    # t = cross(r2-r1, p-r1) / cross(r2-r1, q-p)
+                    px, py = a1[i]
+                    qx, qy = a2[i]
+                    rx, ry = a1[j]
+                    sx, sy = a2[j]
+                    denom = (qx - px) * (sy - ry) - (qy - py) * (sx - rx)
+                    t = ((rx - px) * (sy - ry) - (ry - py) * (sx - rx)) / denom
+                    return (
+                        "Self-intersection",
+                        float(px + t * (qx - px)),
+                        float(py + t * (qy - py)),
+                    )
+    return None, 0.0, 0.0
+
+
 def is_valid(g: G.Geom) -> bool:
     """ST_IsValid basics: ≥4 vertices per ring, closed rings, no
     proper self-intersection within a ring (the checks OGR performs

@@ -442,3 +442,45 @@ def explode_collections(df: DataFrame, geom: str = "geom") -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=schema)
+
+
+def check_geometry(
+    df: DataFrame, geom_col: str = "geom", include_valid: bool = False
+) -> DataFrame:
+    """``gdal vector check-geometry``
+    (apps/gdalalg_vector_check_geometry.cpp): per-feature validity
+    diagnostic — GEOS-style reason string + error-location point for
+    invalid geometries; valid rows are dropped unless
+    ``include_valid`` (the reference's ``--include-valid``, which
+    emits them with empty geometry/reason)."""
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from gdal_spark.functions import predicates as P
+
+    out_t = StructType(
+        [
+            StructField("error", StringType()),
+            StructField("error_x", DoubleType()),
+            StructField("error_y", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def diag(wkb: pd.Series) -> pd.DataFrame:
+        errs, xs, ys = [], [], []
+        for b in wkb:
+            if b is None:
+                errs.append(None); xs.append(None); ys.append(None)
+                continue
+            reason, x, y = P.validity_reason(G.parse_wkb(bytes(b)))
+            errs.append(reason)
+            xs.append(x if reason else None)
+            ys.append(y if reason else None)
+        return pd.DataFrame({"error": errs, "error_x": xs, "error_y": ys})
+
+    out = df.withColumn("_chk", diag(df[geom_col])).select(
+        *[c for c in df.columns if c != geom_col], "_chk.*"
+    )
+    if not include_valid:
+        out = out.filter(out.error.isNotNull())
+    return out

@@ -203,3 +203,39 @@ def test_st_extended_sql_surface(spark):
     assert r.np == 5
     assert r.simple
     assert r.n == 11
+
+
+def test_validity_reason_diagnostics():
+    """gdal vector check-geometry kernel: reason strings + locations
+    (apps/gdalalg_vector_check_geometry.cpp; GEOS IsValidDetail)."""
+    import struct
+
+    import numpy as np
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.functions.predicates import validity_reason
+
+    def raw_poly(ring):
+        out = [struct.pack("<BII", 1, 3, 1), struct.pack("<I", len(ring))]
+        for x, y in ring:
+            out.append(struct.pack("<dd", x, y))
+        return b"".join(out)
+
+    # valid rect
+    ok = G.parse_wkb(raw_poly([(0, 0), (4, 0), (4, 2), (0, 2), (0, 0)]))
+    assert validity_reason(ok)[0] is None
+    # bowtie: proper self-intersection at the center
+    bow = G.parse_wkb(raw_poly([(0, 0), (4, 2), (4, 0), (0, 2), (0, 0)]))
+    reason, x, y = validity_reason(bow)
+    assert reason == "Self-intersection"
+    assert (x, y) == (2.0, 1.0)
+    # unclosed ring
+    unc = G.parse_wkb(raw_poly([(0, 0), (4, 0), (4, 2), (0, 2)]))
+    assert validity_reason(unc)[0] == (
+        "Points of LinearRing do not form a closed linestring"
+    )
+    # degenerate 3-point ring
+    deg = G.parse_wkb(raw_poly([(0, 0), (4, 0), (0, 0)]))
+    reason, x, y = validity_reason(deg)
+    assert reason == "Too few points in geometry component"
+    assert (x, y) == (0.0, 0.0)
