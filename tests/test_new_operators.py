@@ -615,3 +615,26 @@ def test_ann_ivf_and_banded_lsh_recall(spark, sf_dir):
     mean_lsh = sum(r.recall_lsh for r in rows) / len(rows)
     assert mean_ivf >= 0.9
     assert mean_lsh > 0.3  # OR-amplified floor; honest ceiling documented
+
+
+def test_dedup_job_end_to_end(spark, sf_dir, tmp_path):
+    """jobs/dedup_job.py: canonical-map invariants over the real run."""
+    from jobs.dedup_job import main
+
+    out = str(tmp_path / "dedup_out")
+    stats = main(["--docs", f"{sf_dir}/documents.parquet", "--out", out])
+    assert stats["n_docs"] > 0
+    assert stats["n_distinct_texts"] <= stats["n_docs"]
+    assert stats["n_neardup_clusters"] <= stats["n_neardup_docs"]
+    assert stats["n_kept"] == (
+        stats["n_docs"] - stats["n_neardup_docs"] + stats["n_neardup_clusters"]
+    )
+    comp = spark.read.parquet(f"{out}/canonical_map").collect()
+    by_cluster = {}
+    for r in comp:
+        by_cluster.setdefault(r.canonical_id, []).append(r)
+    assert len(by_cluster) == stats["n_neardup_clusters"]
+    for cid, members in by_cluster.items():
+        ids = [m.doc_id for m in members]
+        assert cid == min(ids)  # canonical = component minimum
+        assert all(m.cluster_size == len(members) for m in members)
