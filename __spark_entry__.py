@@ -2601,6 +2601,7 @@ GOLDEN_QUERIES = [
     "raster_neighbors",
     "raster_clean_collar",
     "raster_footprint",
+    "raster_nodata_alpha",
     "tile_pyramid",
     "tile_pyramid_geodetic",
 ]
@@ -2995,6 +2996,17 @@ def _q_clean_collar(spark, sf_dir):
     return clean_collar(imgs)
 
 
+def _q_nodata_alpha(spark, sf_dir):
+    """gdal raster nodata-to-alpha
+    (apps/gdalalg_raster_nodata_to_alpha.cpp): alpha = 0 where every
+    band equals nodata, 255 elsewhere — ALL nodata pixels, interior
+    lakes included (contrast with clean-collar's floodfill)."""
+    from gdal_spark.raster.collar import nodata_to_alpha
+
+    imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
+    return nodata_to_alpha(imgs)
+
+
 def _q_raster_footprint(spark, sf_dir):
     """gdal_footprint (apps/gdal_footprint_lib.cpp): valid-data mask of
     the UTM-warped raster → 4-connected rings, min_ring_area filter,
@@ -3189,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_neighbors": _q_neighbors,
         "raster_clean_collar": _q_clean_collar,
         "raster_footprint": _q_raster_footprint,
+        "raster_nodata_alpha": _q_nodata_alpha,
         "vector_check_geometry": _q_check_geometry,
     }
 

@@ -252,3 +252,53 @@ def footprint(
                 )
 
     return images.mapInPandas(run, schema=schema)
+
+
+def nodata_to_alpha(
+    images: DataFrame, nodata: int = 0, out_size: tuple[int, int] = (64, 64)
+) -> DataFrame:
+    """``gdal raster nodata-to-alpha``
+    (apps/gdalalg_raster_nodata_to_alpha.cpp): append an alpha band
+    that is 0 wherever EVERY band equals the nodata value, 255
+    elsewhere, and drop the nodata flag. Unlike clean-collar this
+    marks ALL nodata pixels — interior lakes included, no floodfill.
+    Runs over the engine's own gdalwarp output (the real source of
+    nodata pixels for this table)."""
+    from gdal_spark.raster.pipeline import _ensure_batch
+
+    _ensure_batch(images)
+    schema = (
+        "image_id string, epsg int, n_transparent int, "
+        "checksum_b0 int, checksum_alpha int"
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                warped, epsg, _pw, _ph = _warped(r, out_size)
+                a = warped if warped.ndim == 3 else warped[:, :, None]
+                transparent = (a == nodata).all(axis=2)
+                alpha = np.where(transparent, 0, 255).astype(np.uint8)
+                rows.append(
+                    (
+                        r.image_id,
+                        epsg,
+                        int(transparent.sum()),
+                        checksum_band(a[:, :, 0]),
+                        checksum_band(alpha),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "image_id",
+                        "epsg",
+                        "n_transparent",
+                        "checksum_b0",
+                        "checksum_alpha",
+                    ],
+                )
+
+    return images.mapInPandas(run, schema=schema)

@@ -180,3 +180,19 @@ def test_neighbors_spark_matches_golden(spark, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_nodata_to_alpha_vs_clean_collar_distinction():
+    """nodata-to-alpha marks ALL nodata pixels; clean-collar only the
+    border-connected ones — an interior 0-lake separates them."""
+    import numpy as np
+
+    from gdal_spark.raster.collar import border_connected
+
+    a = np.full((10, 10, 3), 80, dtype=np.uint8)
+    a[:, :2, :] = 0  # border collar
+    a[5:7, 5:7, :] = 0  # interior lake
+    transparent = (a == 0).all(axis=2)
+    assert transparent.sum() == 2 * 10 + 4  # nodata-to-alpha count
+    collar = border_connected(transparent)
+    assert collar.sum() == 2 * 10  # clean-collar excludes the lake

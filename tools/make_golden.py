@@ -1036,6 +1036,34 @@ def g_raster_clean_collar(sf_dir, out_w=64, out_h=64):
     return schema, rows
 
 
+def g_raster_nodata_alpha(sf_dir, out_w=64, out_h=64):
+    from gdal_spark.raster.collar import warp_utm_array
+    from gdal_spark.raster.checksum import checksum_band as _cb
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 100:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        warped, epsg, _pw, _ph = warp_utm_array(
+            arr, fp["lon"], fp["lat"], fp["lon_min"], fp["lat_min"],
+            fp["lon_max"], fp["lat_max"], (out_w, out_h),
+        )
+        a = warped if warped.ndim == 3 else warped[:, :, None]
+        transparent = (a == 0).all(axis=2)
+        alpha = np.where(transparent, 0, 255).astype(np.uint8)
+        rows.append(
+            (fp["image_id"], epsg, int(transparent.sum()),
+             _cb(a[:, :, 0]), _cb(alpha))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("epsg", I32), ("n_transparent", I32),
+         ("checksum_b0", I32), ("checksum_alpha", I32)]
+    )
+    return schema, rows
+
+
 def g_raster_footprint(sf_dir, out_w=64, out_h=64, min_ring_area=4):
     from gdal_spark.raster.collar import footprint_digest, warp_utm_array
 
@@ -1096,6 +1124,7 @@ GOLDEN_BUILDERS = {
     "raster_neighbors": g_raster_neighbors,
     "raster_clean_collar": g_raster_clean_collar,
     "raster_footprint": g_raster_footprint,
+    "raster_nodata_alpha": g_raster_nodata_alpha,
     "tile_pyramid": g_tile_pyramid,
     "tile_pyramid_geodetic": g_tile_pyramid_geodetic,
 }
