@@ -1151,6 +1151,9 @@ if __name__ == "__main__":
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2 :]
+    bad = [a for a in args if a.startswith("-") or not os.path.isdir(a)]
+    if bad:
+        sys.exit(f"not a testdata dir: {bad} (usage: make_golden.py [SF_DIR...] [--only name,...])")
     dirs = args or ["/root/testdata/sf0.01", "/root/testdata/sf0.001"]
     for d in dirs:
         write_golden(d, only)
