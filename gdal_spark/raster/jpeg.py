@@ -30,6 +30,7 @@ vectorized over all blocks. Both run inside Arrow-batched pandas UDFs
 from __future__ import annotations
 
 import struct
+from array import array
 
 import numpy as np
 
@@ -126,6 +127,15 @@ DCT_M = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0) * 0.5
 DCT_M[0, :] *= 1.0 / np.sqrt(2.0)
 
 
+def _batched_2d(blocks: np.ndarray, left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """``left @ X @ right`` for every 8×8 ``X`` in a (B,8,8) stack as two
+    flat (B·8, 8) GEMMs — ~50× faster than the equivalent c_einsum."""
+    nb = blocks.shape[0]
+    t = (blocks.reshape(-1, 8) @ right).reshape(nb, 8, 8)
+    t = (t.transpose(0, 2, 1).reshape(-1, 8) @ left.T).reshape(nb, 8, 8)
+    return t.transpose(0, 2, 1)
+
+
 def _canonical_codes(bits: list[int]) -> list[tuple[int, int]]:
     """(code, length) list in symbol order from the T.81 BITS counts."""
     out = []
@@ -148,13 +158,23 @@ def _enc_table(bits, vals) -> tuple[np.ndarray, np.ndarray]:
     return code, length
 
 
-def _dec_lut(bits, vals) -> list[int]:
-    """2^16 lookup: top-16-bit peek → (length << 8) | symbol; 0 invalid."""
-    lut = [0] * 65536
+_DEC_LUT_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _dec_lut(bits, vals) -> np.ndarray:
+    """2^16 lookup: top-16-bit peek → (length << 8) | symbol; 0 invalid.
+
+    Cached by table content — the Annex K tables recur on every image,
+    and building the 65536-entry table costs ~15 ms uncached."""
+    key = (tuple(bits), tuple(vals))
+    hit = _DEC_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut = np.zeros(65536, dtype=np.int32)
     for (c, ln), v in zip(_canonical_codes(bits), vals):
         lo = c << (16 - ln)
-        for p in range(lo, lo + (1 << (16 - ln))):
-            lut[p] = (ln << 8) | v
+        lut[lo : lo + (1 << (16 - ln))] = (ln << 8) | v
+    _DEC_LUT_CACHE[key] = lut
     return lut
 
 
@@ -312,7 +332,11 @@ def encode(arr: np.ndarray, quality: int = 95, subsampling: str = "444") -> byte
         seq_comp[idx] = ci
         off += k
 
-    # forward DCT over every block at once, quantize, zigzag
+    # forward DCT over every block at once, quantize, zigzag.
+    # NOTE: einsum kept deliberately — _batched_2d's GEMM reduction order
+    # rounds a handful of exactly-.5 quantized coefficients differently,
+    # which changes the encoded bytes vs the golden oracles; encode is not
+    # the hot path (decode is), so bit-stability wins here.
     shifted = seq_blocks - 128.0
     F = np.einsum("ij,bjk,lk->bil", DCT_M, shifted, DCT_M)
     qtab = np.stack([qy, qc])[[g[3] for g in grids]]  # (ncomp, 64)
@@ -451,6 +475,65 @@ def _extend(bits: int, sz: int) -> int:
     return bits if bits >= (1 << (sz - 1)) else bits - (1 << sz) + 1
 
 
+def _bit_windows(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """32-bit MSB-first stream window at EVERY bit position.
+
+    Returns ``(win, win16)`` where ``win[i]`` holds bits i..i+31 of the
+    byte stream and ``win16 = win >> 16`` (the Huffman peek). Computed
+    whole-stream so the entropy decode's per-symbol work is one table
+    index instead of bit-accumulator arithmetic (VERDICT r03 item 1).
+    ``data`` must carry ≥ 4 trailing pad bytes."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    w40 = (b[:-4] << 32) | (b[1:-3] << 24) | (b[2:-2] << 16) | (b[3:-1] << 8) | b[4:]
+    win = np.empty(len(w40) * 8, dtype=np.int64)
+    for o in range(8):
+        win[o::8] = w40 >> (8 - o)
+    win &= 0xFFFFFFFF
+    return win, (win >> 16).astype(np.int32)
+
+
+def _dc_records(win: np.ndarray, win16: np.ndarray, lut: np.ndarray) -> array:
+    """Packed per-bit-position DC decode record:
+    ``(diff+2048) | (advance<<12) | (invalid<<18)``."""
+    e = lut[win16].astype(np.int64)
+    ln = e >> 8
+    size = e & 255
+    invalid = (e == 0) | (size > 11)  # 8-bit baseline: DC category ≤ 11
+    size = np.where(invalid, 0, size)
+    bits = (win >> (32 - ln - size)) & ((1 << size) - 1)
+    half = np.left_shift(1, np.maximum(size - 1, 0))
+    val = np.where(size > 0, np.where(bits >= half, bits, bits - (1 << size) + 1), 0)
+    rec = ((val + 2048) | ((ln + size) << 12) | (invalid.astype(np.int64) << 18)).astype(
+        np.int32
+    )
+    out = array("i")
+    out.frombytes(rec.tobytes())
+    return out
+
+
+def _ac_records(win: np.ndarray, win16: np.ndarray, lut: np.ndarray) -> array:
+    """Packed per-bit-position AC decode record:
+    ``(val+1024) | (run<<11) | (advance<<15) | (flag<<21)`` with flag
+    0=coef, 1=EOB, 2=ZRL, 3=invalid."""
+    e = lut[win16].astype(np.int64)
+    ln = e >> 8
+    s = e & 255
+    size = s & 15
+    run = s >> 4
+    invalid = (e == 0) | (size > 10)  # 8-bit baseline: AC size ≤ 10
+    size = np.where(invalid, 0, size)
+    bits = (win >> (32 - ln - size)) & ((1 << size) - 1)
+    half = np.left_shift(1, np.maximum(size - 1, 0))
+    val = np.where(size > 0, np.where(bits >= half, bits, bits - (1 << size) + 1), 0)
+    flag = np.where(invalid, 3, np.where(s == 0, 1, np.where(s == 0xF0, 2, 0)))
+    rec = ((val + 1024) | (run << 11) | ((ln + size) << 15) | (flag << 21)).astype(
+        np.int32
+    )
+    out = array("i")
+    out.frombytes(rec.tobytes())
+    return out
+
+
 def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
     """Decode baseline JFIF bytes → uint8 (h, w) or (h, w, 3).
 
@@ -462,7 +545,7 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qtabs: dict[int, np.ndarray] = {}
-    hufs: dict[int, list[int]] = {}  # (class<<4)|id → 2^16 LUT
+    hufs: dict[int, np.ndarray] = {}  # (class<<4)|id → 2^16 LUT (int32)
     comps = None  # list of (id, h, v, qid)
     h_img = w_img = None
     dri = 0
@@ -576,75 +659,71 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
     out_val: list[list[int]] = [[] for _ in comps]
     mcu_idx = 0
     for seg in segs:
-        data = bytes(seg) + b"\xff\xff\xff\xff"  # 1-pad tail (T.81 F.2.2.5)
-        acc = 0
-        nb = 0
-        p = 0
-        preds = [0] * len(comps)
-        end_mcu = min(n_mcu, mcu_idx + dri) if dri else n_mcu
-        while mcu_idx < end_mcu:
-            my, mx = divmod(mcu_idx, mcux)
-            for ci, ch, cv, dy, dx in mcu_plan:
-                base = ((my * cv + dy) * nbx_comp[ci] + mx * ch + dx) << 6
-                lut_d = dc_lut[ci]
-                lut_a = ac_lut[ci]
-                pos_l = out_pos[ci]
-                val_l = out_val[ci]
-                # --- DC ---
-                if nb < 16:
-                    acc = ((acc << 16) | (data[p] << 8) | data[p + 1]) & 0xFFFFFFFF
-                    p += 2
-                    nb += 16
-                e = lut_d[(acc >> (nb - 16)) & 0xFFFF]
-                if e == 0:
-                    raise ValueError("invalid huffman code (DC)")
-                sz = e & 0xFF
-                nb -= (e >> 8) + sz
-                if sz:
-                    if nb < 0:
-                        acc = ((acc << 16) | (data[p] << 8) | data[p + 1]) & 0xFFFFFFFF
-                        p += 2
-                        nb += 16
-                    bits = (acc >> nb) & ((1 << sz) - 1)
-                    preds[ci] += bits if bits >= (1 << (sz - 1)) else bits - (1 << sz) + 1
-                pos_l.append(base)
-                val_l.append(preds[ci])
-                # --- AC ---
-                k = 1
-                while k < 64:
-                    if nb < 16:
-                        acc = ((acc << 16) | (data[p] << 8) | data[p + 1]) & 0xFFFFFFFF
-                        p += 2
-                        nb += 16
-                    e = lut_a[(acc >> (nb - 16)) & 0xFFFF]
-                    if e == 0:
-                        raise ValueError("invalid huffman code (AC)")
-                    s = e & 0xFF
-                    if s == 0:
-                        nb -= e >> 8
-                        break  # EOB
-                    if s == 0xF0:
-                        nb -= e >> 8
-                        k += 16
-                        continue
-                    sz = s & 15
-                    nb -= (e >> 8) + sz
-                    if nb < 0:
-                        acc = ((acc << 16) | (data[p] << 8) | data[p + 1]) & 0xFFFFFFFF
-                        p += 2
-                        nb += 16
-                    bits = (acc >> nb) & ((1 << sz) - 1)
-                    k += s >> 4
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    pos_l.append(base + k)
-                    val_l.append(
-                        bits if bits >= (1 << (sz - 1)) else bits - (1 << sz) + 1
-                    )
-                    k += 1
-            mcu_idx += 1
         if mcu_idx >= n_mcu:
             break
+        # Phase 1 (vectorized): packed (value, advance, flag) records at
+        # every bit position, one array per Huffman table in the scan.
+        # Phase 2 (serial, inherently so): the walk is one array index +
+        # integer unpack per symbol. 64 pad bytes of 1s (T.81 F.2.2.5)
+        # absorb the tail peek; a truncated stream indexes past the pad
+        # and surfaces as IndexError → ValueError.
+        data = bytes(seg) + b"\xff" * 64
+        win, win16 = _bit_windows(data)
+        built: dict[tuple[int, int], array] = {}
+        dtab: dict[int, array] = {}
+        atab: dict[int, array] = {}
+        for ci, lut in dc_lut.items():
+            key = (0, id(lut))
+            if key not in built:
+                built[key] = _dc_records(win, win16, lut)
+            dtab[ci] = built[key]
+        for ci, lut in ac_lut.items():
+            key = (1, id(lut))
+            if key not in built:
+                built[key] = _ac_records(win, win16, lut)
+            atab[ci] = built[key]
+        i = 0
+        preds = [0] * len(comps)
+        end_mcu = min(n_mcu, mcu_idx + dri) if dri else n_mcu
+        try:
+            while mcu_idx < end_mcu:
+                my, mx = divmod(mcu_idx, mcux)
+                for ci, ch, cv, dy, dx in mcu_plan:
+                    base = ((my * cv + dy) * nbx_comp[ci] + mx * ch + dx) << 6
+                    A = atab[ci]
+                    pos_l = out_pos[ci]
+                    val_l = out_val[ci]
+                    # --- DC ---
+                    e = dtab[ci][i]
+                    if e >> 18:
+                        raise ValueError("invalid huffman code (DC)")
+                    i += (e >> 12) & 63
+                    pred = preds[ci] + (e & 4095) - 2048
+                    preds[ci] = pred
+                    pos_l.append(base)
+                    val_l.append(pred)
+                    # --- AC ---
+                    k = 1
+                    while k < 64:
+                        e = A[i]
+                        i += (e >> 15) & 63
+                        f = e >> 21
+                        if f:
+                            if f == 1:
+                                break  # EOB
+                            if f == 2:
+                                k += 16  # ZRL
+                                continue
+                            raise ValueError("invalid huffman code (AC)")
+                        k += (e >> 11) & 15
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        pos_l.append(base + k)
+                        val_l.append((e & 2047) - 1024)
+                        k += 1
+                mcu_idx += 1
+        except IndexError:
+            raise ValueError("truncated JPEG scan") from None
     for ci in range(len(comps)):
         flat = coef[ci].reshape(-1)
         flat[np.asarray(out_pos[ci], dtype=np.int64)] = np.asarray(
@@ -657,7 +736,7 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
         Z = coef[ci].astype(np.float64)
         nat = Z[:, UNZIGZAG] * qtabs[qid][None, :]
         blocks = nat.reshape(-1, 8, 8)
-        pix = np.einsum("ji,bjk,kl->bil", DCT_M, blocks, DCT_M) + 128.0
+        pix = _batched_2d(blocks, DCT_M.T, DCT_M) + 128.0
         nby = mcuy * cv
         nbx = mcux * ch
         plane = (
