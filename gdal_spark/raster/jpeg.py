@@ -80,6 +80,7 @@ def _make_zigzag() -> np.ndarray:
 
 ZIGZAG = _make_zigzag()
 UNZIGZAG = np.argsort(ZIGZAG)
+UNZIGZAG_I32 = np.ascontiguousarray(UNZIGZAG, dtype=np.int32)
 
 # K.3 standard Huffman tables: (bits[1..16], values)
 DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -125,6 +126,9 @@ AC_CHROMA_VALS = [
 _k = np.arange(8)
 DCT_M = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16.0) * 0.5
 DCT_M[0, :] *= 1.0 / np.sqrt(2.0)
+
+# contiguous typed copies handed to the native kernels
+DCT_M_C = np.ascontiguousarray(DCT_M, dtype=np.float64)
 
 
 def _batched_2d(blocks: np.ndarray, left: np.ndarray, right: np.ndarray) -> np.ndarray:
@@ -634,10 +638,18 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
     mcuy = -(-h_img // (8 * vmax))
     n_mcu = mcux * mcuy
 
-    # coefficient store per component
-    coef = []
+    # coefficient store per component — views into one shared buffer so
+    # the native walk (when available) fills all components in place
+    comp_off = []
+    total = 0
     for cid, ch, cv, qid in comps:
-        coef.append(np.zeros((mcuy * cv * mcux * ch, 64), dtype=np.int32))
+        comp_off.append(total)
+        total += mcuy * cv * mcux * ch * 64
+    coefbuf = np.zeros(total, dtype=np.int32)
+    coef = []
+    for (cid, ch, cv, qid), off in zip(comps, comp_off):
+        nb = mcuy * cv * mcux * ch
+        coef.append(coefbuf[off : off + nb * 64].reshape(nb, 64))
     dc_lut = {}
     ac_lut = {}
     for cs, td, ta in scan_comps:
@@ -652,6 +664,64 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
             for dx in range(ch):
                 mcu_plan.append((ci, ch, cv, dy, dx))
     nbx_comp = [mcux * c[1] for c in comps]
+
+    from gdal_spark.native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        # Native walk: one C call per restart segment fills coefbuf
+        # directly. Bit-identical to the Python fallback below
+        # (tests/test_native.py).
+        uniq_off: dict[int, int] = {}
+        uniq: list[np.ndarray] = []
+        for lut in list(dc_lut.values()) + list(ac_lut.values()):
+            if id(lut) not in uniq_off:
+                uniq_off[id(lut)] = len(uniq) * 65536
+                uniq.append(lut)
+        lutbuf = np.ascontiguousarray(np.concatenate(uniq), dtype=np.int32)
+        plan = np.empty((len(mcu_plan), 6), dtype=np.int64)
+        for pi, (ci, ch, cv, dy, dx) in enumerate(mcu_plan):
+            nbx = nbx_comp[ci]
+            plan[pi] = (
+                ci,
+                uniq_off[id(dc_lut[ci])],
+                uniq_off[id(ac_lut[ci])],
+                (cv * nbx) << 6,
+                ch << 6,
+                comp_off[ci] + ((dy * nbx + dx) << 6),
+            )
+        preds_arr = np.zeros(len(comps), dtype=np.int64)
+        mcu_idx = 0
+        for seg in segs:
+            if mcu_idx >= n_mcu:
+                break
+            data_arr = np.frombuffer(bytes(seg) + b"\xff" * 256, dtype=np.uint8)
+            end_mcu = min(n_mcu, mcu_idx + dri) if dri else n_mcu
+            preds_arr[:] = 0
+            rc = lib.jpeg_walk(
+                data_arr.ctypes.data,
+                len(data_arr),
+                lutbuf.ctypes.data,
+                plan.ctypes.data,
+                len(mcu_plan),
+                mcux,
+                mcu_idx,
+                end_mcu,
+                preds_arr.ctypes.data,
+                coefbuf.ctypes.data,
+            )
+            if rc == -1:
+                raise ValueError("invalid huffman code (DC)")
+            if rc == -2:
+                raise ValueError("invalid huffman code (AC)")
+            if rc == -3:
+                raise ValueError("AC index overflow")
+            if rc < 0:
+                raise ValueError("truncated JPEG scan")
+            mcu_idx = end_mcu
+        return _finish_decode(
+            coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components
+        )
 
     # flat coefficient accumulators (bulk numpy scatter afterwards beats
     # per-coefficient numpy scalar writes ~5×)
@@ -729,31 +799,86 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
         flat[np.asarray(out_pos[ci], dtype=np.int64)] = np.asarray(
             out_val[ci], dtype=np.int32
         )
+    return _finish_decode(coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components)
 
-    # dequantize → natural order → IDCT → planes (all-blocks vectorized)
+
+def _mm8_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n,8,8) @ (8,8) with a FIXED k-ascending reduction order.
+
+    This is the bit-exactness contract with the native kernel
+    (``_csrc.py`` ``jpeg_idct_plane``): both perform the identical
+    IEEE-754 op sequence, so decoded pixels are equal to the last bit
+    whether or not a C compiler exists on the host — unlike BLAS
+    einsum/matmul, whose blocked reduction order varies by build."""
+    out = A[:, :, 0, None] * B[0]
+    for k in range(1, 8):
+        out = out + A[:, :, k, None] * B[k]
+    return out
+
+
+def _finish_decode(coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components):
+    """Coefficients → pixels: dequantize, IDCT, upsample, color
+    transform (shared by the native and fallback entropy walks; the
+    IDCT + color stages themselves also go native when available)."""
+    from gdal_spark.native import get_lib
+
+    lib = get_lib()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
+    subs = []  # (ysub, xsub) per component, pre-crop
     for ci, (cid, ch, cv, qid) in enumerate(comps):
-        Z = coef[ci].astype(np.float64)
-        nat = Z[:, UNZIGZAG] * qtabs[qid][None, :]
-        blocks = nat.reshape(-1, 8, 8)
-        pix = _batched_2d(blocks, DCT_M.T, DCT_M) + 128.0
         nby = mcuy * cv
         nbx = mcux * ch
-        plane = (
-            pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        )
-        # upsample to full-res grid
-        if vmax // cv > 1:
-            plane = np.repeat(plane, vmax // cv, axis=0)
-        if hmax // ch > 1:
-            plane = np.repeat(plane, hmax // ch, axis=1)
-        planes.append(plane[:h_img, :w_img])
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        if lib is not None:
+            plane = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+            qtab = np.ascontiguousarray(qtabs[qid], dtype=np.int32)
+            cf = np.ascontiguousarray(coef[ci], dtype=np.int32)
+            lib.jpeg_idct_plane(
+                cf.ctypes.data,
+                UNZIGZAG_I32.ctypes.data,
+                qtab.ctypes.data,
+                DCT_M_C.ctypes.data,
+                nby * nbx,
+                nbx,
+                plane.ctypes.data,
+            )
+        else:
+            # dequantize → natural order → IDCT (all-blocks, fixed order)
+            Z = coef[ci].astype(np.float64)
+            nat = Z[:, UNZIGZAG] * qtabs[qid][None, :]
+            blocks = nat.reshape(-1, 8, 8)
+            t = _mm8_seq(blocks, DCT_M)  # nat @ M
+            pix = _mm8_seq(t.transpose(0, 2, 1), DCT_M).transpose(0, 2, 1) + 128.0
+            plane = (
+                pix.reshape(nby, nbx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
+        subs.append((max(vmax // cv, 1), max(hmax // ch, 1)))
+        planes.append(plane)
+
+    if len(planes) == 3 and not raw_components and lib is not None:
+        out = np.empty((h_img, w_img, 3), dtype=np.uint8)
+        args = []
+        for p, (vs, hs) in zip(planes, subs):
+            args += [p.ctypes.data, p.shape[1], vs, hs]
+        lib.jpeg_color(*args, h_img, w_img, out.ctypes.data)
+        return out
+
+    full = []
+    for p, (vs, hs) in zip(planes, subs):
+        if vs > 1:
+            p = np.repeat(p, vs, axis=0)
+        if hs > 1:
+            p = np.repeat(p, hs, axis=1)
+        full.append(p[:h_img, :w_img])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     if raw_components:
         # JPEG-in-TIFF with PHOTOMETRIC_RGB stores untransformed R,G,B
         # components (frmts/gtiff JPEG path): no YCbCr inversion
         return np.stack(
-            [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in planes], axis=-1
+            [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in full], axis=-1
         )
-    return ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    return ycbcr_to_rgb(full[0], full[1], full[2])

@@ -156,27 +156,65 @@ def _bit_reverse(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 class _TokenWriter:
-    """Collects (value, nbits) tokens; packs LSB-first in one pass."""
+    """Collects (value, nbits) tokens; packs LSB-first in one pass.
+
+    Tokens are kept as NumPy chunks (scalar ``put`` runs are batched)
+    so the pixel stream never round-trips through a Python list; the
+    final pack runs in the native kernel when available, else the
+    vectorized per-bit-plane NumPy path (identical bytes either way —
+    the packer is pure integer work)."""
 
     def __init__(self):
-        self.vals: list[int] = []
-        self.lens: list[int] = []
+        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._svals: list[int] = []
+        self._slens: list[int] = []
 
     def put(self, value: int, nbits: int) -> None:
         if nbits:
-            self.vals.append(int(value))
-            self.lens.append(int(nbits))
+            self._svals.append(int(value))
+            self._slens.append(int(nbits))
+
+    def _flush_scalars(self) -> None:
+        if self._svals:
+            self._chunks.append(
+                (
+                    np.asarray(self._svals, dtype=np.int64),
+                    np.asarray(self._slens, dtype=np.int64),
+                )
+            )
+            self._svals = []
+            self._slens = []
 
     def extend_arrays(self, vals: np.ndarray, lens: np.ndarray) -> None:
+        self._flush_scalars()
         keep = lens > 0
-        self.vals.extend(vals[keep].tolist())
-        self.lens.extend(lens[keep].tolist())
+        self._chunks.append(
+            (
+                np.ascontiguousarray(vals[keep], dtype=np.int64),
+                np.ascontiguousarray(lens[keep], dtype=np.int64),
+            )
+        )
 
     def pack(self) -> bytes:
-        vals = np.asarray(self.vals, dtype=np.int64)
-        lens = np.asarray(self.lens, dtype=np.int64)
+        self._flush_scalars()
+        if not self._chunks:
+            return b""
+        vals = np.concatenate([c[0] for c in self._chunks])
+        lens = np.concatenate([c[1] for c in self._chunks])
+        total = int(lens.sum())
+        nbytes = (total + 7) // 8
+
+        from gdal_spark.native import get_lib
+
+        lib = get_lib()
+        if lib is not None and len(vals):
+            out = np.zeros(nbytes + 8, dtype=np.uint8)
+            lib.lsb_pack(
+                vals.ctypes.data, lens.ctypes.data, len(vals), out.ctypes.data
+            )
+            return out[:nbytes].tobytes()
+
         offs = np.concatenate(([0], np.cumsum(lens)))
-        total = int(offs[-1])
         bits = np.zeros(total, dtype=np.uint8)
         if len(lens):
             maxlen = int(lens.max())
@@ -188,21 +226,32 @@ class _TokenWriter:
 
 
 class _BitReader:
-    """LSB-first bit reader over bytes, O(1) peeks via 32-bit words."""
+    """LSB-first bit reader over bytes, O(1) peeks via 32-bit words.
+
+    ``warr`` (uint32 NumPy view, ≥2 trailing zero pad words) feeds the
+    native literal-scan kernel; the Python-list ``words`` tuple the
+    fallback hot loop wants is built lazily only when needed."""
 
     def __init__(self, data: bytes):
         pad = data + b"\x00" * 8
         n = (len(pad) + 3) // 4
-        self.words = struct.unpack("<%dI" % n, pad[: n * 4].ljust(n * 4, b"\x00"))
+        self.warr = np.frombuffer(pad.ljust(n * 4, b"\x00"), dtype="<u4")
+        self._words: tuple | None = None
         self.pos = 0
         self.nbits = len(data) * 8
 
+    @property
+    def words(self) -> tuple:
+        if self._words is None:
+            self._words = tuple(int(w) for w in self.warr)
+        return self._words
+
     def peek(self, n: int) -> int:
         i, s = divmod(self.pos, 32)
-        w = self.words
-        v = w[i] >> s
+        w = self.warr
+        v = int(w[i]) >> s
         if s:
-            v |= w[i + 1] << (32 - s)
+            v |= int(w[i + 1]) << (32 - s)
         return v & ((1 << n) - 1)
 
     def read(self, n: int) -> int:
@@ -231,17 +280,19 @@ class _PrefixCode:
         codes = _canonical_codes(lengths)
         lut_sym = np.zeros(1 << MAX_CODE_LEN, dtype=np.int32)
         lut_len = np.zeros(1 << MAX_CODE_LEN, dtype=np.int32)
-        for i in np.flatnonzero(nz):
-            ln = int(lengths[i])
-            code = int(codes[i])
-            rc = 0
-            c = code
-            for _ in range(ln):
-                rc = (rc << 1) | (c & 1)
-                c >>= 1
-            idx = rc + (np.arange(1 << (MAX_CODE_LEN - ln)) << ln)
-            lut_sym[idx] = int(symbols[i])
-            lut_len[idx] = ln
+        # vectorized fill, grouped by code length: every symbol of
+        # length ln owns the 2^(15-ln) LUT slots rc + (m << ln)
+        nzi = np.flatnonzero(nz)
+        lens_nz = np.asarray(lengths, dtype=np.int64)[nzi]
+        rcs = _bit_reverse(np.asarray(codes, dtype=np.int64)[nzi], lens_nz)
+        syms_nz = np.asarray(symbols, dtype=np.int64)[nzi]
+        for ln in np.unique(lens_nz):
+            m = lens_nz == ln
+            width = 1 << (MAX_CODE_LEN - int(ln))
+            stride_idx = np.arange(width, dtype=np.int64) << int(ln)
+            idx = (rcs[m][:, None] + stride_idx[None, :]).ravel()
+            lut_sym[idx] = np.repeat(syms_nz[m], width)
+            lut_len[idx] = int(ln)
         if (lut_len == 0).any():
             raise ValueError("incomplete prefix code")
         self.lut_sym = lut_sym
@@ -403,10 +454,19 @@ def encode(arr: np.ndarray) -> bytes:
     _build_channel_code(tw, np.zeros(1, dtype=np.int64), DIST_ALPHABET)
 
     # pixel stream: per pixel G,R,B,A codes — vectorized table lookup,
-    # interleaved via C-order ravel of an (N,4) stack
-    vals = np.stack([g_rev[gv], r_rev[rv], b_rev[bv], a_rev[av]], axis=1).ravel()
-    lens = np.stack([g_len[gv], r_len[rv], b_len[bv], a_len[av]], axis=1).ravel()
-    tw.extend_arrays(vals, lens)
+    # interleaved via C-order ravel of an (N,4) matrix (column writes
+    # into one preallocated block; np.stack's dispatch cost ~30 ms/img)
+    vals = np.empty((gv.size, 4), dtype=np.int64)
+    lens = np.empty((gv.size, 4), dtype=np.int64)
+    vals[:, 0] = g_rev[gv]
+    vals[:, 1] = r_rev[rv]
+    vals[:, 2] = b_rev[bv]
+    vals[:, 3] = a_rev[av]
+    lens[:, 0] = g_len[gv]
+    lens[:, 1] = r_len[rv]
+    lens[:, 2] = b_len[bv]
+    lens[:, 3] = a_len[av]
+    tw.extend_arrays(vals.ravel(), lens.ravel())
 
     payload = b"\x2f" + tw.pack()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -517,6 +577,38 @@ def decode(buf: bytes) -> np.ndarray:
 
     n = w * h
     out = np.empty((n, 4), dtype=np.uint8)
+
+    from gdal_spark.native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        # native literal scan (capability-probed; bit-identical to the
+        # Python loop below — tests/test_native.py)
+        warr = br.warr
+        zero = np.zeros(1, dtype=np.int32)
+
+        def _ptrs(code: _PrefixCode):
+            if code.single >= 0:
+                return zero.ctypes.data, zero.ctypes.data, code.single
+            return code.lut_sym.ctypes.data, code.lut_len.ctypes.data, -1
+
+        args: list[int] = [warr.ctypes.data, len(warr), br.pos]
+        for code in (g_code, r_code, b_code, a_code):
+            args.extend(_ptrs(code))
+        rc = lib.vp8l_literals(*args, n, out.ctypes.data)
+        if rc == -2000000000:
+            raise ValueError("truncated VP8L stream")
+        if rc < 0:
+            raise NotImplementedError(
+                "VP8L backward references / color-cache hits not "
+                "implemented (the in-repo encoder emits literals only)"
+            )
+        br.pos = rc
+        img = out.reshape(h, w, 4)
+        if alpha_hint and (img[:, :, 3] != 255).any():
+            return img
+        return img[:, :, :3]
+
     # hot loop: inline the bit reader (32-bit word peeks) and the four
     # LUTs as Python lists — the prefix scan is inherently bit-serial,
     # everything around it is vectorized
