@@ -1985,6 +1985,68 @@ FROM fpc WHERE lon >= 0.0 AND lon < 6.0
 """
 
 
+# round-4 general-CRS family (functions/proj.py registry): LCC 2SP,
+# Albers equal-area, polar stereographic — Snyder kernels + shared-SQL
+# forward twins, the projection classes the reference reaches through
+# PROJ (ogr/ogrct.cpp; parameters per EPSG Guidance Note 7-2).
+_PROJ_QUERY_DEFS = {
+    # epsg, (x_alias, y_alias), service-area filter over footprint cols
+    "reproject_lcc": (
+        2154,
+        ("x_lcc", "y_lcc"),
+        "lon >= -4.0 AND lon < 9.0 AND lat >= 41.0 AND lat < 51.0",
+    ),
+    "reproject_albers": (
+        5070,
+        ("x_aea", "y_aea"),
+        "lon >= -125.0 AND lon < -67.0 AND lat >= 24.0 AND lat < 50.0",
+    ),
+    "reproject_polar": (
+        3413,
+        ("x_ps", "y_ps"),
+        "lat >= 60.0",
+    ),
+}
+
+
+def _make_q_proj(name):
+    epsg, (xa, ya), flt = _PROJ_QUERY_DEFS[name]
+
+    def q(spark, sf_dir):
+        from gdal_spark.functions import srs as S
+
+        fp = synth.footprints(spark, sf_dir).filter(flt)
+        out = S.reproject_cols(fp, 4326, epsg, "lon", "lat", xa, ya)
+        return out.select(
+            "image_id",
+            F.round(xa, 4).alias(xa),
+            F.round(ya, 4).alias(ya),
+        )
+
+    q.__doc__ = (
+        f"ogr2ogr -t_srs EPSG:{epsg} through the proj.py registry "
+        "(ogr/ogrct.cpp general path; Snyder forward as shared Spark/"
+        "DuckDB SQL — pure codegen, no UDF)."
+    )
+    return q
+
+
+def _proj_oracle(name) -> str:
+    from gdal_spark.functions import proj as P
+
+    epsg, (xa, ya), flt = _PROJ_QUERY_DEFS[name]
+    x_sql, y_sql = P.forward_sql(epsg, "lon", "lat")
+    return f"""
+WITH fpc AS (
+  SELECT printf('img%012d', o_orderkey) AS image_id,
+         {F_LON} AS lon, {F_LAT} AS lat
+  FROM orders
+)
+SELECT image_id, round({x_sql}, 4) AS {xa}, round({y_sql}, 4) AS {ya}
+FROM fpc WHERE {flt}
+"""
+
+
 # --- training-data pipeline ops -------------------------------------------
 
 
@@ -2584,6 +2646,7 @@ GOLDEN_QUERIES = [
     "raster_blend",
     "raster_psnr_gate",
     "raster_warp_utm",
+    "raster_warp_lcc",
     "raster_warp_gcp",
     "raster_rpc_ortho",
     "grid_tin",
@@ -2771,6 +2834,20 @@ def _q_warp_utm(spark, sf_dir):
     chain; golden-checksum oracle recomputes single-process)."""
     imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
     return rp.warp_to_utm(imgs)
+
+
+_WARP_LCC_WHERE = (
+    "lon >= -4.0 AND lon < 9.0 AND lat >= 41.0 AND lat < 51.0"
+)
+
+
+def _q_warp_lcc(spark, sf_dir):
+    """gdalwarp -t_srs EPSG:2154 (Lambert-93 LCC 2SP) — the general-CRS
+    warp path through the proj.py registry (VERDICT r03 item 2;
+    transformer chain alg/gdaltransformer.cpp:3087, parameters EPSG
+    method 9802). Golden-checksum oracle recomputes single-process."""
+    imgs = synth.images(spark, sf_dir, where=_WARP_LCC_WHERE)
+    return rp.warp_to_crs(imgs, 2154)
 
 
 def _q_warp_gcp(spark, sf_dir):
@@ -3115,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_simplify_coverage": _q_simplify_coverage,
         "hilbert_order": _q_hilbert,
         "reproject_utm": _q_reproject_utm,
+        **{name: _make_q_proj(name) for name in _PROJ_QUERY_DEFS},
         "dedup_minhash_lsh": _q_minhash,
         "dedup_components": _q_dedup_components,
         "ann_topk": _q_ann,
@@ -3135,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_blend": _q_mosaic_blend,
         "raster_psnr_gate": _q_psnr_gate,
         "raster_warp_utm": _q_warp_utm,
+        "raster_warp_lcc": _q_warp_lcc,
         "raster_cutline": _q_raster_cutline,
         "grid_tin": _q_grid_tin,
         "geotiff_cog": _q_geotiff_cog,
@@ -3277,5 +3356,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(),
         "reproject_utm": _reproject_utm_oracle(),
+        **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

