@@ -1158,6 +1158,77 @@ def _q_st_predicates(spark, sf_dir):
     )
 
 
+def _adversarial_geom_cases():
+    """Named polygon pairs exercising the GEOS-grade edge cases of
+    VERDICT r03 item 3: normalization-invariant equals, concave
+    overlaps with external centroids, boundary-aligned overlaps whose
+    truth only the slab-boolean arbiter sees, and inscribed
+    (vertex-free) containment. Truth values are hand-derived (they ARE
+    the spec) and served as a literal VALUES oracle."""
+    import numpy as np
+
+    from gdal_spark.functions import geometry as G
+
+    def wkb(pts):
+        closed = list(pts) + [pts[0]]
+        return G.wkb_polygon([np.asarray(closed, dtype=np.float64)])
+
+    base = [(0, 0), (4, 0), (4, 3), (1, 5)]
+    rot_rev = (base[2:] + base[:2])[::-1]
+    c1 = [(0, 0), (10, 0), (10, 2), (2, 2), (2, 8), (10, 8), (10, 10), (0, 10)]
+    c2 = [(4, 1), (14, 1), (14, 9), (4, 9), (4, 7), (12, 7), (12, 3), (4, 3)]
+    sq_a = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    sq_b = [(1, 0), (3, 0), (3, 2), (1, 2)]
+    sq_c = [(2, 0), (4, 0), (4, 2), (2, 2)]
+    square4 = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    diamond = [(2, 0), (4, 2), (2, 4), (0, 2)]
+    # (name, A, B, intersects, touches, overlaps, equals, b_within_a)
+    return [
+        ("rotated_reversed_equals", wkb(base), wkb(rot_rev), True, False, False, True, True),
+        ("interlocking_c_shapes", wkb(c1), wkb(c2), True, False, True, False, False),
+        ("boundary_aligned_overlap", wkb(sq_a), wkb(sq_b), True, False, True, False, False),
+        ("shared_edge_touch", wkb(sq_a), wkb(sq_c), True, True, False, False, False),
+        ("inscribed_diamond", wkb(square4), wkb(diamond), True, False, False, False, True),
+    ]
+
+
+def _q_st_predicates_adversarial(spark, sf_dir):
+    """GEOS-edge-case predicate battery (normalized equals, concave
+    overlap, boundary-aligned overlap, inscribed containment) on the
+    general-polygon kernel — ogr/ogr_geometry.h:547-606 semantics;
+    reference tests autotest/ogr/ogr_geom.py. Oracle = hand-derived
+    truth table (literal VALUES)."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    rows = [(n, a, b) for n, a, b, *_ in _adversarial_geom_cases()]
+    df = spark.createDataFrame(rows, "case string, ga binary, gb binary")
+    df.createOrReplaceTempView("adv_pairs")
+    return spark.sql(
+        """
+        SELECT case,
+               ST_Intersects(ga, gb) AS intersects,
+               ST_Touches(ga, gb) AS touches,
+               ST_Overlaps(ga, gb) AS overlaps,
+               ST_Equals(ga, gb) AS equals,
+               ST_Within(gb, ga) AS b_within_a
+        FROM adv_pairs
+        """
+    )
+
+
+def _st_pred_adversarial_oracle() -> str:
+    vals = ",\n  ".join(
+        f"('{n}', {i}, {t}, {o}, {e}, {w})"
+        for n, _a, _b, i, t, o, e, w in _adversarial_geom_cases()
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {vals}
+) AS t(\"case\", \"intersects\", \"touches\", \"overlaps\", \"equals\", b_within_a)
+"""
+
+
 ST_PRED_ORACLE = f"""
 WITH {AOI_CTE}
 SELECT a.poly_id AS id_a, b.poly_id AS id_b,
@@ -3262,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_invdistnn": _q_grid_invdistnn,
         "grid_metrics": _q_grid_metrics,
         "st_predicates": _q_st_predicates,
+        "st_predicates_adversarial": _q_st_predicates_adversarial,
         "st_constructive": _q_st_constructive,
         "st_extended": _q_st_extended,
         "st_geodesic": _q_st_geodesic,
@@ -3322,6 +3394,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_metrics": _grid_metrics_oracle(),
         "st_functions": ST_ORACLE,
         "st_predicates": ST_PRED_ORACLE,
+        "st_predicates_adversarial": _st_pred_adversarial_oracle(),
         "st_constructive": _st_constructive_oracle(),
         "st_extended": ST_EXTENDED_ORACLE,
         "st_general_boolean": _st_general_boolean_oracle(),

@@ -239,3 +239,102 @@ def test_validity_reason_diagnostics():
     reason, x, y = validity_reason(deg)
     assert reason == "Too few points in geometry component"
     assert (x, y) == (0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# round-4 GEOS-grade edge cases (VERDICT r03 item 3 / wrong-items 1-2)
+# ---------------------------------------------------------------------------
+
+
+def poly(pts):
+    closed = list(pts) + [pts[0]]
+    return G.parse_wkb(G.wkb_polygon([np.asarray(closed, dtype=np.float64)]))
+
+
+def test_equals_is_normalization_invariant():
+    """GEOS Equals (ogr/ogr_geometry.h:547): rotated start vertex and
+    reversed orientation must compare equal."""
+    base = [(0, 0), (4, 0), (4, 3), (1, 5)]
+    rotated = base[2:] + base[:2]
+    reversed_ = base[::-1]
+    p0, p1, p2 = poly(base), poly(rotated), poly(reversed_)
+    assert P.predicate(p0, p1, "equals")
+    assert P.predicate(p0, p2, "equals")
+    assert P.predicate(p1, p2, "equals")
+    # a genuinely different polygon still differs
+    assert not P.predicate(p0, poly([(0, 0), (4, 0), (4, 3), (1, 4)]), "equals")
+
+
+def test_equals_multiring_order_invariant():
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    hole = [(4, 4), (6, 4), (6, 6), (4, 6)]
+    a = G.parse_wkb(
+        G.wkb_polygon(
+            [
+                np.asarray(outer + [outer[0]], dtype=np.float64),
+                np.asarray(hole + [hole[0]], dtype=np.float64),
+            ]
+        )
+    )
+    hole_rot_rev = (hole[2:] + hole[:2])[::-1]
+    b = G.parse_wkb(
+        G.wkb_polygon(
+            [
+                np.asarray(outer + [outer[0]], dtype=np.float64),
+                np.asarray(hole_rot_rev + [hole_rot_rev[0]], dtype=np.float64),
+            ]
+        )
+    )
+    assert P.predicate(a, b, "equals")
+
+
+def test_point_on_surface_is_interior_for_concave():
+    """U-shape whose centroid lies in the notch (outside the polygon)."""
+    u = poly([(0, 0), (10, 0), (10, 10), (8, 10), (8, 2), (2, 2), (2, 10), (0, 10)])
+    cx, cy = G.geom_centroid(u)
+    px, py = P.point_on_surface(u)
+    assert bool(G.points_in_rings(np.array([px]), np.array([py]), u.rings)[0])
+    # (the centroid of this U actually lies inside the bottom bar — use
+    # a crescent where it provably is not)
+    cres = poly([(0, 0), (10, 0), (10, 1), (1, 1), (1, 9), (10, 9), (10, 10), (0, 10)])
+    ccx, ccy = G.geom_centroid(cres)
+    ppx, ppy = P.point_on_surface(cres)
+    assert bool(G.points_in_rings(np.array([ppx]), np.array([ppy]), cres.rings)[0])
+
+
+def test_concave_overlap_with_external_centroids():
+    """Two interlocking C-shapes: both centroids fall in each other's
+    notch region (outside themselves); interiors genuinely overlap.
+    The old centroid probe could classify this as touches."""
+    c1 = poly([(0, 0), (10, 0), (10, 2), (2, 2), (2, 8), (10, 8), (10, 10), (0, 10)])
+    # mirrored C, shifted right so its bars slide into c1's mouth
+    c2 = poly([(4, 1), (14, 1), (14, 9), (4, 9), (4, 7), (12, 7), (12, 3), (4, 3)])
+    assert P.predicate(c1, c2, "intersects")
+    assert not P.predicate(c1, c2, "touches")
+    assert P.predicate(c1, c2, "overlaps")
+
+
+def test_boundary_aligned_overlap_clipper_arbiter():
+    """[0,2]x[0,2] vs [1,3]x[0,2]: every boundary crossing is at a
+    vertex, no vertex is strictly inside, and both interior probes can
+    land on boundary lines — only the slab-boolean arbiter sees the
+    [1,2]x[0,2] overlap."""
+    a = poly([(0, 0), (2, 0), (2, 2), (0, 2)])
+    b = poly([(1, 0), (3, 0), (3, 2), (1, 2)])
+    assert P._interiors_intersect(a, b)
+    assert not P.predicate(a, b, "touches")
+    assert P.predicate(a, b, "overlaps")
+    # true shared-edge contact stays touches
+    c = poly([(2, 0), (4, 0), (4, 2), (2, 2)])
+    assert P.predicate(a, c, "touches")
+    assert not P.predicate(a, c, "overlaps")
+
+
+def test_inscribed_polygon_vertexfree_containment():
+    """B strictly inside A but with all B vertices ON A's boundary
+    (inscribed diamond): interiors intersect, B within A."""
+    a = poly([(0, 0), (4, 0), (4, 4), (0, 4)])
+    b = poly([(2, 0), (4, 2), (2, 4), (0, 2)])
+    assert P._interiors_intersect(a, b)
+    assert P.predicate(b, a, "within")
+    assert not P.predicate(a, b, "touches")
