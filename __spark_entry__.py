@@ -807,6 +807,108 @@ SELECT image_id, poly_id, 'diff', ix1, iy0, fx1, iy1 FROM pr WHERE ix1 < fx1
 """
 
 
+def _q_layer_update(spark, sf_dir):
+    """OGRLayer::Update (ogrsf_frmts.h:331-352, ogrlayer.cpp:5711+):
+    footprints minus the union of ALL intersecting AOI boxes — the
+    multi-method erase a pairwise identity can't express (overlapping
+    AOIs must not double-erase). Untouched footprints pass through as
+    part='orig'; fully covered ones vanish. Pieces are the canonical
+    vertical-slab decomposition so the DuckDB oracle reproduces them
+    closed-form (gaps-and-islands over identical greatest/least
+    values)."""
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False).select(
+        "poly_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    out = la.update_boxes(fp, aoi, key="image_id")
+    return out.select("image_id", "part", "px0", "py0", "px1", "py1")
+
+
+# gaps-and-islands difference oracle: slab edges from every distinct
+# clipped x, per-slab covering y-intervals merged by the running-max
+# island construction, pieces = the uncovered gaps (same value set as
+# the Spark kernel: pure greatest/least selections, no arithmetic)
+LAYER_UPDATE_ORACLE = f"""
+WITH {FP_CTE}, {AOI_CTE},
+pr AS (
+  SELECT f.image_id,
+         f.lon_min AS fx0, f.lat_min AS fy0, f.lon_max AS fx1, f.lat_max AS fy1,
+         greatest(f.lon_min, a.lon_min) AS ix0, greatest(f.lat_min, a.lat_min) AS iy0,
+         least(f.lon_max, a.lon_max) AS ix1, least(f.lat_max, a.lat_max) AS iy1
+  FROM fp f JOIN aoi a
+    ON greatest(f.lon_min, a.lon_min) < least(f.lon_max, a.lon_max)
+   AND greatest(f.lat_min, a.lat_min) < least(f.lat_max, a.lat_max)
+),
+bounds AS (
+  SELECT DISTINCT image_id, fx0, fy0, fx1, fy1 FROM pr
+),
+edges AS (
+  SELECT image_id, fx0 AS x FROM bounds
+  UNION SELECT image_id, fx1 FROM bounds
+  UNION SELECT image_id, ix0 FROM pr
+  UNION SELECT image_id, ix1 FROM pr
+),
+slabs AS (
+  SELECT image_id, x AS sa,
+         lead(x) OVER (PARTITION BY image_id ORDER BY x) AS sb
+  FROM edges
+),
+s2 AS (
+  SELECT s.image_id, s.sa, s.sb, b.fy0, b.fy1
+  FROM slabs s JOIN bounds b USING (image_id)
+  WHERE s.sb IS NOT NULL AND s.sb > s.sa
+),
+cov AS (
+  SELECT s.image_id, s.sa, s.sb, s.fy0, s.fy1, p.iy0, p.iy1
+  FROM s2 s JOIN pr p
+    ON p.image_id = s.image_id AND p.ix0 <= s.sa AND p.ix1 >= s.sb
+),
+ordc AS (
+  SELECT *,
+         max(iy1) OVER (PARTITION BY image_id, sa
+                        ORDER BY iy0, iy1
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM cov
+),
+isl AS (
+  SELECT *,
+         sum(CASE WHEN prev_max IS NULL OR iy0 > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY image_id, sa ORDER BY iy0, iy1) AS island
+  FROM ordc
+),
+merged AS (
+  SELECT image_id, sa, sb, fy0, fy1, island,
+         min(iy0) AS y0, max(iy1) AS y1
+  FROM isl GROUP BY image_id, sa, sb, fy0, fy1, island
+),
+-- gaps BETWEEN islands (and below the first island)
+gaps AS (
+  SELECT image_id, sa, sb,
+         coalesce(lag(y1) OVER (PARTITION BY image_id, sa ORDER BY y0), fy0) AS gy0,
+         y0 AS gy1
+  FROM merged
+  UNION ALL
+  -- above the last island
+  SELECT image_id, sa, sb, max(y1) AS gy0, fy1 AS gy1
+  FROM merged GROUP BY image_id, sa, sb, fy1
+  UNION ALL
+  -- slabs with no covering box at all: whole height
+  SELECT s.image_id, s.sa, s.sb, s.fy0, s.fy1
+  FROM s2 s LEFT JOIN (SELECT DISTINCT image_id, sa FROM cov) c
+    ON c.image_id = s.image_id AND c.sa = s.sa
+  WHERE c.image_id IS NULL
+)
+SELECT image_id, 'diff' AS part, sa AS px0, gy0 AS py0, sb AS px1, gy1 AS py1
+FROM gaps WHERE gy1 > gy0
+UNION ALL
+SELECT f.image_id, 'orig', f.lon_min, f.lat_min, f.lon_max, f.lat_max
+FROM fp f LEFT JOIN (SELECT DISTINCT image_id FROM pr) t USING (image_id)
+WHERE t.image_id IS NULL
+"""
+
+
 GRID_NX, GRID_NY = 73, 37  # primes: cell centers never hit the 1e-3 coord grid
 GRID_BOUNDS = (-180.0, -85.0, 180.0, 85.0)
 
@@ -3330,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "spatial_erase": _q_erase,
         "layer_identity": _q_layer_identity,
+        "layer_update": _q_layer_update,
         "grid_invdistnn": _q_grid_invdistnn,
         "grid_metrics": _q_grid_metrics,
         "st_predicates": _q_st_predicates,
@@ -3389,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_erase": ERASE_ORACLE,
         "intersection_geom": INTERSECTION_GEOM_ORACLE,
         "layer_identity": LAYER_IDENTITY_ORACLE,
+        "layer_update": LAYER_UPDATE_ORACLE,
         "grid_idw": _grid_idw_oracle(),
         "grid_invdistnn": _grid_invdistnn_oracle(),
         "grid_metrics": _grid_metrics_oracle(),

@@ -67,6 +67,8 @@ def identity_boxes(
     left_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
     method_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
     broadcast_method: bool = True,
+    keep_lower_dims: bool = False,
+    promote_to_multi: bool = False,
 ) -> DataFrame:
     """``OGRLayer::Identity`` piece output for the box×box case
     (``ogrsf_frmts.h:331-352``): every overlapping (left, method) pair
@@ -75,14 +77,31 @@ def identity_boxes(
     bottom/top/left/right of the guillotine decomposition —
     ``predicates.difference_rects`` in closed SQL form). SymDifference
     and Update are selections over the same pieces. All coordinates
-    are greatest/least arithmetic — JVM-side, oracle-exact."""
+    are greatest/least arithmetic — JVM-side, oracle-exact.
+
+    Options (``ogrlayer.cpp:5404-5410`` method-option parity):
+
+    - ``keep_lower_dims`` = KEEP_LOWER_DIMENSION_GEOMETRIES: touching
+      pairs contribute their degenerate (zero-area: a line or point)
+      intersection piece instead of being dropped.
+    - ``promote_to_multi`` = PROMOTE_TO_MULTI: one row per (left,
+      method) pair with the pieces collected into a ``pieces`` array
+      column (the MULTIPOLYGON promotion of the geometry model).
+    """
     lx0, ly0, lx1, ly1 = left_bbox
     pairs = clip_boxes(left, method, left_bbox, method_bbox, broadcast_clip=broadcast_method)
-    # strict-overlap pairs only (Identity emits nothing for touches)
-    pairs = pairs.filter(
-        (F.col("clip_lon_min") < F.col("clip_lon_max"))
-        & (F.col("clip_lat_min") < F.col("clip_lat_max"))
-    )
+    if keep_lower_dims:
+        # touching pairs keep a degenerate intersection (dim < 2)
+        pairs = pairs.filter(
+            (F.col("clip_lon_min") <= F.col("clip_lon_max"))
+            & (F.col("clip_lat_min") <= F.col("clip_lat_max"))
+        )
+    else:
+        # strict-overlap pairs only (Identity emits nothing for touches)
+        pairs = pairs.filter(
+            (F.col("clip_lon_min") < F.col("clip_lon_max"))
+            & (F.col("clip_lat_min") < F.col("clip_lat_max"))
+        )
     ix0, iy0 = F.col("clip_lon_min"), F.col("clip_lat_min")
     ix1, iy1 = F.col("clip_lon_max"), F.col("clip_lat_max")
     fx0, fy0 = F.col(lx0), F.col(ly0)
@@ -101,14 +120,128 @@ def identity_boxes(
         return p.filter(cond) if cond is not None else p
 
     out = piece("int", ix0, iy0, ix1, iy1)
+    strict = (ix0 < ix1) & (iy0 < iy1)
     for cond, x0, y0, x1, y1 in (
-        (fy0 < iy0, fx0, fy0, fx1, iy0),  # bottom strip
-        (iy1 < fy1, fx0, iy1, fx1, fy1),  # top strip
-        (fx0 < ix0, fx0, iy0, ix0, iy1),  # left strip
-        (ix1 < fx1, ix1, iy0, fx1, iy1),  # right strip
+        (strict & (fy0 < iy0), fx0, fy0, fx1, iy0),  # bottom strip
+        (strict & (iy1 < fy1), fx0, iy1, fx1, fy1),  # top strip
+        (strict & (fx0 < ix0), fx0, iy0, ix0, iy1),  # left strip
+        (strict & (ix1 < fx1), ix1, iy0, fx1, iy1),  # right strip
     ):
         out = out.unionByName(piece("diff", x0, y0, x1, y1, cond))
+    if keep_lower_dims:
+        # a degenerate (line/point) intersection does not split the
+        # input: its difference piece is the whole input rectangle
+        out = out.unionByName(piece("diff", fx0, fy0, fx1, fy1, ~strict))
+    if promote_to_multi:
+        out = out.groupBy(*keep).agg(
+            F.sort_array(
+                F.collect_list(F.struct("part", "px0", "py0", "px1", "py1"))
+            ).alias("pieces")
+        )
     return out
+
+
+def _slab_subtract(X0, Y0, X1, Y1, boxes):
+    """Canonical vertical-slab decomposition of rect minus union(boxes)
+    (boxes pre-clipped to the rect): slab edges are every distinct
+    clipped x; within a slab the uncovered y-gaps of the merged
+    covering intervals are the pieces. Canonical means a SQL engine
+    can reproduce the EXACT same piece set (gaps-and-islands over the
+    same greatest/least values) — the dual-oracle currency of the
+    ``layer_update`` driver query."""
+    xs = sorted({X0, X1, *(b[0] for b in boxes), *(b[2] for b in boxes)})
+    out = []
+    for sa, sb in zip(xs[:-1], xs[1:]):
+        ivals = sorted((b[1], b[3]) for b in boxes if b[0] <= sa and b[2] >= sb)
+        cur = Y0
+        for a, b in ivals:
+            if a > cur:
+                out.append((sa, cur, sb, a))
+            cur = max(cur, b)
+        if cur < Y1:
+            out.append((sa, cur, sb, Y1))
+    return out
+
+
+def update_boxes(
+    left: DataFrame,
+    method: DataFrame,
+    left_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    method_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    key: str | None = None,
+    broadcast_method: bool = True,
+) -> DataFrame:
+    """``OGRLayer::Update`` (``ogrsf_frmts.h:331-352``, impl
+    ``ogrlayer.cpp:5711+``) for the box model: the output contains
+
+    - every *untouched* input feature unchanged (``part='orig'``),
+    - each *touched* input feature's geometry MINUS the union of all
+      intersecting method boxes, as the canonical vertical-slab
+      decomposition of the difference region (``part='diff'``,
+      :func:`_slab_subtract`) — a fully-covered input disappears,
+      exactly as the reference drops empty difference geometries,
+    - (the method layer itself is appended by the caller via
+      :func:`union_layers` when full Update output is wanted — kept
+      separate so schema policy stays explicit).
+
+    Shape for scale: candidates from the cell equi-join (never a cross
+    product), then ``groupBy(input key).applyInPandas`` — the
+    multi-method union-difference is per-input-feature local work (the
+    reference's per-feature GEOS ``Difference`` against the unioned
+    method geometry), so thousands of groups parallelize with no
+    driver involvement."""
+    import pandas as pd
+
+    lx0, ly0, lx1, ly1 = left_bbox
+    key = key or left.columns[0]
+    pairs = clip_boxes(
+        left, method, left_bbox, method_bbox, broadcast_clip=broadcast_method
+    )
+    pairs = pairs.filter(
+        (F.col("clip_lon_min") < F.col("clip_lon_max"))
+        & (F.col("clip_lat_min") < F.col("clip_lat_max"))
+    )
+    keep = [c for c in left.columns]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields
+    )
+    out_schema += ", part string, px0 double, py0 double, px1 double, py1 double"
+
+    def erase_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        boxes = list(
+            zip(
+                pdf["clip_lon_min"].astype(float),
+                pdf["clip_lat_min"].astype(float),
+                pdf["clip_lon_max"].astype(float),
+                pdf["clip_lat_max"].astype(float),
+            )
+        )
+        rects = _slab_subtract(
+            float(first[lx0]),
+            float(first[ly0]),
+            float(first[lx1]),
+            float(first[ly1]),
+            boxes,
+        )
+        base = {c: first[c] for c in keep}
+        rows = [
+            {**base, "part": "diff", "px0": a, "py0": b, "px1": c, "py1": d}
+            for a, b, c, d in rects
+        ]
+        cols = keep + ["part", "px0", "py0", "px1", "py1"]
+        return pd.DataFrame(rows, columns=cols)
+
+    touched = pairs.groupBy(key).applyInPandas(erase_group, schema=out_schema)
+    untouched = left.join(pairs.select(key).distinct(), key, "left_anti").select(
+        *keep,
+        F.lit("orig").alias("part"),
+        F.col(lx0).cast("double").alias("px0"),
+        F.col(ly0).cast("double").alias("py0"),
+        F.col(lx1).cast("double").alias("px1"),
+        F.col(ly1).cast("double").alias("py1"),
+    )
+    return untouched.unionByName(touched)
 
 
 def spatial_semi_join(left: DataFrame, polys: DataFrame, **kwargs) -> DataFrame:
