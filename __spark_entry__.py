@@ -909,6 +909,94 @@ WHERE t.image_id IS NULL
 """
 
 
+# --- OGR SQL text front-end ------------------------------------------------
+
+# raw dialect statements in the shape of autotest/ogr/ogr_sql_test.py
+# (IN lists, unaliased-aggregate naming, LIKE vs ILIKE case behavior,
+# first-match JOIN, truncating CAST); each is run through
+# gdal_spark.sql.execute_ogr_sql and projected to (stmt, c1..c4)
+_OGR_SQL_TEXT_STMTS = [
+    "select count(*), min(o_orderkey), max(o_orderkey) from orders",
+    "select o_orderkey, o_orderpriority from orders where o_orderkey in (32, 33)",
+    "select distinct o_orderpriority from orders",
+    "select count(*) from orders where o_orderpriority like '1-urgent%'",
+    "select count(*) from orders where o_orderpriority ilike '1-urgent%'",
+    "select o.o_orderkey, l.l_partkey from orders o left join lineitem l "
+    "on o.o_orderkey = l.l_orderkey where o.o_orderkey < 100",
+    "select o_orderkey, cast(o_totalprice as integer) as ip, "
+    "cast(o_orderdate as character(7)) as ym from orders where o_orderkey < 40",
+]
+
+
+def _q_ogr_sql_text(spark, sf_dir):
+    """ExecuteSQL(dialect='OGRSQL') text front-end
+    (ogr/swq_parser.cpp grammar, ogr_gensql.cpp evaluator;
+    gdal_spark/sql/ogr_sql.py): raw dialect strings parsed, quirks
+    applied (first-match JOIN, case-sensitive LIKE vs ILIKE,
+    count_*-naming, truncating CAST), executed as Spark SQL. Every
+    statement's rows are projected to strings for a single dual-SQL
+    comparison surface."""
+    from functools import reduce
+
+    from gdal_spark.sql import execute_ogr_sql
+
+    tables = {
+        "orders": spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        "lineitem": spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    }
+    # the synthetic lineitem has (l_orderkey, l_linenumber) collisions,
+    # so the FID order includes l_partkey — a total order on the
+    # columns this query outputs, keeping first-match deterministic
+    fids = {"orders": "o_orderkey", "lineitem": ["l_linenumber", "l_partkey"]}
+    outs = []
+    for i, s in enumerate(_OGR_SQL_TEXT_STMTS):
+        df = execute_ogr_sql(spark, s, tables, fids=fids)
+        cols = df.columns[:4]
+        proj = [F.lit(i).alias("stmt")]
+        for j in range(4):
+            if j < len(cols):
+                proj.append(F.col(cols[j]).cast("string").alias(f"c{j + 1}"))
+            else:
+                proj.append(F.lit(None).cast("string").alias(f"c{j + 1}"))
+        outs.append(df.select(*proj))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+OGR_SQL_TEXT_ORACLE = """
+WITH lfirst AS (
+  SELECT l_orderkey, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+  FROM lineitem
+)
+SELECT 0 AS stmt, CAST(count(*) AS VARCHAR) AS c1,
+       CAST(min(o_orderkey) AS VARCHAR) AS c2,
+       CAST(max(o_orderkey) AS VARCHAR) AS c3, NULL AS c4 FROM orders
+UNION ALL
+SELECT 1, CAST(o_orderkey AS VARCHAR), o_orderpriority, NULL, NULL
+FROM orders WHERE o_orderkey IN (32, 33)
+UNION ALL
+SELECT DISTINCT 2, o_orderpriority, NULL, NULL, NULL FROM orders
+UNION ALL
+SELECT 3, CAST(count(*) AS VARCHAR), NULL, NULL, NULL
+FROM orders WHERE o_orderpriority LIKE '1-urgent%'
+UNION ALL
+SELECT 4, CAST(count(*) AS VARCHAR), NULL, NULL, NULL
+FROM orders WHERE o_orderpriority ILIKE '1-urgent%'
+UNION ALL
+SELECT 5, CAST(o.o_orderkey AS VARCHAR), CAST(l.l_partkey AS VARCHAR), NULL, NULL
+FROM orders o LEFT JOIN (SELECT * FROM lfirst WHERE rn = 1) l
+  ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey < 100
+UNION ALL
+-- OGR CAST(double AS integer) truncates toward zero (C-cast
+-- semantics); DuckDB's CAST rounds, so the oracle mirrors with trunc
+SELECT 6, CAST(o_orderkey AS VARCHAR),
+       CAST(CAST(trunc(o_totalprice) AS INTEGER) AS VARCHAR),
+       substring(CAST(o_orderdate AS VARCHAR), 1, 7), NULL
+FROM orders WHERE o_orderkey < 40
+"""
+
+
 GRID_NX, GRID_NY = 73, 37  # primes: cell centers never hit the 1e-3 coord grid
 GRID_BOUNDS = (-180.0, -85.0, 180.0, 85.0)
 
@@ -3433,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_erase": _q_erase,
         "layer_identity": _q_layer_identity,
         "layer_update": _q_layer_update,
+        "ogr_sql_text": _q_ogr_sql_text,
         "grid_invdistnn": _q_grid_invdistnn,
         "grid_metrics": _q_grid_metrics,
         "st_predicates": _q_st_predicates,
@@ -3493,6 +3582,7 @@ def oracle_sql() -> dict[str, str]:
         "intersection_geom": INTERSECTION_GEOM_ORACLE,
         "layer_identity": LAYER_IDENTITY_ORACLE,
         "layer_update": LAYER_UPDATE_ORACLE,
+        "ogr_sql_text": OGR_SQL_TEXT_ORACLE,
         "grid_idw": _grid_idw_oracle(),
         "grid_invdistnn": _grid_invdistnn_oracle(),
         "grid_metrics": _grid_metrics_oracle(),
