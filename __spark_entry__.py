@@ -909,6 +909,44 @@ WHERE t.image_id IS NULL
 """
 
 
+def _q_st_zm(spark, sf_dir):
+    """Z/M coordinate surface (ogr/ogr_core.h:422-452 ISO types,
+    ogr/ogr_wkb.cpp; VERDICT r03 item 7): POINT Z construction, Z
+    extraction, coordinate dimension, Force2D flattening, and
+    GEOMETRYCOLLECTION membership — WKB built and re-parsed through
+    the Z/M-aware codec on every row, closed-form DuckDB oracle."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    synth.footprints(spark, sf_dir).filter("okey % 20 = 0").createOrReplaceTempView(
+        "fp_zm"
+    )
+    return spark.sql(
+        """
+        SELECT image_id,
+               ST_Z(pz) AS z,
+               ST_CoordDim(pz) AS dim3,
+               ST_CoordDim(ST_Force2D(pz)) AS dim2,
+               ST_NumGeometries(ST_Collect(pz, ST_Force2D(pz))) AS ngeom,
+               ST_X(ST_Force2D(pz)) AS x2
+        FROM (
+          SELECT image_id, lon,
+                 ST_MakePointZ(lon, lat, CAST(okey AS DOUBLE)) AS pz
+          FROM fp_zm
+        )
+        """
+    )
+
+
+ST_ZM_ORACLE = f"""
+SELECT printf('img%012d', o_orderkey) AS image_id,
+       CAST(o_orderkey AS DOUBLE) AS z,
+       3 AS dim3, 2 AS dim2, 2 AS ngeom,
+       {synth.FOOT_LON_SQL} AS x2
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
 # --- OGR SQL text front-end ------------------------------------------------
 
 # raw dialect statements in the shape of autotest/ogr/ogr_sql_test.py
@@ -3522,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_identity": _q_layer_identity,
         "layer_update": _q_layer_update,
         "ogr_sql_text": _q_ogr_sql_text,
+        "st_zm_functions": _q_st_zm,
         "grid_invdistnn": _q_grid_invdistnn,
         "grid_metrics": _q_grid_metrics,
         "st_predicates": _q_st_predicates,
@@ -3583,6 +3622,7 @@ def oracle_sql() -> dict[str, str]:
         "layer_identity": LAYER_IDENTITY_ORACLE,
         "layer_update": LAYER_UPDATE_ORACLE,
         "ogr_sql_text": OGR_SQL_TEXT_ORACLE,
+        "st_zm_functions": ST_ZM_ORACLE,
         "grid_idw": _grid_idw_oracle(),
         "grid_invdistnn": _grid_invdistnn_oracle(),
         "grid_metrics": _grid_metrics_oracle(),

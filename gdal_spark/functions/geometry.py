@@ -52,16 +52,34 @@ class Geom:
     """Parsed geometry. ``rings``: for polygonal types, a flat list of
     rings (np.ndarray (n,2)); ``ring_roles`` marks exterior rings (True)
     so area/centroid can subtract holes. For points/lines, ``coords``
-    holds the raw coordinate arrays (one per part)."""
+    holds the raw coordinate arrays (one per part).
+
+    Z/M support (``ogr/ogr_core.h:422-452`` ISO types 1001-3007 and
+    EWKB flag variants): ``rings``/``coords`` stay strictly 2-D so
+    every planar kernel is unchanged; the full-width coordinate arrays
+    (n, 2+z+m) live in ``full`` (same part order as rings-then-coords
+    within each simple geometry), and collections keep their sub-
+    geometries in ``parts`` for faithful re-emit."""
 
     gtype: int
-    rings: list = field(default_factory=list)  # polygonal rings
+    rings: list = field(default_factory=list)  # polygonal rings (2-D)
     ring_roles: list = field(default_factory=list)  # True = exterior
-    coords: list = field(default_factory=list)  # point/line parts
+    coords: list = field(default_factory=list)  # point/line parts (2-D)
+    has_z: bool = False
+    has_m: bool = False
+    full: list = field(default_factory=list)  # full-width parts
+    parts: list = field(default_factory=list)  # sub-Geoms (multi/collection)
 
     @property
     def type_name(self) -> str:
-        return _NAMES.get(self.gtype, f"UNKNOWN({self.gtype})")
+        base = _NAMES.get(self.gtype, f"UNKNOWN({self.gtype})")
+        if self.has_z and self.has_m:
+            return base + " ZM"
+        if self.has_z:
+            return base + " Z"
+        if self.has_m:
+            return base + " M"
+        return base
 
 
 # ---------------------------------------------------------------------------
@@ -69,8 +87,32 @@ class Geom:
 # ---------------------------------------------------------------------------
 
 
-def wkb_point(x: float, y: float) -> bytes:
-    return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+def _iso_code(base: int, has_z: bool, has_m: bool) -> int:
+    """ISO WKB type code (ogr_core.h:422-452): base + 1000·Z + 2000·M."""
+    return base + (1000 if has_z else 0) + (2000 if has_m else 0)
+
+
+def _dims(coords, has_m: bool | None) -> tuple[bool, bool]:
+    """(has_z, has_m) from coordinate width: 3 → XYZ (or XYM when
+    ``has_m=True`` is forced), 4 → XYZM."""
+    w = np.asarray(coords, dtype=np.float64).shape[-1]
+    if w == 2:
+        return False, bool(has_m) and False
+    if w == 3:
+        return (not has_m, bool(has_m))
+    if w == 4:
+        return True, True
+    raise ValueError(f"unsupported coordinate width {w}")
+
+
+def wkb_point(x: float, y: float, z: float | None = None, m: float | None = None) -> bytes:
+    vals = [x, y]
+    if z is not None:
+        vals.append(z)
+    if m is not None:
+        vals.append(m)
+    code = _iso_code(WKB_POINT, z is not None, m is not None)
+    return struct.pack(f"<BI{len(vals)}d", 1, code, *vals)
 
 
 def _ring_bytes(ring) -> bytes:
@@ -78,14 +120,16 @@ def _ring_bytes(ring) -> bytes:
     return struct.pack("<I", len(a)) + a.astype("<f8").tobytes()
 
 
-def wkb_linestring(coords) -> bytes:
-    return struct.pack("<BI", 1, WKB_LINESTRING) + _ring_bytes(coords)
+def wkb_linestring(coords, has_m: bool | None = None) -> bytes:
+    z, m = _dims(coords, has_m)
+    return struct.pack("<BI", 1, _iso_code(WKB_LINESTRING, z, m)) + _ring_bytes(coords)
 
 
-def wkb_polygon(rings) -> bytes:
+def wkb_polygon(rings, has_m: bool | None = None) -> bytes:
     """rings[0] = exterior, rest holes; rings are closed (first==last)
-    or will be closed automatically."""
-    out = [struct.pack("<BII", 1, WKB_POLYGON, len(rings))]
+    or will be closed automatically. Width-3/4 rings emit Z/ZM codes."""
+    z, m = _dims(rings[0], has_m) if len(rings) else (False, False)
+    out = [struct.pack("<BII", 1, _iso_code(WKB_POLYGON, z, m), len(rings))]
     for r in rings:
         a = np.asarray(r, dtype=np.float64)
         if len(a) and not np.array_equal(a[0], a[-1]):
@@ -102,6 +146,50 @@ def wkb_multipolygon(polys) -> bytes:
     return b"".join(out)
 
 
+def wkb_geometrycollection(members: list[bytes]) -> bytes:
+    """GEOMETRYCOLLECTION from already-encoded member WKBs."""
+    return struct.pack("<BII", 1, WKB_GEOMETRYCOLLECTION, len(members)) + b"".join(
+        members
+    )
+
+
+def geom_to_wkb(g: Geom) -> bytes:
+    """Re-emit a parsed :class:`Geom` as ISO WKB, preserving Z/M and
+    collection structure (``parts``). Polygonal Geoms built without
+    ``parts`` (kernel outputs) group flat rings by ``ring_roles``."""
+    code = _iso_code(g.gtype, g.has_z, g.has_m)
+    if g.gtype == WKB_POINT:
+        a = np.asarray(g.full[0] if g.full else g.coords[0], dtype=np.float64)
+        return struct.pack("<BI", 1, code) + a[0].astype("<f8").tobytes()
+    if g.gtype == WKB_LINESTRING:
+        a = g.full[0] if g.full else g.coords[0]
+        return struct.pack("<BI", 1, code) + _ring_bytes(a)
+    if g.gtype == WKB_POLYGON:
+        rings = g.full if g.full else g.rings
+        out = [struct.pack("<BII", 1, code, len(rings))]
+        out.extend(_ring_bytes(r) for r in rings)
+        return b"".join(out)
+    if g.parts:
+        return struct.pack("<BII", 1, code, len(g.parts)) + b"".join(
+            geom_to_wkb(p) for p in g.parts
+        )
+    if g.gtype == WKB_MULTIPOLYGON:
+        polys: list[list[np.ndarray]] = []
+        src = g.full if g.full else g.rings
+        for r, is_ext in zip(src, g.ring_roles):
+            if is_ext or not polys:
+                polys.append([r])
+            else:
+                polys[-1].append(r)
+        out = [struct.pack("<BII", 1, code, len(polys))]
+        for rings in polys:
+            sub = [struct.pack("<BII", 1, _iso_code(WKB_POLYGON, g.has_z, g.has_m), len(rings))]
+            sub.extend(_ring_bytes(r) for r in rings)
+            out.append(b"".join(sub))
+        return b"".join(out)
+    raise ValueError(f"cannot re-emit geometry type {g.gtype}")
+
+
 def wkb_bbox_polygon(xmin, ymin, xmax, ymax) -> bytes:
     return wkb_polygon(
         [[(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]]
@@ -114,19 +202,38 @@ def wkb_bbox_polygon(xmin, ymin, xmax, ymax) -> bytes:
 
 
 def _read_header(buf, off):
+    """Header incl. dimensionality: ISO codes (base + 1000·Z + 2000·M)
+    and the EWKB flag form (0x80000000 Z, 0x40000000 M, 0x20000000
+    SRID — SRID value skipped), per ``ogr/ogr_wkb.cpp`` /
+    ``ogr_core.h:422-452``."""
     byte_order = buf[off]
-    fmt = "<I" if byte_order == 1 else ">I"
-    (gtype,) = struct.unpack_from(fmt, buf, off + 1)
-    # strip Z/M/SRID flags (ISO & EWKB variants)
-    gtype = gtype & 0xFF
-    return gtype, "<" if byte_order == 1 else ">", off + 5
+    endian = "<" if byte_order == 1 else ">"
+    (raw,) = struct.unpack_from(endian + "I", buf, off + 1)
+    off += 5
+    has_z = bool(raw & 0x80000000)
+    has_m = bool(raw & 0x40000000)
+    if raw & 0x20000000:  # EWKB embedded SRID
+        off += 4
+    t = raw & 0x1FFFFFFF
+    if t >= 3000:
+        has_z = has_m = True
+        t -= 3000
+    elif t >= 2000:
+        has_m = True
+        t -= 2000
+    elif t >= 1000:
+        has_z = True
+        t -= 1000
+    return t, endian, has_z, has_m, off
 
 
-def _read_ring(buf, off, endian):
+def _read_ring(buf, off, endian, width):
     (n,) = struct.unpack_from(endian + "I", buf, off)
     off += 4
-    a = np.frombuffer(buf, dtype=endian + "f8", count=2 * n, offset=off).reshape(n, 2)
-    return a, off + 16 * n
+    a = np.frombuffer(buf, dtype=endian + "f8", count=width * n, offset=off).reshape(
+        n, width
+    )
+    return a, off + 8 * width * n
 
 
 def parse_wkb(buf: bytes) -> Geom:
@@ -135,21 +242,28 @@ def parse_wkb(buf: bytes) -> Geom:
 
 
 def _parse_at(buf, off):
-    gtype, endian, off = _read_header(buf, off)
+    gtype, endian, has_z, has_m, off = _read_header(buf, off)
+    width = 2 + int(has_z) + int(has_m)
     if gtype == WKB_POINT:
-        a = np.frombuffer(buf, dtype=endian + "f8", count=2, offset=off).reshape(1, 2)
-        return Geom(gtype, coords=[a]), off + 16
+        a = np.frombuffer(buf, dtype=endian + "f8", count=width, offset=off).reshape(
+            1, width
+        )
+        return (
+            Geom(gtype, coords=[a[:, :2]], has_z=has_z, has_m=has_m, full=[a]),
+            off + 8 * width,
+        )
     if gtype == WKB_LINESTRING:
-        a, off = _read_ring(buf, off, endian)
-        return Geom(gtype, coords=[a]), off
+        a, off = _read_ring(buf, off, endian, width)
+        return Geom(gtype, coords=[a[:, :2]], has_z=has_z, has_m=has_m, full=[a]), off
     if gtype == WKB_POLYGON:
         (nr,) = struct.unpack_from(endian + "I", buf, off)
         off += 4
-        g = Geom(gtype)
+        g = Geom(gtype, has_z=has_z, has_m=has_m)
         for i in range(nr):
-            r, off = _read_ring(buf, off, endian)
-            g.rings.append(r)
+            r, off = _read_ring(buf, off, endian, width)
+            g.rings.append(r[:, :2])
             g.ring_roles.append(i == 0)
+            g.full.append(r)
         return g, off
     if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON, WKB_GEOMETRYCOLLECTION):
         (np_,) = struct.unpack_from(endian + "I", buf, off)
@@ -157,9 +271,13 @@ def _parse_at(buf, off):
         g = Geom(gtype)
         for _ in range(np_):
             sub, off = _parse_at(buf, off)
+            g.parts.append(sub)
             g.rings.extend(sub.rings)
             g.ring_roles.extend(sub.ring_roles)
             g.coords.extend(sub.coords)
+            g.full.extend(sub.full)
+            g.has_z = g.has_z or sub.has_z
+            g.has_m = g.has_m or sub.has_m
         return g, off
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
@@ -248,6 +366,52 @@ def geoms_intersect(ga: Geom, gb: Geom) -> bool:
             if segments_intersect_any(ra, rb):
                 return True
     return False
+
+
+def geom_z(g: Geom):
+    """Z of a POINT Z (``OGRPoint::getZ``); None when absent."""
+    if not g.has_z or g.gtype != WKB_POINT or not g.full:
+        return None
+    return float(g.full[0][0, 2])
+
+
+def geom_m(g: Geom):
+    """M of a POINT M / POINT ZM; None when absent."""
+    if not g.has_m or g.gtype != WKB_POINT or not g.full:
+        return None
+    return float(g.full[0][0, 2 + int(g.has_z)])
+
+
+def geom_coord_dim(g: Geom) -> int:
+    """Coordinate dimension 2/3/4 (PostGIS ST_CoordDim convention;
+    OGR CoordinateDimension reports 3 for either Z or M)."""
+    return 2 + int(g.has_z) + int(g.has_m)
+
+
+def geom_length3d(g: Geom) -> float:
+    """3-D cartesian length over line parts (``OGRLineString`` with Z;
+    falls back to planar length when no Z present)."""
+    total = 0.0
+    parts = g.full if g.full else g.coords
+    for a in parts:
+        if a.shape[0] < 2:
+            continue
+        d = np.diff(a[:, : (3 if g.has_z else 2)], axis=0)
+        total += float(np.sqrt((d * d).sum(axis=1)).sum())
+    return total
+
+
+def force_2d(g: Geom) -> bytes:
+    """``OGR_G_FlattenTo2D`` / ST_Force2D: re-emit with Z/M dropped."""
+    flat = Geom(
+        g.gtype,
+        rings=g.rings,
+        ring_roles=g.ring_roles,
+        coords=g.coords,
+        full=[np.ascontiguousarray(a[:, :2]) for a in g.full] if g.full else [],
+        parts=[parse_wkb(force_2d(p)) for p in g.parts] if g.parts else [],
+    )
+    return geom_to_wkb(flat)
 
 
 def ring_signed_area(ring: np.ndarray) -> float:

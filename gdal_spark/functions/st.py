@@ -44,6 +44,23 @@ def _fmt_coord(v: float) -> str:
 
 
 def _wkt(g: G.Geom) -> str:
+    if g.has_z or g.has_m:
+        tag = ("Z" if g.has_z else "") + ("M" if g.has_m else "")
+        if g.gtype == G.WKB_POINT:
+            vals = " ".join(_fmt_coord(v) for v in g.full[0][0])
+            return f"POINT {tag} ({vals})"
+        if g.gtype == G.WKB_LINESTRING:
+            pts = ",".join(
+                " ".join(_fmt_coord(v) for v in row) for row in g.full[0]
+            )
+            return f"LINESTRING {tag} ({pts})"
+        if g.gtype == G.WKB_POLYGON:
+            rings = ",".join(
+                "(" + ",".join(" ".join(_fmt_coord(v) for v in row) for row in r) + ")"
+                for r in g.full
+            )
+            return f"POLYGON {tag} ({rings})"
+        return g.type_name
     if g.gtype == G.WKB_POINT:
         x, y = g.coords[0][0]
         return f"POINT ({_fmt_coord(x)} {_fmt_coord(y)})"
@@ -136,6 +153,66 @@ def st_intersects_box(
 @pandas_udf(BinaryType())
 def st_makepoint(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series([G.wkb_point(a, b) for a, b in zip(x, y)])
+
+
+@pandas_udf(BinaryType())
+def st_makepoint_z(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    """ST_MakePoint(x, y, z) → ISO POINT Z WKB (ogr_core.h:422-452)."""
+    return pd.Series([G.wkb_point(a, b, c) for a, b, c in zip(x, y, z)])
+
+
+@pandas_udf(DoubleType())
+def st_z(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: G.geom_z(G.parse_wkb(b)) if b is not None else None)
+
+
+@pandas_udf(DoubleType())
+def st_m(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: G.geom_m(G.parse_wkb(b)) if b is not None else None)
+
+
+@pandas_udf(IntegerType())
+def st_coorddim(wkb: pd.Series) -> pd.Series:
+    return wkb.map(
+        lambda b: G.geom_coord_dim(G.parse_wkb(b)) if b is not None else None
+    )
+
+
+@pandas_udf(BinaryType())
+def st_force2d(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: G.force_2d(G.parse_wkb(b)) if b is not None else None)
+
+
+@pandas_udf(DoubleType())
+def st_length3d(wkb: pd.Series) -> pd.Series:
+    return wkb.map(
+        lambda b: G.geom_length3d(G.parse_wkb(b)) if b is not None else None
+    )
+
+
+@pandas_udf(BinaryType())
+def st_collect_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Collect(a, b) → GEOMETRYCOLLECTION of the two members."""
+    return pd.Series(
+        [
+            G.wkb_geometrycollection([bytes(x), bytes(y)])
+            if x is not None and y is not None
+            else None
+            for x, y in zip(a, b)
+        ]
+    )
+
+
+@pandas_udf(IntegerType())
+def st_numgeometries(wkb: pd.Series) -> pd.Series:
+    """ST_NumGeometries / OGR_G_GetGeometryCount for multi/collection
+    types (1 for simple types, matching PostGIS)."""
+
+    def n(b):
+        g = G.parse_wkb(b)
+        return len(g.parts) if g.parts else 1
+
+    return wkb.map(lambda b: n(b) if b is not None else None)
 
 
 @pandas_udf(BinaryType())
@@ -489,6 +566,14 @@ _REGISTRY = {
     "ST_ContainsPoint": st_contains_point,
     "ST_IntersectsBox": st_intersects_box,
     "ST_MakePoint": st_makepoint,
+    "ST_MakePointZ": st_makepoint_z,
+    "ST_Z": st_z,
+    "ST_M": st_m,
+    "ST_CoordDim": st_coorddim,
+    "ST_Force2D": st_force2d,
+    "ST_Length3D": st_length3d,
+    "ST_Collect": st_collect_pair,
+    "ST_NumGeometries": st_numgeometries,
     "ST_MakeEnvelope": st_makeenvelope,
     "ST_Distance": st_distance_geoms,
     "ST_DistancePoint": st_distance_point,
