@@ -162,6 +162,224 @@ def read_zarr_chunks(
     )
 
 
+# ---------------------------------------------------------------------------
+# N-D hypercubes (round 4, VERDICT r03 item 9): time/band cubes of the
+# GDALMDArray model (gcore/multidim/gdal_multidim.h), arbitrary rank,
+# same chunk-file-pruning scan shape as the 2-D path.
+# ---------------------------------------------------------------------------
+
+
+def write_zarr_nd(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...],
+    compressor: str | None = "zlib",
+    level: int = 1,
+    fill_value=0,
+) -> None:
+    """N-D Zarr v2 writer (fixture helper): chunk files named
+    ``i.j.k...``, edge chunks stored full-size per the spec."""
+    if len(chunks) != arr.ndim:
+        raise ValueError("chunks rank must match array rank")
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(int(c) for c in chunks),
+        "dtype": arr.dtype.str,
+        "order": "C",
+        "compressor": (
+            {"id": "zlib", "level": level} if compressor == "zlib" else None
+        ),
+        "fill_value": fill_value,
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    grids = [range(-(-s // c)) for s, c in zip(arr.shape, chunks)]
+    import itertools
+
+    for idx in itertools.product(*grids):
+        block = np.full(chunks, fill_value, dtype=arr.dtype)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, arr.shape)
+        )
+        part = arr[sel]
+        block[tuple(slice(0, p) for p in part.shape)] = part
+        raw = block.tobytes(order="C")
+        if compressor == "zlib":
+            raw = zlib.compress(raw, level)
+        with open(os.path.join(path, ".".join(str(i) for i in idx)), "wb") as f:
+            f.write(raw)
+
+
+def read_zarray_meta_nd(path: str) -> dict:
+    with open(os.path.join(path, ".zarray")) as f:
+        meta = json.load(f)
+    if meta.get("order", "C") != "C":
+        raise NotImplementedError("only C-order Zarr v2 arrays supported")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise NotImplementedError(
+            f"compressor {comp.get('id')!r} needs its codec library — "
+            "only zlib/uncompressed are available in-container"
+        )
+    return meta
+
+
+def read_zarr_chunks_nd(
+    spark: SparkSession,
+    path: str,
+    window: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """N-D chunked scan → one row per chunk:
+    (idx array<int>, origin array<int>, dims array<int>,
+    values array<double> row-major, edge-trimmed).
+
+    ``window`` = [(off, size)] per dimension; the per-dimension
+    chunk-index ranges are intersected BEFORE the file list is built —
+    the N-D generalization of the 2-D path's partition pruning (GDAL
+    ``GetBlockRef`` / parquet partition pruning analogue): a window
+    over a (time, band, y, x) hypercube touches only the chunk files
+    of its time/band/space sub-grid."""
+    import itertools
+
+    meta = read_zarray_meta_nd(path)
+    shape = [int(s) for s in meta["shape"]]
+    csz = [int(c) for c in meta["chunks"]]
+    dtype = np.dtype(meta["dtype"])
+    compressed = meta.get("compressor") is not None
+    ngrid = [-(-s // c) for s, c in zip(shape, csz)]
+    if window is not None:
+        if len(window) != len(shape):
+            raise ValueError("window rank must match array rank")
+        ranges = [
+            range(off // c, min(n - 1, (off + sz - 1) // c) + 1)
+            for (off, sz), c, n in zip(window, csz, ngrid)
+        ]
+    else:
+        ranges = [range(n) for n in ngrid]
+    files = []
+    for idx in itertools.product(*ranges):
+        p = os.path.join(path, ".".join(str(i) for i in idx))
+        if os.path.exists(p):
+            files.append(p)
+    schema = "idx array<int>, origin array<int>, dims array<int>, values array<double>"
+    if not files:
+        return spark.createDataFrame([], schema)
+    scan = spark.read.format("binaryFile").load(files)
+
+    def decode(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                idx = [int(v) for v in os.path.basename(r.path).split(".")]
+                raw = bytes(r.content)
+                if compressed:
+                    raw = zlib.decompress(raw)
+                block = np.frombuffer(raw, dtype=dtype).reshape(csz)
+                dims = [
+                    min(c, s - i * c) for i, c, s in zip(idx, csz, shape)
+                ]
+                trimmed = block[tuple(slice(0, d) for d in dims)]
+                rows.append(
+                    {
+                        "idx": idx,
+                        "origin": [i * c for i, c in zip(idx, csz)],
+                        "dims": dims,
+                        "values": trimmed.astype(np.float64).ravel().tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return scan.mapInPandas(decode, schema=schema)
+
+
+def zarr_hypercube_window(
+    spark: SparkSession, path: str, window: list[tuple[int, int]]
+) -> DataFrame:
+    """N-D window read → long-form rows (d0, d1, ..., value) clipped
+    to the window; only intersecting chunk files are read. The explode
+    is per chunk (bounded batch), coordinates recovered from the
+    row-major position with pure SQL arithmetic."""
+    meta = read_zarray_meta_nd(path)
+    rank = len(meta["shape"])
+    chunks = read_zarr_chunks_nd(spark, path, window)
+    ex = chunks.select(
+        "origin", "dims", F.posexplode("values").alias("pos", "value")
+    )
+    # row-major index decomposition: stride of dim d = prod(dims[d+1:])
+    cols = []
+    for d in range(rank):
+        stride = "1"
+        for k in range(d + 1, rank):
+            stride = f"{stride} * dims[{k}]"
+        cols.append(
+            F.expr(f"origin[{d}] + (pos DIV ({stride})) % dims[{d}]")
+            .cast("int")
+            .alias(f"d{d}")
+        )
+    out = ex.select(*cols, "value")
+    cond = None
+    for d, (off, sz) in enumerate(window):
+        c = (F.col(f"d{d}") >= off) & (F.col(f"d{d}") < off + sz)
+        cond = c if cond is None else (cond & c)
+    return out.filter(cond)
+
+
+def zarr_axis_stats(
+    spark: SparkSession, path: str, axis: int = 0
+) -> DataFrame:
+    """Per-index statistics along one axis of a hypercube (e.g. a
+    time-series mean over every (band, y, x) cell of each time step —
+    ``GDALMDArray::GetStatistics`` per slice). Partial per-chunk
+    reductions (NumPy inside the scan's mapInPandas shape) feed one
+    small groupBy on the axis index — per-pixel rows never shuffle."""
+    meta = read_zarray_meta_nd(path)
+    rank = len(meta["shape"])
+    if not 0 <= axis < rank:
+        raise ValueError("axis out of range")
+    chunks = read_zarr_chunks_nd(spark, path)
+
+    import pandas as _pd
+
+    def partials(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                dims = [int(v) for v in r.dims]
+                block = np.asarray(r.values, dtype=np.float64).reshape(dims)
+                other = tuple(d for d in range(rank) if d != axis)
+                s = block.sum(axis=other)
+                mn = block.min(axis=other)
+                mx = block.max(axis=other)
+                n = int(np.prod([dims[d] for d in other])) if other else 1
+                base = int(r.origin[axis])
+                for k in range(dims[axis]):
+                    rows.append(
+                        {
+                            "i": base + k,
+                            "n": n,
+                            "s": float(s[k]),
+                            "mn": float(mn[k]),
+                            "mx": float(mx[k]),
+                        }
+                    )
+            yield _pd.DataFrame(rows)
+
+    per = chunks.mapInPandas(
+        partials, schema="i int, n long, s double, mn double, mx double"
+    )
+    return per.groupBy("i").agg(
+        F.sum("n").cast("long").alias("count"),
+        F.min("mn").alias("vmin"),
+        F.max("mx").alias("vmax"),
+        F.round(F.sum("s"), 6).alias("vsum"),
+        F.round(F.sum("s") / F.sum("n"), 6).alias("mean"),
+    )
+
+
 def zarr_band_stats(spark: SparkSession, path: str) -> DataFrame:
     """gdalinfo -stats over a Zarr array (GDALMDArray.GetStatistics,
     ``gcore/multidim/gdal_multidim.h``): per-chunk partial aggregates

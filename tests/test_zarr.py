@@ -124,3 +124,72 @@ def test_distributed_zarr_writer_roundtrip(spark, tmp_path):
             r.h, r.w
         )
     assert np.array_equal(out2, arr * 2.0)
+
+
+# ---------------------------------------------------------------------------
+# round-4 N-D hypercubes (VERDICT r03 item 9)
+# ---------------------------------------------------------------------------
+
+
+def _cube(shape=(6, 10, 12)):
+    t, y, x = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    return ((t * 7 + y * 3 + x) % 101).astype(np.float64)
+
+
+def test_nd_roundtrip_and_window(spark, tmp_path):
+    from gdal_spark.sources import zarr as Z
+
+    arr = _cube()
+    p = str(tmp_path / "cube")
+    Z.write_zarr_nd(p, arr, (2, 4, 5))
+    win = [(1, 3), (2, 6), (3, 7)]
+    rows = Z.zarr_hypercube_window(spark, p, win).collect()
+    assert len(rows) == 3 * 6 * 7
+    for r in rows:
+        assert arr[r.d0, r.d1, r.d2] == r.value
+
+
+def test_nd_chunk_pruning(spark, tmp_path):
+    """A window touching one chunk lists exactly that chunk file."""
+    from gdal_spark.sources import zarr as Z
+
+    arr = _cube()
+    p = str(tmp_path / "cube2")
+    Z.write_zarr_nd(p, arr, (2, 4, 5))
+    df = Z.read_zarr_chunks_nd(spark, p, [(0, 2), (0, 4), (0, 5)])
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].idx == [0, 0, 0]
+    # full scan sees the whole 3x3x3 chunk grid
+    assert Z.read_zarr_chunks_nd(spark, p).count() == 27
+
+
+def test_nd_axis_stats(spark, tmp_path):
+    from gdal_spark.sources import zarr as Z
+
+    arr = _cube()
+    p = str(tmp_path / "cube3")
+    Z.write_zarr_nd(p, arr, (2, 4, 5), compressor=None)
+    out = {r.i: r for r in Z.zarr_axis_stats(spark, p, axis=0).collect()}
+    for t in range(arr.shape[0]):
+        sl = arr[t]
+        assert out[t]["count"] == sl.size
+        assert out[t].vmin == sl.min() and out[t].vmax == sl.max()
+        assert abs(out[t].vsum - sl.sum()) < 1e-6
+    # per-band axis too
+    out1 = {r.i: r for r in Z.zarr_axis_stats(spark, p, axis=1).collect()}
+    assert out1[3]["count"] == arr.shape[0] * arr.shape[2]
+
+
+def test_nd_4d(spark, tmp_path):
+    """Rank-4 (time, band, y, x) hypercube."""
+    from gdal_spark.sources import zarr as Z
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (3, 2, 8, 9)).astype(np.float64)
+    p = str(tmp_path / "cube4")
+    Z.write_zarr_nd(p, arr, (2, 1, 4, 4))
+    win = [(1, 2), (0, 2), (2, 5), (3, 4)]
+    rows = Z.zarr_hypercube_window(spark, p, win).collect()
+    assert len(rows) == 2 * 2 * 5 * 4
+    for r in rows:
+        assert arr[r.d0, r.d1, r.d2, r.d3] == r.value
