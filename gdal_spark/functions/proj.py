@@ -331,6 +331,100 @@ class AlbersEA:
 
 
 @dataclass(frozen=True)
+class LAEA:
+    """Lambert Azimuthal Equal Area, ellipsoidal oblique aspect
+    (EPSG 9820; Snyder eqs 24-3..24-16, 3-11/3-12/3-18)."""
+
+    ell: Ellipsoid
+    lat0: float
+    lon0: float
+    fe: float
+    fn: float
+
+    def _consts(self):
+        ell = self.ell
+        qp = float(_q(ell, math.pi / 2.0))
+        q1 = float(_q(ell, self.lat0 * DEG))
+        beta1 = math.asin(min(1.0, max(-1.0, q1 / qp)))
+        Rq = ell.a * math.sqrt(qp / 2.0)
+        m1 = float(_m(ell, self.lat0 * DEG))
+        D = ell.a * m1 / (Rq * math.cos(beta1)) if abs(self.lat0) < 90.0 else 1.0
+        return qp, beta1, Rq, D
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        qp, b1, Rq, D = self._consts()
+        q = _q(self.ell, lat * DEG)
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        lam = (lon - self.lon0) * DEG
+        sb1, cb1 = math.sin(b1), math.cos(b1)
+        denom = 1.0 + sb1 * np.sin(beta) + cb1 * np.cos(beta) * np.cos(lam)
+        B = Rq * np.sqrt(2.0 / denom)
+        x = self.fe + B * D * np.cos(beta) * np.sin(lam)
+        y = self.fn + (B / D) * (cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        qp, b1, Rq, D = self._consts()
+        sb1, cb1 = math.sin(b1), math.cos(b1)
+        rho = np.sqrt((x / D) ** 2 + (D * y) ** 2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+            qq = qp * (
+                np.cos(ce) * sb1 + D * y * np.sin(ce) * cb1 / np.where(rho == 0, 1.0, rho)
+            )
+            lam = np.arctan2(
+                x * np.sin(ce),
+                D * rho * cb1 * np.cos(ce) - D * D * y * sb1 * np.sin(ce),
+            )
+        beta = np.arcsin(np.clip(qq / qp, -1.0, 1.0))
+        phi = _beta_to_phi(self.ell, beta)
+        lon = _wrap_lon(self.lon0 + lam / DEG)
+        # exact center: rho == 0
+        lon = np.where(rho == 0, self.lon0, lon)
+        phi = np.where(rho == 0, self.lat0 * DEG, phi)
+        return lon, phi / DEG
+
+
+@dataclass(frozen=True)
+class CEA:
+    """Cylindrical Equal Area, ellipsoidal (EPSG 9835; Snyder
+    eqs 10-1, 10-26): EASE-Grid 2.0 and friends."""
+
+    ell: Ellipsoid
+    lat_ts: float
+    lon0: float
+    fe: float
+    fn: float
+
+    def _k0(self) -> float:
+        p = self.lat_ts * DEG
+        return math.cos(p) / math.sqrt(1.0 - self.ell.e2 * math.sin(p) ** 2)
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        k0 = self._k0()
+        x = self.fe + self.ell.a * k0 * (lon - self.lon0) * DEG
+        y = self.fn + self.ell.a * _q(self.ell, lat * DEG) / (2.0 * k0)
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        k0 = self._k0()
+        qp = float(_q(self.ell, math.pi / 2.0))
+        q = 2.0 * y * k0 / self.ell.a
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        phi = _beta_to_phi(self.ell, beta)
+        lon = _wrap_lon(self.lon0 + x / (self.ell.a * k0) / DEG)
+        return lon, phi / DEG
+
+
+@dataclass(frozen=True)
 class PolarStereo:
     """Polar Stereographic, variant A (k0 at pole, EPSG 9810) or
     variant B (standard parallel lat_ts, EPSG 9829). ``south`` selects
@@ -515,6 +609,18 @@ def _registry() -> dict[int, CRS]:
             GRS80,
             name="ETRS89 / LCC Europe",
         ),
+        3035: CRS(
+            "projected",
+            LAEA(GRS80, 52.0, 10.0, 4321000.0, 3210000.0),
+            GRS80,
+            name="ETRS89 / LAEA Europe",
+        ),
+        6933: CRS(
+            "projected",
+            CEA(WGS84, 30.0, 0.0, 0.0, 0.0),
+            WGS84,
+            name="WGS 84 / NSIDC EASE-Grid 2.0 Global",
+        ),
         5070: CRS(
             "projected",
             AlbersEA(GRS80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
@@ -656,6 +762,48 @@ def aea_sql(proj: AlbersEA, lon_expr: str, lat_expr: str) -> tuple[str, str]:
     return x, y
 
 
+def _sql_q(lat_rad: str, ell: Ellipsoid) -> str:
+    e, e2 = ell.e, ell.e2
+    s = f"sin({lat_rad})"
+    return (
+        f"({repr(1.0 - e2)} * (({s}) / (1.0 - {repr(e2)} * ({s}) * ({s}))"
+        f" - {repr(1.0 / (2.0 * e))} * ln((1.0 - {repr(e)} * ({s}))"
+        f" / (1.0 + {repr(e)} * ({s})))))"
+    )
+
+
+def laea_sql(proj: LAEA, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    qp, b1, Rq, D = proj._consts()
+    lat_rad = f"(({lat_expr}) * {repr(DEG)})"
+    beta = f"asin({_sql_q(lat_rad, proj.ell)} / {repr(qp)})"
+    lam = f"((({lon_expr}) - {repr(proj.lon0)}) * {repr(DEG)})"
+    sb1, cb1 = repr(math.sin(b1)), repr(math.cos(b1))
+    B = (
+        f"({repr(Rq)} * sqrt(2.0 / (1.0 + {sb1} * sin({beta})"
+        f" + {cb1} * cos({beta}) * cos({lam}))))"
+    )
+    x = f"({repr(proj.fe)} + {B} * {repr(D)} * cos({beta}) * sin({lam}))"
+    y = (
+        f"({repr(proj.fn)} + ({B} / {repr(D)}) * ({cb1} * sin({beta})"
+        f" - {sb1} * cos({beta}) * cos({lam})))"
+    )
+    return x, y
+
+
+def cea_sql(proj: CEA, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    k0 = proj._k0()
+    lat_rad = f"(({lat_expr}) * {repr(DEG)})"
+    x = (
+        f"({repr(proj.fe)} + {repr(proj.ell.a * k0)}"
+        f" * (({lon_expr}) - {repr(proj.lon0)}) * {repr(DEG)})"
+    )
+    y = (
+        f"({repr(proj.fn)} + {repr(proj.ell.a / (2.0 * k0))}"
+        f" * {_sql_q(lat_rad, proj.ell)})"
+    )
+    return x, y
+
+
 def ps_sql(proj: PolarStereo, lon_expr: str, lat_expr: str) -> tuple[str, str]:
     scale = proj._scale()
     sgn = -1.0 if proj.south else 1.0
@@ -690,6 +838,10 @@ def forward_sql(epsg: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:
         return aea_sql(p, lon_expr, lat_expr)
     if isinstance(p, PolarStereo):
         return ps_sql(p, lon_expr, lat_expr)
+    if isinstance(p, LAEA):
+        return laea_sql(p, lon_expr, lat_expr)
+    if isinstance(p, CEA):
+        return cea_sql(p, lon_expr, lat_expr)
     if isinstance(p, TransMerc):
         # reuse srs.utm_sql for the standard UTM shape. For GRS80 CRSs
         # (ETRS89/NAD83 zones) the twin carries WGS84 series constants —

@@ -224,3 +224,68 @@ def test_sql_twin_matches_numpy_in_duckdb():
 def test_sql_twin_datum_shift_refused():
     with pytest.raises(ValueError, match="datum shift"):
         P.forward_sql(27700, "lon", "lat")
+
+
+# ---------------------------------------------------------------------------
+# round-4 late additions: LAEA (EPSG:3035) + CEA / EASE-Grid 2.0 (6933)
+# ---------------------------------------------------------------------------
+
+
+def test_laea_cea_anchor_roundtrip_area():
+    # LAEA natural origin -> (FE, FN)
+    x, y = P.lookup(3035).proj.forward(10.0, 52.0)
+    assert abs(float(x) - 4321000.0) < 1e-6 and abs(float(y) - 3210000.0) < 1e-6
+    # CEA equator/lon0 -> (0, 0)
+    x, y = P.lookup(6933).proj.forward(0.0, 0.0)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    rng = np.random.default_rng(9)
+    for code, (lo, hi), (la0, la1) in (
+        (3035, (-10, 30), (35, 70)),
+        (6933, (-179, 179), (-80, 80)),
+    ):
+        lons = rng.uniform(lo, hi, 400)
+        lats = rng.uniform(la0, la1, 400)
+        crs = P.lookup(code)
+        xx, yy = P.from_lonlat_wgs84(crs, lons, lats)
+        lo2, la2 = P.to_lonlat_wgs84(crs, xx, yy)
+        assert np.abs(P._wrap_lon(lo2 - lons)).max() < 1e-7
+        assert np.abs(la2 - lats).max() < 1e-7
+    # both are equal-area: h*k == 1 everywhere
+    eps = 1e-7
+    for code, pts, ell in (
+        (3035, [(5.0, 45.0), (20.0, 60.0)], P.GRS80),
+        (6933, [(-120.0, 10.0), (77.0, -45.0)], P.WGS84),
+    ):
+        p = P.lookup(code).proj
+        for lon, lat in pts:
+            x0, y0 = p.forward(lon, lat)
+            xl, yl = p.forward(lon + eps, lat)
+            xp, yp = p.forward(lon, lat + eps)
+            J = abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))
+            phi = math.radians(lat)
+            N = ell.a / math.sqrt(1 - ell.e2 * math.sin(phi) ** 2)
+            ground = (N * math.cos(phi) * math.radians(eps)) * (
+                _merid_radius(ell, lat) * math.radians(eps)
+            )
+            assert abs(J / ground - 1.0) < 1e-5, (code, lon, lat)
+
+
+def test_laea_cea_sql_twins():
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    con = duckdb.connect()
+    for code, (lo, hi), (la0, la1) in (
+        (3035, (-10, 30), (35, 70)),
+        (6933, (-179, 179), (-80, 80)),
+    ):
+        lons = rng.uniform(lo, hi, 200)
+        lats = rng.uniform(la0, la1, 200)
+        crs = P.lookup(code)
+        xs, ys = P.from_lonlat_wgs84(crs, lons, lats)
+        xsql, ysql = P.forward_sql(code, "lon", "lat")
+        con.register("pts", pd.DataFrame({"lon": lons, "lat": lats}))
+        res = con.execute(f"SELECT {xsql} AS x, {ysql} AS y FROM pts").fetchnumpy()
+        assert np.abs(res["x"] - xs).max() < 1e-5, code
+        assert np.abs(res["y"] - ys).max() < 1e-5, code

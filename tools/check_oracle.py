@@ -5,7 +5,12 @@ where an ``oracle_sql()`` entry exists, the DuckDB oracle on the same
 parquet — compares row count, column names/types, and order-insensitive
 values (columns sorted by name, rows sorted, values stringified).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--json out.json]
+
+``--json`` additionally writes a machine-readable artifact (per-query
+status/rows/seconds + totals) — committed per round as
+``CORRECTNESS_full_r{N}.json`` because the driver's own artifact
+records only its first-50-query window (VERDICT r03 item 8).
 """
 
 from __future__ import annotations
@@ -44,8 +49,15 @@ def canon_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        k = args.index("--json")
+        json_out = args[k + 1]
+        args = args[:k] + args[k + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -64,11 +76,17 @@ def main():
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"status": "fail", "detail": f"spark error: {e}"}
             n_fail += 1
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"ok*   {name}: rows={len(srows)} (rows-only, {t1-t0:.1f}s)")
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(srows),
+                "secs": round(t1 - t0, 2),
+            }
             n_pass += 1
             continue
         try:
@@ -77,6 +95,7 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "detail": f"duckdb error: {e}"}
             n_fail += 1
             continue
         ok = True
@@ -105,11 +124,33 @@ def main():
                         msgs.append(f"  duckdb-only: {r}")
         if ok:
             print(f"PASS  {name}: rows={len(srows)} ({t1-t0:.1f}s)")
+            results[name] = {
+                "status": "pass",
+                "rows": len(srows),
+                "secs": round(t1 - t0, 2),
+            }
             n_pass += 1
         else:
             print(f"FAIL  {name}: " + "; ".join(msgs))
+            results[name] = {"status": "fail", "detail": "; ".join(msgs)}
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_queries": n_pass + n_fail,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
