@@ -909,6 +909,61 @@ WHERE t.image_id IS NULL
 """
 
 
+def _q_st_curves(spark, sf_dir):
+    """ISO curve types linearized on parse (ogr_core.h:422-452,
+    OGRGeometryFactory::curveToLineString, OGR_ARC_STEPSIZE=4°):
+    per-nation CIRCULARSTRING semicircles and full-circle
+    CURVEPOLYGONs measured through the standard ST_ surface. Oracle is
+    the closed form of the equal-arc chord construction: a sweep s
+    split into n=ceil(s/step) chords of length 2·r·sin(s/2n); the
+    inscribed n-gon area (n/2)·r²·sin(2π/n)."""
+    import struct as _struct
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    rows = []
+    for nk in range(25):
+        r = 1.0 + nk * 0.25
+        semi = _struct.pack(
+            "<BII", 1, G.WKB_CIRCULARSTRING, 3
+        ) + _np.array(
+            [[0.0, 0.0], [r, r], [2.0 * r, 0.0]], dtype="<f8"
+        ).tobytes()
+        ring = _struct.pack(
+            "<BII", 1, G.WKB_CIRCULARSTRING, 3
+        ) + _np.array(
+            [[-r, 0.0], [r, 0.0], [-r, 0.0]], dtype="<f8"
+        ).tobytes()
+        cpoly = _struct.pack("<BII", 1, G.WKB_CURVEPOLYGON, 1) + ring
+        rows.append((nk, semi, cpoly))
+    df = spark.createDataFrame(rows, "nk int, semi binary, cpoly binary")
+    df.createOrReplaceTempView("curves")
+    return spark.sql(
+        """
+        SELECT CAST(nk AS BIGINT) AS nk,
+               round(ST_Length(semi), 6) AS arc_len,
+               ST_NPoints(semi) AS arc_pts,
+               round(ST_Area(cpoly), 6) AS circle_area,
+               ST_NPoints(cpoly) AS ring_pts
+        FROM curves
+        """
+    )
+
+
+# semicircle: sweep pi, n = ceil(pi / 4deg-in-rad) = 45 chords;
+# full circle: n = 90 segments, 91 ring points
+ST_CURVES_ORACLE = """
+SELECT CAST(nk AS BIGINT) AS nk,
+       round(2 * r * 45 * sin(pi() / 90), 6) AS arc_len,
+       46 AS arc_pts,
+       round(45 * r * r * sin(pi() / 45), 6) AS circle_area,
+       91 AS ring_pts
+FROM (SELECT n_nationkey AS nk, 1.0 + n_nationkey * 0.25 AS r FROM nation)
+"""
+
+
 # --- Zarr N-D hypercube ----------------------------------------------------
 
 _ZARR3D_SHAPE = (12, 50, 60)  # (time, y, x)
@@ -3631,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_update": _q_layer_update,
         "ogr_sql_text": _q_ogr_sql_text,
         "st_zm_functions": _q_st_zm,
+        "st_curve_linearize": _q_st_curves,
         "zarr_3d_window": _q_zarr_3d_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "grid_invdistnn": _q_grid_invdistnn,
@@ -3695,6 +3751,7 @@ def oracle_sql() -> dict[str, str]:
         "layer_update": LAYER_UPDATE_ORACLE,
         "ogr_sql_text": OGR_SQL_TEXT_ORACLE,
         "st_zm_functions": ST_ZM_ORACLE,
+        "st_curve_linearize": ST_CURVES_ORACLE,
         "zarr_3d_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "grid_idw": _grid_idw_oracle(),

@@ -23,6 +23,7 @@ with zero per-row Python in the inner loop.
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass, field
 
@@ -35,6 +36,18 @@ WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 WKB_GEOMETRYCOLLECTION = 7
+# ISO curve types (ogr/ogr_core.h:422-452) — parsed and LINEARIZED on
+# the spot (OGRGeometry::getLinearGeometry semantics, default arc step
+# 4° like OGR_ARC_STEPSIZE), because every kernel in the engine is
+# linear-geometry based, exactly like the reference's non-curve-aware
+# consumers.
+WKB_CIRCULARSTRING = 8
+WKB_COMPOUNDCURVE = 9
+WKB_CURVEPOLYGON = 10
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
+
+ARC_STEP_DEG = 4.0  # OGR_ARC_STEPSIZE default (ogr/ogrgeometryfactory.cpp)
 
 _NAMES = {
     WKB_POINT: "POINT",
@@ -236,6 +249,70 @@ def _read_ring(buf, off, endian, width):
     return a, off + 8 * width * n
 
 
+def _linearize_arc(p0, p1, p2, max_step_deg=ARC_STEP_DEG) -> np.ndarray:
+    """Points on the circular arc p0→p2 through p1, spaced ≤
+    ``max_step_deg`` (``OGRGeometryFactory::curveToLineString``).
+    Collinear triples degrade to the chord. Returns (n, 2) INCLUDING
+    both endpoints, endpoint-exact."""
+    ax, ay = float(p0[0]), float(p0[1])
+    bx, by = float(p1[0]), float(p1[1])
+    cx, cy = float(p2[0]), float(p2[1])
+    if ax == cx and ay == cy:
+        # closed arc: full circle with p1 diametrally opposite p0 (the
+        # PostGIS/OGR CIRCULARSTRING closed-ring convention)
+        ux, uy = (ax + bx) / 2.0, (ay + by) / 2.0
+        r = math.hypot(ax - ux, ay - uy)
+        a0 = math.atan2(ay - uy, ax - ux)
+        n = max(4, int(math.ceil(360.0 / max_step_deg)))
+        angles = a0 + 2.0 * math.pi * np.arange(n + 1) / n
+        pts = np.column_stack([ux + r * np.cos(angles), uy + r * np.sin(angles)])
+        pts[0] = (ax, ay)
+        pts[-1] = (cx, cy)
+        return pts
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(cx), abs(cy), 1.0)
+    if abs(d) < 1e-12 * scale * scale:
+        return np.array([[ax, ay], [cx, cy]])
+    ux = (
+        (ax * ax + ay * ay) * (by - cy)
+        + (bx * bx + by * by) * (cy - ay)
+        + (cx * cx + cy * cy) * (ay - by)
+    ) / d
+    uy = (
+        (ax * ax + ay * ay) * (cx - bx)
+        + (bx * bx + by * by) * (ax - cx)
+        + (cx * cx + cy * cy) * (bx - ax)
+    ) / d
+    r = math.hypot(ax - ux, ay - uy)
+    a0 = math.atan2(ay - uy, ax - ux)
+    a1 = math.atan2(by - uy, bx - ux)
+    a2 = math.atan2(cy - uy, cx - ux)
+    two_pi = 2.0 * math.pi
+    d1 = (a1 - a0) % two_pi
+    d2 = (a2 - a0) % two_pi
+    sweep = d2 if d1 <= d2 else d2 - two_pi  # CCW through p1, else CW
+    if sweep == 0.0:
+        sweep = two_pi if d1 > 0 else -two_pi  # full circle
+    n = max(2, int(math.ceil(abs(sweep) / math.radians(max_step_deg))))
+    angles = a0 + sweep * np.arange(n + 1) / n
+    pts = np.column_stack([ux + r * np.cos(angles), uy + r * np.sin(angles)])
+    pts[0] = (ax, ay)
+    pts[-1] = (cx, cy)
+    return pts
+
+
+def _linearize_circularstring(a: np.ndarray) -> np.ndarray:
+    """CIRCULARSTRING point list (odd count: arcs over consecutive
+    triples) → dense linestring coordinates."""
+    if len(a) < 3:
+        return a[:, :2]
+    segs = []
+    for k in range(0, len(a) - 2, 2):
+        seg = _linearize_arc(a[k], a[k + 1], a[k + 2])
+        segs.append(seg if k == 0 else seg[1:])
+    return np.vstack(segs)
+
+
 def parse_wkb(buf: bytes) -> Geom:
     g, _ = _parse_at(bytes(buf), 0)
     return g
@@ -265,10 +342,60 @@ def _parse_at(buf, off):
             g.ring_roles.append(i == 0)
             g.full.append(r)
         return g, off
-    if gtype in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON, WKB_GEOMETRYCOLLECTION):
+    if gtype == WKB_CIRCULARSTRING:
+        a, off = _read_ring(buf, off, endian, width)
+        lin = _linearize_circularstring(a)
+        return Geom(WKB_LINESTRING, coords=[lin], full=[lin]), off
+    if gtype == WKB_COMPOUNDCURVE:
+        (nc,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        pieces = []
+        for _ in range(nc):
+            sub, off = _parse_at(buf, off)  # LINESTRING (possibly linearized)
+            c = sub.coords[0]
+            pieces.append(c if not pieces else c[1:])
+        lin = np.vstack(pieces) if pieces else np.zeros((0, 2))
+        return Geom(WKB_LINESTRING, coords=[lin], full=[lin]), off
+    if gtype == WKB_CURVEPOLYGON:
+        (nr,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        g = Geom(WKB_POLYGON)
+        for i in range(nr):
+            peek = buf[off]
+            fmt = "<I" if peek == 1 else ">I"
+            (rt,) = struct.unpack_from(fmt, buf, off + 1)
+            if (rt & 0x1FFFFFFF) % 1000 in (
+                WKB_LINESTRING,
+                WKB_CIRCULARSTRING,
+                WKB_COMPOUNDCURVE,
+            ):
+                sub, off = _parse_at(buf, off)
+                ring = sub.coords[0]
+            else:  # bare ring (linearring count+points, non-ISO writers)
+                ring, off = _read_ring(buf, off, endian, width)
+                ring = ring[:, :2]
+            if len(ring) and not np.array_equal(ring[0], ring[-1]):
+                ring = np.vstack([ring, ring[:1]])
+            g.rings.append(ring)
+            g.ring_roles.append(i == 0)
+            g.full.append(ring)
+        return g, off
+    if gtype in (
+        WKB_MULTIPOINT,
+        WKB_MULTILINESTRING,
+        WKB_MULTIPOLYGON,
+        WKB_GEOMETRYCOLLECTION,
+        WKB_MULTICURVE,
+        WKB_MULTISURFACE,
+    ):
         (np_,) = struct.unpack_from(endian + "I", buf, off)
         off += 4
-        g = Geom(gtype)
+        # curve containers linearize to their linear counterparts
+        out_type = {
+            WKB_MULTICURVE: WKB_MULTILINESTRING,
+            WKB_MULTISURFACE: WKB_MULTIPOLYGON,
+        }.get(gtype, gtype)
+        g = Geom(out_type)
         for _ in range(np_):
             sub, off = _parse_at(buf, off)
             g.parts.append(sub)

@@ -175,3 +175,78 @@ def test_collection_z_propagates():
     g = G.parse_wkb(b)
     assert g.has_z  # any Z member marks the collection
     assert g.type_name == "GEOMETRYCOLLECTION Z"
+
+
+# ---------------------------------------------------------------------------
+# ISO curve types: linearized on parse (ogr_core.h:422-452,
+# OGRGeometryFactory::curveToLineString, OGR_ARC_STEPSIZE=4°)
+# ---------------------------------------------------------------------------
+
+import math
+import struct
+
+
+def _wkb_circularstring(pts):
+    a = np.asarray(pts, dtype=np.float64)
+    return struct.pack("<BII", 1, G.WKB_CIRCULARSTRING, len(a)) + a.tobytes()
+
+
+def test_circularstring_semicircle():
+    b = _wkb_circularstring([(0, 0), (1, 1), (2, 0)])
+    g = G.parse_wkb(b)
+    assert g.gtype == G.WKB_LINESTRING
+    c = g.coords[0]
+    assert tuple(c[0]) == (0, 0) and tuple(c[-1]) == (2, 0)
+    # all points on the unit circle about (1, 0)
+    r = np.hypot(c[:, 0] - 1.0, c[:, 1])
+    assert np.abs(r - 1.0).max() < 1e-12
+    # arc length ~ pi at 4-degree resolution
+    d = np.diff(c, axis=0)
+    ln = np.sqrt((d * d).sum(axis=1)).sum()
+    assert abs(ln - math.pi) < 2e-3
+    # segments spaced <= 4 degrees
+    assert len(c) - 1 >= math.ceil(180 / 4)
+
+
+def test_curvepolygon_full_circle_area():
+    ring = _wkb_circularstring([(-1, 0), (1, 0), (-1, 0)])
+    b = struct.pack("<BII", 1, G.WKB_CURVEPOLYGON, 1) + ring
+    g = G.parse_wkb(b)
+    assert g.gtype == G.WKB_POLYGON
+    # inscribed-90-gon deficit: pi - (n/2)sin(2pi/n) ~ 0.0026
+    assert abs(G.geom_area(g) - math.pi) < 3e-3
+    # ring is closed
+    assert np.array_equal(g.rings[0][0], g.rings[0][-1])
+
+
+def test_compoundcurve_mixed():
+    ls = G.wkb_linestring([(2, 0), (4, 0)])
+    cs = _wkb_circularstring([(0, 0), (1, 1), (2, 0)])
+    b = struct.pack("<BII", 1, G.WKB_COMPOUNDCURVE, 2) + cs + ls
+    g = G.parse_wkb(b)
+    assert g.gtype == G.WKB_LINESTRING
+    c = g.coords[0]
+    assert tuple(c[0]) == (0, 0) and tuple(c[-1]) == (4, 0)
+    # junction point not duplicated
+    assert (np.all(c == np.array([2.0, 0.0]), axis=1)).sum() == 1
+
+
+def test_multicurve_multisurface():
+    cs = _wkb_circularstring([(0, 0), (1, 1), (2, 0)])
+    mc = struct.pack("<BII", 1, G.WKB_MULTICURVE, 2) + cs + G.wkb_linestring(
+        [(5, 5), (6, 6)]
+    )
+    g = G.parse_wkb(mc)
+    assert g.gtype == G.WKB_MULTILINESTRING and len(g.parts) == 2
+    ring = _wkb_circularstring([(-1, 0), (1, 0), (-1, 0)])
+    cp = struct.pack("<BII", 1, G.WKB_CURVEPOLYGON, 1) + ring
+    ms = struct.pack("<BII", 1, G.WKB_MULTISURFACE, 1) + cp
+    g = G.parse_wkb(ms)
+    assert g.gtype == G.WKB_MULTIPOLYGON
+    assert abs(G.geom_area(g) - math.pi) < 3e-3
+
+
+def test_collinear_circularstring_is_chord():
+    b = _wkb_circularstring([(0, 0), (1, 0), (2, 0)])
+    g = G.parse_wkb(b)
+    assert len(g.coords[0]) == 2  # degenerate arc -> straight chord
