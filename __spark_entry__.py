@@ -2500,6 +2500,49 @@ def _q_minhash(spark, sf_dir):
     )
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-token-shingle Jaccard near-dup pairs via the shingle
+    inverted index (dedup.ngram_jaccard_pairs) — the deterministic,
+    no-miss counterpart of dedup_minhash_lsh. Hot shingles are
+    df-capped (both engines) so the index join stays bounded."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.5, df_cap=64)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def _ngram_jaccard_oracle() -> str:
+    toks = "string_split(text, ' ')"
+    shl = (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])) "
+        f"ELSE [text] END"
+    )
+    return f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({shl})) AS sh FROM documents
+),
+dfreq AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 64),
+kept AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN dfreq USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5
+"""
+
+
 def _minhash_oracle() -> str:
     toks = "string_split(text, ' ')"
     sh = (
@@ -3618,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_utm": _q_reproject_utm,
         **{name: _make_q_proj(name) for name in _PROJ_QUERY_DEFS},
         "dedup_minhash_lsh": _q_minhash,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
         "ann_topk": _q_ann,
         "gcp_fit_points": _q_gcp_fit,
@@ -3780,6 +3824,7 @@ def oracle_sql() -> dict[str, str]:
         "saved_plan_exec": SAVED_PLAN_ORACLE,
         "dedup_exact": EXACT_DEDUP_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
         "dedup_components": _dedup_components_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "text_lang_id": _lang_oracle(),

@@ -320,3 +320,51 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         for i in range(bits)
     )
     return per_doc.select("doc_id", F.expr(combine).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, df_cap: int = 64
+) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard near-dup pairs via an
+    inverted-index equi-join — never an all-pairs comparison.
+
+    Unlike :func:`minhash_lsh_pairs` (probabilistic candidates, may
+    miss pairs), this computes |A∩B| exactly as the pair-count of the
+    shingle inverted index: explode distinct shingles, drop shingles
+    whose document frequency exceeds ``df_cap`` (hot/boilerplate
+    shingles — the standard prefix/stop-shingle filter; they would
+    otherwise turn the index join quadratic at 10^12 scale), self-join
+    on shingle, groupBy pair. Jaccard is over the CAPPED shingle sets
+    on both sides, so the oracle mirrors the semantics exactly.
+
+    Plan shape at scale: one explode, one groupBy(sh) for df, one
+    shuffle-hash self-join on sh (skew bounded by df_cap: each shingle
+    contributes ≤ df_cap·(df_cap−1)/2 pairs), one groupBy(pair).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("_t")
+    ).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_FROM_T))).alias("sh")
+    )
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= df_cap
+    )
+    kept = sh.join(dfreq.select("sh"), "sh")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        kept.alias("a")
+        .join(kept.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

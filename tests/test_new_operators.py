@@ -638,3 +638,47 @@ def test_dedup_job_end_to_end(spark, sf_dir, tmp_path):
         ids = [m.doc_id for m in members]
         assert cid == min(ids)  # canonical = component minimum
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_ngram_jaccard_pairs(spark):
+    """Exact inverted-index Jaccard: a naive python recount over a tiny
+    synthetic corpus must reproduce every (pair, jaccard) exactly, and
+    the df_cap must drop hot-shingle-only pairs."""
+    from gdal_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",   # near-dup of 1
+        3: "the quick brown fox jumps over the lazy dog",   # exact dup of 1
+        4: "completely different text with no overlap here",
+        5: "short",                                          # < 3 tokens
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+
+    def shingles(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {t}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, df_cap=64).collect()
+    }
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.3:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
+    assert got[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in got and got[(1, 2)] < 1.0
+
+    # df_cap=1 keeps only shingles unique to one doc -> no shared
+    # shingles survive -> no pairs at all
+    assert ngram_jaccard_pairs(docs, threshold=0.0, df_cap=1).count() == 0
