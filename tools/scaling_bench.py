@@ -70,6 +70,12 @@ def join_phase():
     return n_join + n_tiles
 
 def pixel_phase():
+    # 7.5k-image sample: with the round-4 native codec path this
+    # phase is fixed-overhead-dominated above ~8 cores (3-5 s wall),
+    # so its high-core efficiencies understate the kernels; the
+    # throughput column (img/s) stays comparable across rounds and
+    # the 1->4 pair remains meaningful. The north-rule metric is the
+    # join+tiles phase.
     return rp.with_checksums(synth.images(spark, sf_dir, where="okey % 20 = 0")).count()
 
 # cold run (worker spawn + JIT) then best-of-3 warm: the shared-host
