@@ -3134,6 +3134,7 @@ GOLDEN_QUERIES = [
     "raster_nodata_alpha",
     "tile_pyramid",
     "tile_pyramid_geodetic",
+    "gnm_shortest_path",
 ]
 
 
@@ -3505,6 +3506,151 @@ def _q_pansharpen(spark, sf_dir):
     return rp.pansharpen(imgs)
 
 
+def _q_style_parse(spark, sf_dir):
+    """OGR feature-style strings (OGRStyleMgr/OGRStyleTool,
+    ogr/ogrfeaturestyle.cpp:38-89 param tables, :1524 GetRGBFromString,
+    :1920 ComputeWithUnit): build PEN/BRUSH/LABEL style strings from
+    customer columns (quoted values with embedded commas included),
+    parse them back with the JVM-side regexp/conv column library in
+    functions/style.py. The oracle re-derives every parsed field
+    closed-form from the base columns — fully independent of the
+    parser."""
+    from gdal_spark.functions import style as S
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    built = c.select(
+        F.col("c_custkey").cast("long").alias("cust"),
+        F.expr(
+            """
+            concat(
+              'PEN(c:',
+              CASE c_custkey % 4 WHEN 0 THEN '#FF0000' WHEN 1 THEN '#00FF00'
+                   WHEN 2 THEN '#0000FF80' ELSE '#12AB34' END,
+              ',w:', CAST(c_custkey % 9 + 1 AS STRING),
+              CASE c_custkey % 3 WHEN 0 THEN 'px' WHEN 1 THEN 'mm' ELSE '' END,
+              ');BRUSH(fc:#00AA55,id:"ogr-brush-',
+              CAST(c_custkey % 3 AS STRING), '")',
+              CASE WHEN c_custkey % 5 = 0
+                   THEN concat(';LABEL(f:"Helvetica, Bold",s:12pt,t:"',
+                               c_name, '")')
+                   ELSE '' END
+            )
+            """
+        ).alias("style"),
+    )
+    pen_c = S.style_color(S.style_param("style", "PEN", "c"))
+    return built.select(
+        "cust",
+        pen_c.getField("r").alias("pen_r"),
+        pen_c.getField("g").alias("pen_g"),
+        pen_c.getField("b").alias("pen_b"),
+        pen_c.getField("a").alias("pen_a"),
+        F.round(S.style_num_m(S.style_param("style", "PEN", "w")) * 1e6)
+        .cast("long")
+        .alias("pen_w_um"),
+        S.style_param("style", "BRUSH", "id").alias("brush_id"),
+        S.style_param("style", "LABEL", "f").alias("label_font"),
+        S.style_param("style", "LABEL", "t").alias("label_t"),
+        F.round(S.style_num_m(S.style_param("style", "LABEL", "s")) * 1e6)
+        .cast("long")
+        .alias("label_s_um"),
+    )
+
+
+def _style_parse_oracle() -> str:
+    from gdal_spark.functions.style import UNIT_TO_M
+
+    px, mm, pt = repr(UNIT_TO_M["px"]), repr(UNIT_TO_M["mm"]), repr(UNIT_TO_M["pt"])
+    return f"""
+SELECT CAST(c_custkey AS BIGINT) AS cust,
+  CASE c_custkey % 4 WHEN 0 THEN 255 WHEN 1 THEN 0 WHEN 2 THEN 0 ELSE 18 END AS pen_r,
+  CASE c_custkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 255 WHEN 2 THEN 0 ELSE 171 END AS pen_g,
+  CASE c_custkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 255 ELSE 52 END AS pen_b,
+  CASE c_custkey % 4 WHEN 2 THEN 128 ELSE 255 END AS pen_a,
+  CAST(ROUND((CAST(c_custkey % 9 + 1 AS DOUBLE) *
+    CASE c_custkey % 3 WHEN 0 THEN {px} ELSE {mm} END) * 1e6) AS BIGINT) AS pen_w_um,
+  'ogr-brush-' || CAST(c_custkey % 3 AS VARCHAR) AS brush_id,
+  CASE WHEN c_custkey % 5 = 0 THEN 'Helvetica, Bold' END AS label_font,
+  CASE WHEN c_custkey % 5 = 0 THEN c_name END AS label_t,
+  CASE WHEN c_custkey % 5 = 0
+       THEN CAST(ROUND((12.0 * {pt}) * 1e6) AS BIGINT) END AS label_s_um
+FROM customer
+"""
+
+
+# gazetteer coordinates for the geocode fixture: same dual-dialect
+# scatter formula as the other synthetic layers (synth._scatter_sql)
+_PLACE_LON_SQL = synth._scatter_sql(
+    "n_nationkey", synth.SITE_LON_MUL, 360000, 1000.0, -180.0
+)
+_PLACE_LAT_SQL = synth._scatter_sql(
+    "n_nationkey", synth.SITE_LAT_MUL, 170000, 1000.0, -85.0
+)
+
+
+def _q_geocode_reverse(spark, sf_dir):
+    """ogr_geocode_reverse(lon, lat, 'display_name')
+    (ogr/ogrsqlitesqlfunctions.cpp:1111, OGRGeocodeReverse in
+    ogr/ogrgeocoding.cpp): nearest-gazetteer-place lookup for every
+    customer point, gazetteer = the nation table with deterministic
+    scatter coordinates. Broadcast dim + windowed argmin — the probe
+    side never shuffles. Distances mm-snapped via the shared haversine
+    SQL text, so the DuckDB oracle is bit-identical."""
+    from gdal_spark.operators.geocode import reverse_geocode
+
+    pts = synth.points(spark, sf_dir)
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("place_id"),
+        F.col("n_name").alias("place"),
+        F.expr(_PLACE_LON_SQL).alias("lon"),
+        F.expr(_PLACE_LAT_SQL).alias("lat"),
+    )
+    return reverse_geocode(pts, nat)
+
+
+def _geocode_reverse_oracle() -> str:
+    from gdal_spark.operators.gnm import HAVERSINE_MM_SQL
+
+    return f"""
+WITH pl AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS place_id, n_name AS place,
+         {_PLACE_LON_SQL} AS lon2, {_PLACE_LAT_SQL} AS lat2
+  FROM nation
+), pts AS (
+  SELECT c_custkey AS pt_id,
+         {synth.POINT_LON_SQL} AS lon1, {synth.POINT_LAT_SQL} AS lat1
+  FROM customer
+), d AS (
+  SELECT pt_id, place_id, place, {HAVERSINE_MM_SQL} AS dist_m
+  FROM pts CROSS JOIN pl
+), r AS (
+  SELECT pt_id, place, dist_m,
+         row_number() OVER (PARTITION BY pt_id ORDER BY dist_m, place_id) AS rn
+  FROM d
+)
+SELECT pt_id, place, dist_m FROM r WHERE rn = 1
+"""
+
+
+def _q_gnm_shortest_path(spark, sf_dir):
+    """GNM Dijkstra shortest-path tree (GATDijkstraShortestPath,
+    gnm/gnmgraph.cpp:185 DijkstraShortestPathTree; blocked-vertex rule
+    gnmgraph.cpp:129,:473) from vertex 0 over a deterministic
+    small-world network on the sites layer (power-of-two-skip edges,
+    haversine-metre weights, vertices with site_id % 97 = 13 blocked).
+    Distributed as frontier Bellman-Ford — per round one frontier ×
+    edges hash join + struct-min groupBy (the Pregel SSSP shape),
+    O(log n) rounds on this topology. Golden-oracled against the
+    single-process heapq Dijkstra mirror (same lexicographic
+    (dist, hops, parent) fixed point, bit-for-bit)."""
+    from gdal_spark.operators import gnm
+
+    nodes = synth.sites(spark, sf_dir)
+    n = nodes.count()
+    edges = gnm.network_edges(nodes, n, blocked_sql="site_id % 97 = 13")
+    return gnm.shortest_path_tree(edges, start=0)
+
+
 def _q_viewshed(spark, sf_dir):
     """gdal_viewshed (alg/viewshed/viewshed.cpp): center-observer
     visibility over band 0 as elevation — exact Wang et al. line
@@ -3757,6 +3903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_footprint": _q_raster_footprint,
         "raster_nodata_alpha": _q_nodata_alpha,
         "vector_check_geometry": _q_check_geometry,
+        "gnm_shortest_path": _q_gnm_shortest_path,
+        "ogr_style_parse": _q_style_parse,
+        "ogr_geocode_reverse": _q_geocode_reverse,
     }
 
 
@@ -3838,6 +3987,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "simhash_neardup": _simhash_neardup_oracle(),
+        "ogr_style_parse": _style_parse_oracle(),
+        "ogr_geocode_reverse": _geocode_reverse_oracle(),
         "reproject_utm": _reproject_utm_oracle(),
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},

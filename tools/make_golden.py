@@ -1120,6 +1120,47 @@ def g_raster_footprint(sf_dir, out_w=64, out_h=64, min_ring_area=4):
     return schema, rows
 
 
+def g_gnm_shortest_path(sf_dir):
+    """Single-process heapq-Dijkstra mirror of the GNM SSSP tree
+    (gnm/gnmgraph.cpp:185 DijkstraShortestPathTree) over the same
+    deterministic small-world network the Spark query builds; the
+    lexicographic (dist, hops, parent) fixed point is algorithm-
+    independent, so distributed Bellman-Ford must match bit-for-bit."""
+    from gdal_spark.operators import gnm
+
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    keys = sorted(int(v) for v in t.column("p_partkey").to_pylist())
+    n = len(keys)
+
+    def lon(k):
+        return -180.0 + ((k * synth.SITE_LON_MUL) % 360000) / 1000.0
+
+    def lat(k):
+        return -85.0 + ((k * synth.SITE_LAT_MUL) % 170000) / 1000.0
+
+    blocked = {k for k in keys if k % 97 == 13}
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for i in keys:
+        if i in blocked:
+            continue
+        for s in gnm.DEFAULT_SKIPS:
+            j = (i + s) % n
+            if j == i or j in blocked:
+                continue
+            w = gnm.haversine_m_py(lon(i), lat(i), lon(j), lat(j))
+            adj.setdefault(i, []).append((j, w))
+            adj.setdefault(j, []).append((i, w))
+    best = gnm.dijkstra_tree_py(adj, 0)
+    rows = [
+        (node, d, h, p)
+        for node, (d, h, p) in sorted(best.items())
+    ]
+    schema = pa.schema(
+        [("node", I64), ("dist_m", F64), ("hops", I32), ("parent", I64)]
+    )
+    return schema, rows
+
+
 GOLDEN_BUILDERS = {
     "raster_checksums": g_raster_checksums,
     "geotiff_cog": g_geotiff_cog,
@@ -1160,6 +1201,7 @@ GOLDEN_BUILDERS = {
     "raster_nodata_alpha": g_raster_nodata_alpha,
     "tile_pyramid": g_tile_pyramid,
     "tile_pyramid_geodetic": g_tile_pyramid_geodetic,
+    "gnm_shortest_path": g_gnm_shortest_path,
 }
 
 
