@@ -3135,6 +3135,7 @@ GOLDEN_QUERIES = [
     "tile_pyramid",
     "tile_pyramid_geodetic",
     "gnm_shortest_path",
+    "gnm_components",
 ]
 
 
@@ -3651,6 +3652,32 @@ def _q_gnm_shortest_path(spark, sf_dir):
     return gnm.shortest_path_tree(edges, start=0)
 
 
+def _q_gnm_components(spark, sf_dir):
+    """GNM connectivity analysis (GATConnectedComponents,
+    gnm/gnm.h:62, BFS in gnm/gnmgraph.cpp:377+): components of the
+    skip-1 ring network with the blocked-vertex rule — every blocked
+    vertex cuts the ring, so the fixture yields one component per
+    blocked gap (21 at sf0.01). Reuses dedup.connected_components
+    (min-label propagation + path shortcutting, O(log n) rounds);
+    golden-oracled against a single-process union-find mirror."""
+    from gdal_spark.operators import gnm
+    from gdal_spark.operators.dedup import connected_components
+
+    nodes = synth.sites(spark, sf_dir)
+    n = nodes.count()
+    edges = gnm.network_edges(
+        nodes, n, skips=(1,), blocked_sql="site_id % 97 = 13"
+    )
+    pairs = edges.filter("src < dst").select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("node"),
+        F.col("canonical_id").alias("component_id"),
+        F.col("cluster_size").cast("int").alias("size"),
+    )
+
+
 def _q_viewshed(spark, sf_dir):
     """gdal_viewshed (alg/viewshed/viewshed.cpp): center-observer
     visibility over band 0 as elevation — exact Wang et al. line
@@ -3904,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_nodata_alpha": _q_nodata_alpha,
         "vector_check_geometry": _q_check_geometry,
         "gnm_shortest_path": _q_gnm_shortest_path,
+        "gnm_components": _q_gnm_components,
         "ogr_style_parse": _q_style_parse,
         "ogr_geocode_reverse": _q_geocode_reverse,
     }

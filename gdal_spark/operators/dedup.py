@@ -240,57 +240,94 @@ def connected_components(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
 ) -> DataFrame:
     """Near-dup graph → canonical doc: connected components over a
-    pair table by iterated min-label propagation WITH path shortcutting
-    (label(v) ← min over neighbors' labels ∪ label(label(v))) — the
-    hash-to-min scheme, O(log n) rounds on chains instead of O(n).
+    pair table by alternating large-star / small-star edge contraction
+    (the two-phase MapReduce CC algorithm of Kiveris et al., KDD'14
+    "Connected Components in MapReduce and Beyond") — O(log² n) rounds
+    worst case REGARDLESS of how component-minimum ids are laid out
+    along chains. The previous min-label-propagation + lbl(lbl(v))
+    shortcut was O(log n) only when labels decrease monotonically
+    along a path; a ring whose minimum sits mid-chain (the GNM network
+    fixture) degraded it to one hop per round — O(n) driver rounds.
+    Star contraction has no such failure mode: each phase re-points
+    whole neighborhoods at their local minimum, so every component
+    collapses to a star (all nodes → component min) geometrically.
     This is the step every real dedup pipeline runs after LSH
     (round-2 verdict gap): transitive near-dup chains collapse into
     one keep/drop set per component.
 
+    Per round: two groupBy-min + join phases over the shrinking edge
+    set — no driver-side data beyond a (count, checksum) convergence
+    fingerprint; each phase localCheckpoint'ed to truncate lineage.
+
     Returns (doc_id, canonical_id, cluster_size) for every node that
     appears in ``pairs`` (canonical_id = component minimum — the
-    deterministic keeper). Driver loop iterates Spark jobs until the
-    label sum is stable; each round is hash joins + groupBy — no
-    driver-side data beyond the convergence scalar."""
+    deterministic keeper)."""
     from gdal_spark.cache import release_all, track_persist
 
     release_all()
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = track_persist(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e0 = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = track_persist(
+        e0.select("u").unionByName(e0.select(F.col("v").alias("u"))).distinct()
     )
-    # localCheckpoint (not persist): each round references `labels`
-    # three times, so without lineage TRUNCATION the logical plan grows
-    # 3^iterations and Catalyst analysis, not the data, becomes the
-    # bottleneck — the standard iterative-graph-algorithm fix
-    labels = (
-        edges.select(F.col("u").alias("node"))
+    # canonical undirected form (hi, lo), self-loops dropped
+    edges = (
+        e0.filter("u != v")
+        .select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
         .distinct()
-        .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = None
+    prev_fp = None
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.u == labels.node)
-            .select(F.col("v").alias("node"), "lbl")
+        # ---- large-star: for every node x, re-point each strictly
+        # larger neighbour at m(x) = min(Γ(x) ∪ {x})
+        bidir = edges.select(F.col("hi").alias("x"), F.col("lo").alias("y")).unionByName(
+            edges.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
         )
-        shortcut = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.lbl") == F.col("y.node"))
-            .select(F.col("x.node").alias("node"), F.col("y.lbl").alias("lbl"))
+        mins = bidir.groupBy("x").agg(
+            F.least(F.min("y"), F.first("x")).alias("m")
         )
-        new_labels = (
-            nbr.unionByName(labels).unionByName(shortcut)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+        edges = (
+            bidir.filter(F.col("y") > F.col("x"))
+            .join(mins, "x")
+            .select(F.col("y").alias("hi"), F.col("m").alias("lo"))
+            .filter("hi != lo")
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        s = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels = new_labels
-        if prev_sum is not None and s == prev_sum:
+        # ---- small-star: orient high→low; re-point each smaller
+        # neighbour (and the node itself) at m(x) = min of its lows
+        mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+        edges = (
+            edges.join(mins, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(
+                mins.select(F.col("hi"), F.col("m").alias("lo"))
+            )
+            .filter("hi != lo")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # bit_xor, not sum: order-insensitive AND overflow-free under
+        # ANSI mode (sum of xxhash64 values overflows BIGINT)
+        fp = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+        ).collect()[0]
+        fp = (fp["n"], fp["h"])
+        if fp == prev_fp:
             break
-        prev_sum = s
+        prev_fp = fp
+    # at convergence the edge set is a star per component: (node, min).
+    # Nodes only ever seen as self-pairs keep themselves as canonical.
+    labels = (
+        nodes.join(edges, nodes.u == edges.hi, "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce("lo", "u").alias("lbl"),
+        )
+    )
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),

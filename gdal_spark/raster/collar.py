@@ -93,7 +93,12 @@ def _hull_area(xs: np.ndarray, ys: np.ndarray) -> float:
     if len(hull) < 3:
         return 0.0
     x, y = hull[:, 0], hull[:, 1]
-    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2.0)
+    # np.sum (fixed pairwise order), NOT np.dot: BLAS ddot picks its
+    # SIMD tail handling by pointer alignment, so the same hull can
+    # yield 1-ulp-different areas across allocations — which breaks
+    # the bit-exact golden gate run-to-run
+    cross = x * np.roll(y, -1) - y * np.roll(x, -1)
+    return float(abs(cross.sum()) / 2.0)
 
 
 def warp_utm_array(

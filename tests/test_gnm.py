@@ -103,3 +103,27 @@ def test_dijkstra_py_basics():
     assert best[2] == (4.0, 2, 1)
     assert best[0] == (0.0, 0, -1)
     assert math.isinf(best.get(99, (math.inf, 0, 0))[0])
+
+
+def test_components_ring_segments(spark, sf_dir):
+    # skip-1 ring with blocked vertices: every blocked vertex cuts the
+    # ring -> one component per gap (GATConnectedComponents semantics,
+    # gnm/gnmgraph.cpp:377+), golden-pinned via the union-find mirror
+    import pyarrow.parquet as pq
+    import __spark_entry__ as em
+
+    got = {
+        r.node: (r.component_id, r.size)
+        for r in em._q_gnm_components(spark, sf_dir).collect()
+    }
+    t = pq.read_table("golden/sf0.001/gnm_components.parquet")
+    want = {
+        n: (c, s)
+        for n, c, s in zip(
+            t.column("node").to_pylist(),
+            t.column("component_id").to_pylist(),
+            t.column("size").to_pylist(),
+        )
+    }
+    assert got == want
+    assert len({c for c, _ in got.values()}) == 2  # two blocked gaps at sf0.001

@@ -1161,6 +1161,52 @@ def g_gnm_shortest_path(sf_dir):
     return schema, rows
 
 
+def g_gnm_components(sf_dir):
+    """Union-find mirror of the GNM connectivity analysis
+    (GATConnectedComponents, gnm/gnmgraph.cpp:377+) over the skip-1
+    ring with blocked vertices — component id = min node id, matching
+    the min-label propagation's canonical label."""
+    t = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    keys = sorted(int(v) for v in t.column("p_partkey").to_pylist())
+    n = len(keys)
+    blocked = {k for k in keys if k % 97 == 13}
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes_in = set()
+    for i in keys:
+        if i in blocked:
+            continue
+        j = (i + 1) % n
+        if j == i or j in blocked:
+            continue
+        for v in (i, j):
+            parent.setdefault(v, v)
+        nodes_in.update((i, j))
+        ra, rb = find(i), find(j)
+        if ra != rb:
+            # union by min id so find() roots are the canonical labels
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for v in nodes_in:
+        comp.setdefault(find(v), []).append(v)
+    rows = []
+    for root, members in comp.items():
+        for m in members:
+            rows.append((m, root, len(members)))
+    rows.sort()
+    schema = pa.schema([("node", I64), ("component_id", I64), ("size", I32)])
+    return schema, rows
+
+
 GOLDEN_BUILDERS = {
     "raster_checksums": g_raster_checksums,
     "geotiff_cog": g_geotiff_cog,
@@ -1202,6 +1248,7 @@ GOLDEN_BUILDERS = {
     "tile_pyramid": g_tile_pyramid,
     "tile_pyramid_geodetic": g_tile_pyramid_geodetic,
     "gnm_shortest_path": g_gnm_shortest_path,
+    "gnm_components": g_gnm_components,
 }
 
 
