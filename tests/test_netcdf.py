@@ -1,0 +1,156 @@
+"""netCDF classic source tests — format round-trip against NumPy
+ground truth (no libnetcdf in-container; the writer/reader implement
+the public netCDF-3 spec independently: reference `frmts/netcdf/`)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.sources import netcdf as NC
+
+
+def _cube(shape, dtype=np.float64):
+    idx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    coeffs = [7, 3, 1, 5][: len(shape)]
+    out = sum(c * i for c, i in zip(coeffs, idx)) % 97
+    return out.astype(dtype)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    """3-D record var (t unlimited) + 2-D fixed var + attrs."""
+    temp = _cube((6, 9, 11))
+    elev = _cube((9, 11), np.int32)
+    p = str(tmp_path / "cube.nc")
+    NC.write_netcdf(
+        p,
+        dims={"t": None, "y": 9, "x": 11},
+        variables={"temp": (["t", "y", "x"], temp), "elev": (["y", "x"], elev)},
+        gatts={"title": "fixture", "version": 3, "scale": 0.5},
+    )
+    return p, temp, elev
+
+
+def test_header_roundtrip(store):
+    p, temp, elev = store
+    h = NC.read_netcdf_header(p)
+    assert h["version"] == 1
+    assert h["numrecs"] == 6
+    assert h["dims"] == [("t", 0), ("y", 9), ("x", 11)]
+    assert h["gatts"] == {"title": "fixture", "version": 3, "scale": 0.5}
+    assert h["vars"]["temp"]["dims"] == ["t", "y", "x"]
+    assert h["vars"]["temp"]["shape"] == [6, 9, 11]
+    assert h["vars"]["temp"]["record"] is True
+    assert h["vars"]["elev"]["shape"] == [9, 11]
+    assert h["vars"]["elev"]["record"] is False
+    assert np.dtype(h["vars"]["elev"]["dtype"]) == np.dtype(">i4")
+
+
+def test_window_record_var(spark, store):
+    p, temp, _ = store
+    win = [(1, 3), (2, 5), (4, 6)]
+    rows = NC.netcdf_window(spark, p, "temp", win).collect()
+    exp = temp[1:4, 2:7, 4:10]
+    assert len(rows) == exp.size
+    got = {(r.d0, r.d1, r.d2): r.value for r in rows}
+    for t in range(1, 4):
+        for y in range(2, 7):
+            for x in range(4, 10):
+                assert got[(t, y, x)] == exp[t - 1, y - 2, x - 4]
+
+
+def test_window_fixed_var_full(spark, store):
+    p, _, elev = store
+    rows = NC.netcdf_window(spark, p, "elev", [(0, 9), (0, 11)]).collect()
+    assert len(rows) == elev.size
+    for r in rows:
+        assert r.value == float(elev[r.d0, r.d1])
+
+
+def test_window_clamps_edges(spark, store):
+    p, temp, _ = store
+    rows = NC.netcdf_window(spark, p, "temp", [(4, 99), (7, 99), (9, 99)]).collect()
+    assert len(rows) == 2 * 2 * 2
+    for r in rows:
+        assert r.value == float(temp[r.d0, r.d1, r.d2])
+
+
+@pytest.mark.parametrize("dtype", ["int8", "int16", "int32", "float32", "float64"])
+def test_dtype_matrix(spark, tmp_path, dtype):
+    arr = (_cube((4, 5)) % 100).astype(dtype)
+    p = str(tmp_path / f"{dtype}.nc")
+    NC.write_netcdf(p, {"y": 4, "x": 5}, {"v": (["y", "x"], arr)})
+    rows = NC.netcdf_window(spark, p, "v", [(0, 4), (0, 5)]).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.value == float(arr[r.d0, r.d1])
+
+
+def test_multiple_record_vars_padding(spark, tmp_path):
+    """Two record vars, one with an odd i2 slab (6 bytes → padded to
+    8): exercises the interleaved padded-record stride."""
+    a = _cube((5, 2, 3), np.float64)
+    b = _cube((5, 3), np.int16)  # slab 6 bytes, padded to 8
+    p = str(tmp_path / "multi.nc")
+    NC.write_netcdf(
+        p, {"t": None, "y": 2, "x": 3, "k": 3},
+        {"a": (["t", "y", "x"], a), "b": (["t", "k"], b)},
+    )
+    h = NC.read_netcdf_header(p)
+    assert h["recsize"] == 48 + 8
+    for var, truth in (("a", a), ("b", b)):
+        rows = NC.netcdf_window(
+            spark, p, var, [(0, s) for s in truth.shape]
+        ).collect()
+        assert len(rows) == truth.size
+        for r in rows:
+            key = tuple(getattr(r, f"d{i}") for i in range(truth.ndim))
+            assert r.value == float(truth[key])
+
+
+def test_single_record_var_packed(spark, tmp_path):
+    """Spec special case: a single record variable of short packs its
+    slabs with NO inter-record padding."""
+    b = _cube((4, 3), np.int16)
+    p = str(tmp_path / "packed.nc")
+    NC.write_netcdf(p, {"t": None, "k": 3}, {"b": (["t", "k"], b)})
+    h = NC.read_netcdf_header(p)
+    assert h["recsize"] == 6  # unpadded
+    rows = NC.netcdf_window(spark, p, "b", [(0, 4), (0, 3)]).collect()
+    for r in rows:
+        assert r.value == float(b[r.d0, r.d1])
+
+
+def test_axis_stats(spark, store):
+    p, temp, _ = store
+    rows = {r.i: r for r in NC.netcdf_axis_stats(spark, p, "temp", axis=0).collect()}
+    assert len(rows) == 6
+    for t in range(6):
+        sl = temp[t]
+        assert rows[t]["count"] == sl.size
+        assert rows[t].vmin == sl.min()
+        assert rows[t].vmax == sl.max()
+        assert rows[t].vsum == pytest.approx(sl.sum())
+        assert rows[t].mean == pytest.approx(sl.mean(), abs=1e-6)
+
+
+def test_slab_pruning(store):
+    p, _, _ = store
+    h = NC.read_netcdf_header(p)
+    slabs = NC.plan_slabs(h, "temp", [(2, 3), (0, 9), (0, 11)])
+    assert [s["i0"] for s in slabs] == [2, 3, 4]
+    # byte ranges stride by recsize from the variable's begin
+    assert slabs[1]["offset"] - slabs[0]["offset"] == h["recsize"]
+    assert all(s["nbytes"] == 9 * 11 * 8 for s in slabs)
+
+
+def test_bad_magic(tmp_path):
+    p = str(tmp_path / "h5.nc")
+    with open(p, "wb") as f:
+        f.write(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="netCDF-4"):
+        NC.read_netcdf_header(p)
+    p2 = str(tmp_path / "junk.nc")
+    with open(p2, "wb") as f:
+        f.write(b"JUNKJUNK")
+    with pytest.raises(ValueError, match="classic"):
+        NC.read_netcdf_header(p2)
