@@ -1112,6 +1112,36 @@ GROUP BY t
 """
 
 
+def _q_mdim_translate(spark, sf_dir):
+    """gdalmdimtranslate (apps/gdalmdimtranslate_lib.cpp): window +
+    axis-transpose + re-chunk from the netCDF fixture into a Zarr v2
+    store — piece fan-out per source slab (map-only), ONE shuffle
+    keyed on the destination chunk grid (the tiler-compose pattern),
+    executors write chunk files with atomic rename. The query reads
+    the written store back long-form, so the oracle (closed-form cube
+    with permuted coordinates) validates the full write+read cycle."""
+    import tempfile
+
+    from gdal_spark.sources import mdim, zarr as Z
+
+    dst = _os.path.join(tempfile.gettempdir(), "gdal_spark_mdim_v1.zarr")
+    mdim.mdim_translate_netcdf_to_zarr(
+        spark, _nc3_fixture(), "temp", _NC3_WIN, [2, 0, 1], dst, (8, 3, 5)
+    )
+    # dest shape = (20, 4, 16): x', t', y'
+    return Z.zarr_hypercube_window(spark, dst, [(0, 20), (0, 4), (0, 16)])
+
+
+# dest (a,b,c) <- src (t=2+b, y=8+c, x=10+a); temp = (5t+2y+x) % 89
+MDIM_TRANSLATE_ORACLE = """
+SELECT CAST(a AS INT) AS d0, CAST(b AS INT) AS d1, CAST(c AS INT) AS d2,
+       CAST((a + 5*b + 2*c + 36) % 89 AS DOUBLE) AS value
+FROM generate_series(0, 19) s1(a),
+     generate_series(0, 3) s2(b),
+     generate_series(0, 15) s3(c)
+"""
+
+
 def _q_st_zm(spark, sf_dir):
     """Z/M coordinate surface (ogr/ogr_core.h:422-452 ISO types,
     ogr/ogr_wkb.cpp; VERDICT r03 item 7): POINT Z construction, Z
@@ -3986,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
         "netcdf_axis_stats": _q_netcdf_axis_stats,
+        "mdim_translate": _q_mdim_translate,
         "grid_invdistnn": _q_grid_invdistnn,
         "grid_metrics": _q_grid_metrics,
         "st_predicates": _q_st_predicates,
@@ -4057,6 +4088,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,
         "netcdf_axis_stats": NETCDF_AXIS_ORACLE,
+        "mdim_translate": MDIM_TRANSLATE_ORACLE,
         "grid_idw": _grid_idw_oracle(),
         "grid_invdistnn": _grid_invdistnn_oracle(),
         "grid_metrics": _grid_metrics_oracle(),
