@@ -38,26 +38,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def mdim_translate(
-    spark: SparkSession,
+def piece_fanout(
     blocks: DataFrame,
     window: list[tuple[int, int]],
     transpose: list[int],
-    dst_path: str,
     dst_chunks: tuple[int, ...],
-    compressor: str | None = "zlib",
-    level: int = 1,
-    fill_value: float = 0.0,
-) -> dict:
-    """Subset ``window`` (per-source-dim (off, size)), permute axes by
-    ``transpose`` (dest axis d takes source axis transpose[d]), and
-    write a chunked Zarr v2 store at ``dst_path``.
-
-    ``blocks`` is the common multidim block contract:
-    (origin array<int>, dims array<int>, values array<double>) — what
-    ``read_netcdf_slabs`` and ``read_zarr_chunks_nd`` emit, so any
-    source translates into any chunking. Returns the dest metadata.
-    """
+) -> DataFrame:
+    """Map-only stage 1 of the translate: clip each source block to
+    ``window``, permute axes, and split into one contiguous piece row
+    per destination chunk intersected. Exposed separately so the plan
+    (no shuffle here; the job's ONE Exchange is the groupBy on the
+    dest chunk key downstream) can be audited un-executed."""
     rank = len(window)
     if sorted(transpose) != list(range(rank)):
         raise ValueError("transpose must be a permutation of the source axes")
@@ -65,7 +56,6 @@ def mdim_translate(
         raise ValueError("dst_chunks rank must match")
     w_off = [int(o) for o, _ in window]
     w_sz = [int(s) for _, s in window]
-    dst_shape = tuple(w_sz[a] for a in transpose)
     csz = tuple(int(c) for c in dst_chunks)
     perm = list(transpose)
 
@@ -113,11 +103,38 @@ def mdim_translate(
                 columns=["ck", "idx", "off", "pdims", "values"],
             )
 
-    pieces = blocks.mapInPandas(
+    return blocks.mapInPandas(
         fanout,
         schema="ck string, idx array<int>, off array<int>, "
         "pdims array<int>, values array<double>",
     )
+
+
+def mdim_translate(
+    spark: SparkSession,
+    blocks: DataFrame,
+    window: list[tuple[int, int]],
+    transpose: list[int],
+    dst_path: str,
+    dst_chunks: tuple[int, ...],
+    compressor: str | None = "zlib",
+    level: int = 1,
+    fill_value: float = 0.0,
+) -> dict:
+    """Subset ``window`` (per-source-dim (off, size)), permute axes by
+    ``transpose`` (dest axis d takes source axis transpose[d]), and
+    write a chunked Zarr v2 store at ``dst_path``.
+
+    ``blocks`` is the common multidim block contract:
+    (origin array<int>, dims array<int>, values array<double>) — what
+    ``read_netcdf_slabs`` and ``read_zarr_chunks_nd`` emit, so any
+    source translates into any chunking. Returns the dest metadata.
+    """
+    rank = len(window)
+    w_sz = [int(s) for _, s in window]
+    dst_shape = tuple(w_sz[a] for a in transpose)
+    csz = tuple(int(c) for c in dst_chunks)
+    pieces = piece_fanout(blocks, window, transpose, dst_chunks)
 
     os.makedirs(dst_path, exist_ok=True)
     meta = {
