@@ -248,11 +248,15 @@ def write_netcdf(
     dims: dict[str, int | None],
     variables: dict[str, tuple[list[str], np.ndarray]],
     gatts: dict | None = None,
+    version: int = 1,
 ) -> None:
-    """Minimal CDF-1 writer: ``dims`` maps name → size (``None`` =
-    unlimited/record dim, at most one, must be each record variable's
-    FIRST dim); ``variables`` maps name → (dim names, array). Arrays
-    are stored big-endian row-major per the spec."""
+    """Minimal CDF-1/CDF-2 writer: ``dims`` maps name → size (``None``
+    = unlimited/record dim, at most one, must be each record
+    variable's FIRST dim); ``variables`` maps name → (dim names,
+    array). Arrays are stored big-endian row-major per the spec;
+    ``version=2`` emits 64-bit ``begin`` offsets."""
+    if version not in (1, 2):
+        raise ValueError("classic versions are 1 (CDF-1) and 2 (CDF-2)")
     dim_names = list(dims)
     dim_index = {n: i for i, n in enumerate(dim_names)}
     rec_dim = [n for n, s in dims.items() if s is None]
@@ -293,7 +297,7 @@ def write_netcdf(
 
     # header size: assemble with placeholder begins, then patch
     def header(begins: list[int]) -> bytes:
-        out = [b"CDF\x01", struct.pack(">i", numrecs)]
+        out = [b"CDF" + bytes([version]), struct.pack(">i", numrecs)]
         if dims:
             out.append(struct.pack(">II", NC_DIMENSION, len(dims)))
             for n in dim_names:
@@ -311,7 +315,7 @@ def write_netcdf(
                     out.append(struct.pack(">I", dim_index[dn]))
                 out.append(_emit_attrs({}))
                 out.append(struct.pack(">II", NC_TYPE_OF[m["arr"].dtype], m["vsize"]))
-                out.append(struct.pack(">I", b))
+                out.append(struct.pack(">I" if version == 1 else ">Q", b))
         else:
             out.append(struct.pack(">II", 0, 0))
         return b"".join(out)

@@ -120,6 +120,28 @@ def test_single_record_var_packed(spark, tmp_path):
         assert r.value == float(b[r.d0, r.d1])
 
 
+def test_cdf2_64bit_offsets(spark, tmp_path):
+    """CDF-2 (magic CDF\\x02): begins are 8-byte — round-trip through
+    the 64-bit offset branch of the header reader."""
+    temp = _cube((3, 4, 5))
+    elev = _cube((4, 5), np.int32)
+    p = str(tmp_path / "v2.nc")
+    NC.write_netcdf(
+        p, {"t": None, "y": 4, "x": 5},
+        {"temp": (["t", "y", "x"], temp), "elev": (["y", "x"], elev)},
+        version=2,
+    )
+    h = NC.read_netcdf_header(p)
+    assert h["version"] == 2
+    rows = NC.netcdf_window(spark, p, "temp", [(0, 3), (0, 4), (0, 5)]).collect()
+    assert len(rows) == temp.size
+    for r in rows:
+        assert r.value == float(temp[r.d0, r.d1, r.d2])
+    rows = NC.netcdf_window(spark, p, "elev", [(1, 2), (2, 3)]).collect()
+    for r in rows:
+        assert r.value == float(elev[r.d0, r.d1])
+
+
 def test_axis_stats(spark, store):
     p, temp, _ = store
     rows = {r.i: r for r in NC.netcdf_axis_stats(spark, p, "temp", axis=0).collect()}
