@@ -394,7 +394,6 @@ def read_netcdf_slabs(
     v = header["vars"][var]
     dtype = v["dtype"]
     shape = [int(s) for s in v["shape"]]
-    rank = len(shape)
     slabs = plan_slabs(header, var, window)
     schema = "origin array<int>, dims array<int>, values array<double>"
     if not slabs:
@@ -428,7 +427,6 @@ def read_netcdf_slabs(
                     )
                 yield pd.DataFrame(rows)
 
-    _ = rank
     return plan.mapInPandas(decode, schema=schema)
 
 
