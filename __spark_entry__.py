@@ -3574,6 +3574,84 @@ SELECT pt_id, {samp_sql} AS samp, {line_sql} AS line FROM pts
 """
 
 
+# --- geolocation-array transformer ------------------------------------------
+
+# strided geoloc arrays from a closed form, so both engines can
+# regenerate the sample values: lon(i,j) / lat(i,j) polynomials over
+# the (17 pixels × 13 lines) sample grid, PIXEL_STEP = LINE_STEP = 4.
+# Every constant is a BINARY fraction (the gcp_fit_points trick): all
+# sample values, probe coordinates, and bilinear weights are exactly
+# representable doubles, so the NumPy gather kernel and the SQL oracle
+# agree bit-for-bit with no rounding.
+_GEOLOC_NI, _GEOLOC_NJ, _GEOLOC_STEP = 17, 13, 4.0
+_GEOLOC_PX_SQL = "(pt_id % 1024) / 16.0"
+_GEOLOC_LN_SQL = "((pt_id * 7) % 768) / 16.0"
+
+
+def _geoloc_lon_sql(i: str, j: str) -> str:
+    return f"(10 + {i} + {i} * {i} / 128.0 + {j} / 32.0)"
+
+
+def _geoloc_lat_sql(i: str, j: str) -> str:
+    return f"(50 + {j} + {j} * {j} / 64.0 - {i} / 32.0)"
+
+
+def _geoloc_bilinear_sql(g) -> str:
+    """The forward kernel's exact bilinear expression with the sample
+    values inlined as closed-form polynomials of the clamped cell."""
+    g00 = g("i0", "j0")
+    g01 = g("(i0 + 1)", "j0")
+    g10 = g("i0", "(j0 + 1)")
+    g11 = g("(i0 + 1)", "(j0 + 1)")
+    return (
+        f"(1.0 - fx) * (1.0 - fy) * {g00} + fx * (1.0 - fy) * {g01}"
+        f" + (1.0 - fx) * fy * {g10} + fx * fy * {g11}"
+    )
+
+
+def _q_geoloc_project(spark, sf_dir):
+    """Geolocation-array forward transform (gdalwarp -geoloc,
+    alg/gdalgeoloc.cpp GDALGeoLocTransform; GEOLOCATION metadata
+    domain): fractional pixel probes gathered through REAL strided
+    lon/lat arrays with clamped-cell bilinear interpolation inside one
+    Arrow batch — the swath-data transformer that completes the warp
+    family (affine/GCP/TPS/RPC/geoloc). The arrays are generated from
+    a closed form, so the DuckDB oracle evaluates the identical
+    bilinear expression with the sample polynomials inlined — any
+    gather/indexing/clamp defect breaks equality."""
+    from gdal_spark.functions.geoloc import GeolocArray, geoloc_project
+
+    i, j = _np.meshgrid(
+        _np.arange(_GEOLOC_NI, dtype=float), _np.arange(_GEOLOC_NJ, dtype=float)
+    )
+    lon = 10 + i + i * i / 128.0 + j / 32.0
+    lat = 50 + j + j * j / 64.0 - i / 32.0
+    g = GeolocArray(lon, lat, pixel_step=_GEOLOC_STEP, line_step=_GEOLOC_STEP)
+    pts = synth.points(spark, sf_dir).select(
+        F.col("pt_id").cast("long").alias("pt_id"),
+        F.expr(_GEOLOC_PX_SQL).alias("px"),
+        F.expr(_GEOLOC_LN_SQL).alias("ln"),
+    )
+    # all-binary-fraction arithmetic: outputs are exact, no rounding
+    return geoloc_project(pts, g, "px", "ln").select("pt_id", "lon", "lat")
+
+
+def _geoloc_project_oracle() -> str:
+    return f"""
+WITH pts AS (SELECT c_custkey AS pt_id FROM customer),
+p AS (SELECT pt_id, {_GEOLOC_PX_SQL} AS px, {_GEOLOC_LN_SQL} AS ln FROM pts),
+q AS (SELECT pt_id, px / 4.0 AS u, ln / 4.0 AS v FROM p),
+c AS (SELECT pt_id, u, v,
+             least(greatest(floor(u), 0), {_GEOLOC_NI - 2}) AS i0,
+             least(greatest(floor(v), 0), {_GEOLOC_NJ - 2}) AS j0 FROM q),
+f AS (SELECT pt_id, i0, j0, u - i0 AS fx, v - j0 AS fy FROM c)
+SELECT pt_id,
+       {_geoloc_bilinear_sql(_geoloc_lon_sql)} AS lon,
+       {_geoloc_bilinear_sql(_geoloc_lat_sql)} AS lat
+FROM f
+"""
+
+
 def _q_proximity(spark, sf_dir):
     """gdal_proximity (alg/gdalproximity.cpp): exact EDT to pixels
     >= 200, byte-scaled at maxdist 64."""
@@ -3947,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann,
         "gcp_fit_points": _q_gcp_fit,
         "rpc_project_points": _q_rpc_project,
+        "geoloc_project_points": _q_geoloc_project,
         "saved_plan_exec": _q_saved_plan,
         # --- golden-oracled raster/pixel queries ---
         "raster_checksums": _q_raster_checksums,
@@ -4124,6 +4203,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_oracle(),
         "gcp_fit_points": GCP_FIT_ORACLE,
         "rpc_project_points": _rpc_project_oracle(),
+        "geoloc_project_points": _geoloc_project_oracle(),
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
         "ann_recall": _ann_recall_oracle(),
