@@ -3223,6 +3223,7 @@ GOLDEN_QUERIES = [
     "raster_warp_utm",
     "raster_warp_lcc",
     "raster_warp_gcp",
+    "raster_warp_geoloc",
     "raster_rpc_ortho",
     "grid_tin",
     "image_phash_dedup",
@@ -3434,6 +3435,18 @@ def _q_warp_gcp(spark, sf_dir):
     golden-checksum oracle recomputes single-process."""
     imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
     return rp.warp_with_gcps(imgs)
+
+
+def _q_warp_geoloc(spark, sf_dir):
+    """gdalwarp -geoloc (alg/gdalgeoloc.cpp transformer inside the
+    warp chain): per image, deterministic strided geolocation arrays
+    with a non-affine bent grid, Newton inverse per target pixel
+    (backmap analogue), bilinear sample; band-0 checksum + quantized
+    forward∘inverse round-trip error pin both the pixels and the
+    inverse's convergence. Golden-checksum oracle recomputes
+    single-process."""
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return rp.warp_with_geoloc(imgs)
 
 
 _GCP_PROBES = [(100.0, 100.0), (300.0, 200.0), (50.0, 400.0), (511.0, 17.0)]
@@ -4054,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         # --- 50-cap boundary: variants of already-witnessed families ---
         "raster_warp_gcp": _q_warp_gcp,
+        "raster_warp_geoloc": _q_warp_geoloc,
         "grid_tin_cells": _q_grid_tin_cells,
         "tile_pyramid_geodetic": _q_tile_pyramid_geodetic,
         "raster_contour": _q_contour,

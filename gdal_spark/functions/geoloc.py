@@ -139,6 +139,38 @@ class GeolocArray:
         return u * self.px_step + self.px_off, v * self.ln_step + self.ln_off
 
 
+def synth_geoloc(
+    okey: int,
+    w: int,
+    h: int,
+    lon_min: float,
+    lat_min: float,
+    lon_max: float,
+    lat_max: float,
+    ni: int = 9,
+    nj: int = 7,
+) -> GeolocArray:
+    """Deterministic per-image geolocation arrays over the footprint:
+    a strided (ni × nj) sample grid whose lon/lat carry a mild
+    key-dependent bilinear bend (s·u(1−u)v style) — injective (the
+    straight-grid term dominates: |bend slope| ≤ 0.16 < 1) and
+    genuinely non-affine, so the warp must really invert the arrays.
+    Mirrors synth_gcps' role for the -geoloc transformer."""
+    i, j = np.meshgrid(
+        np.arange(ni, dtype=np.float64), np.arange(nj, dtype=np.float64)
+    )
+    u = i / (ni - 1)
+    v = j / (nj - 1)
+    s = 0.04 * (1 + okey % 4)
+    dlon = lon_max - lon_min
+    dlat = lat_max - lat_min
+    lon = lon_min + dlon * (u + s * u * (1.0 - u) * v)
+    lat = lat_max - dlat * (v + s * v * (1.0 - v) * (1.0 - u))
+    return GeolocArray(
+        lon, lat, pixel_step=w / (ni - 1), line_step=h / (nj - 1)
+    )
+
+
 def geoloc_project(
     df: DataFrame, geoloc: GeolocArray, px_col: str, ln_col: str
 ) -> DataFrame:

@@ -675,6 +675,75 @@ def rpc_orthorectify(images: DataFrame, out_size: tuple[int, int] = (64, 64),
     return images.mapInPandas(run, schema=schema)
 
 
+def warp_geoloc_array(arr: np.ndarray, geoloc, out_w: int, out_h: int,
+                      resampling: str = "bilinear"):
+    """Warp one image through its geolocation arrays — the
+    ``gdalwarp -geoloc`` path (``alg/gdalgeoloc.cpp``,
+    GDALCreateGeoLocTransformer inside the warp chain).
+
+    Target grid = envelope of the lon/lat samples; each dst pixel
+    center is pulled back through the Newton inverse (the backmap
+    analogue) and sampled from the source. Returns (out, valid,
+    rt_err) where rt_err is the max forward(inverse(·)) round-trip
+    error in degrees over the in-swath pixels — pinning that the
+    inverse actually converged."""
+    from gdal_spark.raster.warp import sample_at
+
+    gx0, gx1 = float(geoloc.lon.min()), float(geoloc.lon.max())
+    gy0, gy1 = float(geoloc.lat.min()), float(geoloc.lat.max())
+    xs = gx0 + (np.arange(out_w) + 0.5) * (gx1 - gx0) / out_w
+    ys = gy1 - (np.arange(out_h) + 0.5) * (gy1 - gy0) / out_h
+    glon, glat = np.meshgrid(xs, ys)
+    sx, sy = geoloc.inverse(glon.ravel(), glat.ravel())
+    flon, flat = geoloc.forward(sx, sy)
+    h, w = arr.shape[:2]
+    in_swath = (sx >= 0) & (sx <= w) & (sy >= 0) & (sy <= h)
+    rt = np.hypot(flon - glon.ravel(), flat - glat.ravel())
+    rt_err = float(rt[in_swath].max()) if in_swath.any() else 0.0
+    out, valid = sample_at(
+        arr, sx.reshape(out_h, out_w), sy.reshape(out_h, out_w), resampling
+    )
+    return out, valid, rt_err
+
+
+def warp_with_geoloc(images: DataFrame, out_size: tuple[int, int] = (64, 64),
+                     resampling: str = "bilinear") -> DataFrame:
+    """``gdalwarp -geoloc`` over the images table: per image, the
+    deterministic strided geolocation arrays (synth_geoloc — a
+    non-affine bent grid), Newton inverse per target pixel, sample,
+    emit band-0 checksum + quantized round-trip error.
+
+    Spark shape: arrays are dim-sized and synthesized inside the same
+    Arrow batch as the pixel work — map-only, no shuffle, ``bytes``
+    consumed exactly once (the same shape as the GCP/RPC warps)."""
+    from gdal_spark.functions.geoloc import synth_geoloc
+
+    _ensure_batch(images)
+    ow, oh = out_size
+    schema = "image_id string, w int, h int, checksum int, rt_err_ndeg long"
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                okey = int(r.image_id[3:])
+                g = synth_geoloc(okey, r.w, r.h, r.lon_min, r.lat_min,
+                                 r.lon_max, r.lat_max)
+                out, valid, rt = warp_geoloc_array(arr, g, ow, oh, resampling)
+                b = out[:, :, 0] if out.ndim == 3 else out
+                rows.append(
+                    (r.image_id, ow, oh, checksum_band(b), round(rt * 1e9))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "w", "h", "checksum", "rt_err_ndeg"],
+                )
+
+    return images.mapInPandas(run, schema=schema)
+
+
 def cog_roundtrip(images: DataFrame, block: int = 64, overviews: int = 2) -> DataFrame:
     """Re-encode each image as a COG-structured GeoTIFF and verify it.
 

@@ -89,6 +89,47 @@ def test_offsets_applied():
     assert la[0] == lat[5, 3]
 
 
+def test_warp_affine_equivalence():
+    """gdalwarp -geoloc with arrays sampled from an exact affine
+    mapping must equal the closed-form affine pullback (bilinear
+    interpolation of an affine field is the field, so the inverse is
+    the exact affine inverse)."""
+    from gdal_spark.raster.pipeline import warp_geoloc_array
+    from gdal_spark.raster.warp import sample_at
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (48, 64), dtype=np.uint8).astype(float)
+    a, b, c, d = 10.0, 0.05, 55.0, 0.04  # lon = a + b*px, lat = c - d*ln
+    i, j = np.meshgrid(np.arange(9, dtype=float), np.arange(7, dtype=float))
+    lon = a + b * (i * 8.0)  # pixel_step = 64/8
+    lat = c - d * (j * 8.0)  # line_step = 48/6
+    g = GeolocArray(lon, lat, pixel_step=8.0, line_step=8.0)
+    out, valid, rt = warp_geoloc_array(arr, g, 32, 24, "bilinear")
+    assert rt < 1e-9
+    gx0, gx1 = lon.min(), lon.max()
+    gy0, gy1 = lat.min(), lat.max()
+    xs = gx0 + (np.arange(32) + 0.5) * (gx1 - gx0) / 32
+    ys = gy1 - (np.arange(24) + 0.5) * (gy1 - gy0) / 24
+    glon, glat = np.meshgrid(xs, ys)
+    exp, _ = sample_at(arr, (glon - a) / b, (c - glat) / d, "bilinear")
+    np.testing.assert_allclose(out, exp, atol=1e-7)
+
+
+def test_warp_nonaffine_roundtrip_metric(spark, sf_dir):
+    """Operator-level: every image's round-trip error quantizes to a
+    tiny integer (the Newton inverse converged) and checksums are
+    stable ints."""
+    from gdal_spark.raster.pipeline import warp_with_geoloc
+    from gdal_spark.sources import synth
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    rows = warp_with_geoloc(imgs).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.rt_err_ndeg) < 1000  # < 1 micro-degree
+        assert isinstance(r.checksum, int)
+
+
 def test_spark_projection_parity(spark, geoloc):
     import pandas as pd
 

@@ -541,6 +541,30 @@ def g_raster_warp_gcp(sf_dir, out_w=64, out_h=64):
     return schema, rows
 
 
+def g_raster_warp_geoloc(sf_dir, out_w=64, out_h=64):
+    from gdal_spark.functions.geoloc import synth_geoloc
+    from gdal_spark.raster.pipeline import warp_geoloc_array
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        g = synth_geoloc(
+            okey, fp["w"], fp["h"], fp["lon_min"], fp["lat_min"],
+            fp["lon_max"], fp["lat_max"],
+        )
+        out, _, rt = warp_geoloc_array(arr, g, out_w, out_h, "bilinear")
+        b = out[:, :, 0] if out.ndim == 3 else out
+        rows.append((fp["image_id"], out_w, out_h, checksum_band(b), round(rt * 1e9)))
+    schema = pa.schema(
+        [("image_id", STR), ("w", I32), ("h", I32),
+         ("checksum", I32), ("rt_err_ndeg", I64)]
+    )
+    return schema, rows
+
+
 def g_raster_rpc_ortho(sf_dir, out_w=64, out_h=64):
     import numpy as np
     from gdal_spark.functions.rpc import RPCTransform, synth_rpc
@@ -1228,6 +1252,7 @@ GOLDEN_BUILDERS = {
     "raster_warp_utm": g_raster_warp_utm,
     "raster_warp_lcc": g_raster_warp_lcc,
     "raster_warp_gcp": g_raster_warp_gcp,
+    "raster_warp_geoloc": g_raster_warp_geoloc,
     "raster_rpc_ortho": g_raster_rpc_ortho,
     "grid_tin": g_grid_tin,
     "image_phash_dedup": g_image_phash_dedup,
