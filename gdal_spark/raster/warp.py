@@ -226,6 +226,38 @@ def approx_transform_grid(exact_fn, xs: np.ndarray, ys: np.ndarray,
     return U, V, n_exact
 
 
+def suggested_warp_output(exact_fn, src_w: int, src_h: int,
+                          n_edge: int = 21):
+    """``GDALSuggestedWarpOutput2`` (``alg/gdaltransformer.cpp:342``):
+    size the destination grid by forward-transforming a ring of
+    source-edge sample points (the reference walks 21 points per edge)
+    plus the center, taking the envelope, and choosing a square pixel
+    size that preserves the source diagonal's resolution.
+
+    ``exact_fn(px, py) -> (X, Y)`` maps source pixel coords to the
+    destination SRS, vectorized. Returns (bounds (x0, y0, x1, y1),
+    out_w, out_h)."""
+    t = np.linspace(0.0, 1.0, n_edge)
+    px = np.concatenate([t * src_w, t * src_w,
+                         np.zeros(n_edge), np.full(n_edge, float(src_w)),
+                         [src_w / 2.0]])
+    py = np.concatenate([np.zeros(n_edge), np.full(n_edge, float(src_h)),
+                         t * src_h, t * src_h, [src_h / 2.0]])
+    X, Y = exact_fn(px, py)
+    if not (np.isfinite(X).all() and np.isfinite(Y).all()):
+        raise ValueError("edge sample failed to transform")
+    x0, x1 = float(X.min()), float(X.max())
+    y0, y1 = float(Y.min()), float(Y.max())
+    # pixel size preserving the source diagonal's ground resolution,
+    # matching the reference's dfPixelSize = dist / diagonal heuristic
+    diag_dst = float(np.hypot(x1 - x0, y1 - y0))
+    diag_src = float(np.hypot(src_w, src_h))
+    pixel = diag_dst / diag_src
+    out_w = max(1, int(round((x1 - x0) / pixel)))
+    out_h = max(1, int(round((y1 - y0) / pixel)))
+    return (x0, y0, x1, y1), out_w, out_h
+
+
 def warp_lonlat_to_grid(
     src: np.ndarray,
     lon_min: float,

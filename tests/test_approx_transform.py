@@ -62,6 +62,36 @@ def test_tiny_tolerance_is_exact():
     assert n_exact == 33 * 9  # every grid point evaluated exactly once
 
 
+def test_suggested_warp_output_identity():
+    """An identity transform suggests the source grid back."""
+    from gdal_spark.raster.warp import suggested_warp_output
+
+    bounds, ow, oh = suggested_warp_output(lambda x, y: (x, y), 512, 256)
+    assert bounds == (0.0, 0.0, 512.0, 256.0)
+    assert (ow, oh) == (512, 256)
+
+
+def test_suggested_warp_output_projection():
+    """Reprojected footprint: envelope covers all edge samples and the
+    suggested size preserves the diagonal resolution (aspect follows
+    the projected shape)."""
+    from gdal_spark.raster.warp import suggested_warp_output
+
+    def fn(px, py):
+        lon = 2.0 + px / 512.0 * 6.0
+        lat = 49.0 - py / 256.0 * 5.0
+        return S.transform_np(lon, lat, 4326, 2154)
+
+    (x0, y0, x1, y1), ow, oh = suggested_warp_output(fn, 512, 256)
+    X, Y = fn(np.array([0.0, 512.0, 0.0, 512.0]), np.array([0.0, 0.0, 256.0, 256.0]))
+    assert x0 <= X.min() and x1 >= X.max()
+    assert y0 <= Y.min() and y1 >= Y.max()
+    # square pixels: px size equals py size by construction
+    assert abs((x1 - x0) / ow - (y1 - y0) / oh) / ((x1 - x0) / ow) < 0.01
+    # diagonal preserved within a few percent
+    assert abs(np.hypot(ow, oh) - np.hypot(512, 256)) / np.hypot(512, 256) < 0.05
+
+
 def test_warp_approx_path_matches_exact():
     # smooth source so the pixel-value error is gradient * coord error
     yy, xx = np.meshgrid(np.arange(64, dtype=float), np.arange(64, dtype=float),
