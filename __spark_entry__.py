@@ -3980,6 +3980,107 @@ def _q_tile_pyramid(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Shapefile driver (ogr/ogrsf_frmts/shape/: shpopen.c, dbfopen.c,
+# shape2ogr.cpp; tests autotest/ogr/ogr_shape.py)
+# ---------------------------------------------------------------------------
+
+
+def _shp_fixture_base(spark, sf_dir: str, kind: str) -> str:
+    """Deterministic shapefile fixture derived from the driver parquet
+    tables (written once per sf_dir; .shp stores IEEE doubles directly
+    so the round-trip is bit-exact vs the shared scatter SQL)."""
+    import tempfile
+
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import shapefile as SHPD
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    base = _os.path.join(tempfile.gettempdir(), f"gdal_spark_{kind}_{tag}_v1")
+    if _os.path.exists(base + ".shp"):
+        return base
+    register_st_functions(spark)
+    if kind == "shp_pts":
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        df = c.select(
+            F.expr(f"ST_MakePoint({synth.POINT_LON_SQL}, "
+                   f"{synth.POINT_LAT_SQL})").alias("geom"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+        )
+    else:  # shp_aoi: polygon layer
+        df = synth.aoi(spark, sf_dir, with_wkb=True).select(
+            "geom", "poly_id", "category", "population")
+    SHPD.write_shapefile(df, base)
+    return base
+
+
+def _q_shapefile_roundtrip(spark, sf_dir):
+    """Point-shapefile scan (ogrshapelayer.cpp GetNextFeature): write
+    the customer point layer to .shp/.shx/.dbf, then the record-range-
+    parallel reader (tasks byte-range read their contiguous .shp/.dbf
+    slice planned from the 8 B/record .shx index — netCDF-slab shape)
+    reconstructs every attribute and coordinate bit-exactly."""
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import shapefile as SHPD
+
+    register_st_functions(spark)
+    base = _shp_fixture_base(spark, sf_dir, "shp_pts")
+    got = SHPD.read_shapefile(spark, base)
+    return got.select(
+        F.col("custkey"),
+        F.col("name"),
+        F.col("nat"),
+        F.expr("ST_X(geom)").alias("lon"),
+        F.expr("ST_Y(geom)").alias("lat"),
+    )
+
+
+SHAPEFILE_ORACLE = f"""
+SELECT c_custkey AS custkey, c_name AS name,
+       CAST(c_nationkey AS BIGINT) AS nat,
+       {synth.POINT_LON_SQL} AS lon, {synth.POINT_LAT_SQL} AS lat
+FROM customer
+"""
+
+
+def _q_shapefile_polygons(spark, sf_dir):
+    """Polygon-shapefile scan: AOI rectangles round-trip through the
+    spec ring layout (exterior CW / holes CCW, shape2ogr.cpp
+    OrganizePolygons direction rule); area + centroid recomputed from
+    the WKB that came back off disk."""
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import shapefile as SHPD
+
+    register_st_functions(spark)
+    base = _shp_fixture_base(spark, sf_dir, "shp_aoi")
+    got = SHPD.read_shapefile(spark, base)
+    return got.select(
+        F.col("poly_id"),
+        F.col("category"),
+        F.col("population"),
+        F.expr("round(ST_Area(geom), 6)").alias("area"),
+        F.expr("round(ST_X(geom), 6)").alias("cx"),
+        F.expr("round(ST_Y(geom), 6)").alias("cy"),
+    )
+
+
+SHAPEFILE_POLY_ORACLE = f"""
+SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+       CASE WHEN n_nationkey % 4 = 0 THEN 'admin'
+            WHEN n_nationkey % 4 = 1 THEN 'park'
+            WHEN n_nationkey % 4 = 2 THEN 'water'
+            ELSE 'urban' END AS category,
+       CAST(n_nationkey * 104729 % 1000000 AS BIGINT) AS population,
+       round(({synth.AOI_LON_MAX_SQL} - {synth.AOI_LON_MIN_SQL})
+             * ({synth.AOI_LAT_MAX_SQL} - {synth.AOI_LAT_MIN_SQL}), 6) AS area,
+       round(({synth.AOI_LON_MIN_SQL} + {synth.AOI_LON_MAX_SQL}) / 2, 6) AS cx,
+       round(({synth.AOI_LAT_MIN_SQL} + {synth.AOI_LAT_MAX_SQL}) / 2, 6) AS cy
+FROM nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -4138,6 +4239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnm_components": _q_gnm_components,
         "ogr_style_parse": _q_style_parse,
         "ogr_geocode_reverse": _q_geocode_reverse,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "shapefile_polygons": _q_shapefile_polygons,
     }
 
 
@@ -4226,6 +4329,8 @@ def oracle_sql() -> dict[str, str]:
         "ogr_style_parse": _style_parse_oracle(),
         "ogr_geocode_reverse": _geocode_reverse_oracle(),
         "reproject_utm": _reproject_utm_oracle(),
+        "shapefile_roundtrip": SHAPEFILE_ORACLE,
+        "shapefile_polygons": SHAPEFILE_POLY_ORACLE,
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

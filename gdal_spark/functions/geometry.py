@@ -565,14 +565,14 @@ def geom_centroid(g: Geom):
         cross = x[:-1] * y[1:] - x[1:] * y[:-1]
         a = 0.5 * np.sum(cross)
         sgn = 1.0 if is_ext else -1.0
+        a_signed = a
         a = sgn * abs(a)
         if a == 0:
             continue
-        # standard centroid formula keeps ring orientation sign; use
-        # orientation-normalized cross terms
-        k = 1.0 if ring_signed_area(ring) >= 0 else -1.0
-        cxr = np.sum((x[:-1] + x[1:]) * cross) / (6.0 * (k * abs(0.5 * np.sum(cross)))) * k
-        cyr = np.sum((y[:-1] + y[1:]) * cross) / (6.0 * (k * abs(0.5 * np.sum(cross)))) * k
+        # numerator and signed area flip sign together under ring
+        # reversal, so the ratio is orientation-invariant as-is
+        cxr = np.sum((x[:-1] + x[1:]) * cross) / (6.0 * a_signed)
+        cyr = np.sum((y[:-1] + y[1:]) * cross) / (6.0 * a_signed)
         sa += a
         cx += a * cxr
         cy += a * cyr

@@ -250,3 +250,18 @@ def test_collinear_circularstring_is_chord():
     b = _wkb_circularstring([(0, 0), (1, 0), (2, 0)])
     g = G.parse_wkb(b)
     assert len(g.coords[0]) == 2  # degenerate arc -> straight chord
+
+
+def test_centroid_orientation_invariant():
+    # regression: CW rings (shapefile exterior orientation) used to
+    # come back with both centroid coordinates negated
+    ccw = G.parse_wkb(G.wkb_polygon([[(1, 2), (5, 2), (5, 6), (1, 6), (1, 2)]]))
+    cw = G.parse_wkb(G.wkb_polygon([[(1, 2), (1, 6), (5, 6), (5, 2), (1, 2)]]))
+    assert G.geom_centroid(ccw) == (3.0, 4.0)
+    assert G.geom_centroid(cw) == (3.0, 4.0)
+    # hole subtracts regardless of its stored orientation sign handling
+    holed = G.parse_wkb(G.wkb_polygon(
+        [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+         [(0, 0), (5, 0), (5, 5), (0, 5), (0, 0)]]))
+    cx, cy = G.geom_centroid(holed)
+    assert abs(cx - 35 / 6) < 1e-12 and abs(cy - 35 / 6) < 1e-12
