@@ -4080,6 +4080,69 @@ FROM nation
 """
 
 
+def _q_geojson_roundtrip(spark, sf_dir):
+    """GeoJSONSeq round-trip (ogr/ogrsf_frmts/geojson/
+    ogrgeojsonseqdriver.cpp, RFC 8142): the AOI polygon layer renders
+    one Feature per line through a DISTRIBUTED text write (every
+    partition emits its own part file — the layout the seq driver
+    exists for), then the line-split reader parses it back in Arrow
+    batches. Doubles survive bit-exactly via repr() shortest-form
+    JSON numbers; area/centroid recomputed from the returned WKB."""
+    import tempfile
+
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import geojson as GJ
+
+    register_st_functions(spark)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(tempfile.gettempdir(), f"gdal_spark_gjseq_{tag}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        df = synth.aoi(spark, sf_dir, with_wkb=True).select(
+            "geom", "poly_id", "category", "population")
+        GJ.write_geojsonseq(df, path)
+    got = GJ.read_geojsonseq(
+        spark, path, "poly_id long, category string, population long")
+    return got.select(
+        "poly_id", "category", "population",
+        F.expr("round(ST_Area(geom), 6)").alias("area"),
+        F.expr("round(ST_X(geom), 6)").alias("cx"),
+        F.expr("round(ST_Y(geom), 6)").alias("cy"),
+    )
+
+
+def _q_gpkg_roundtrip(spark, sf_dir):
+    """GeoPackage layer scan (ogr/ogrsf_frmts/gpkg/
+    ogrgeopackagetablelayer.cpp, OGC GPKG 1.3): customer points write
+    through the spec GeoPackageBinary blob + spec tables, then the
+    rowid-range-parallel reader (each task opens the SQLite file
+    read-only and B-tree scans only its slice) reconstructs every
+    double bit-exactly from the embedded WKB."""
+    import tempfile
+
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import gpkg as GP
+
+    register_st_functions(spark)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(tempfile.gettempdir(), f"gdal_spark_gpkg_{tag}_v1.gpkg")
+    if not _os.path.exists(path):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        df = c.select(
+            F.expr(f"ST_MakePoint({synth.POINT_LON_SQL}, "
+                   f"{synth.POINT_LAT_SQL})").alias("geom"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+        )
+        GP.write_gpkg(df, path, "customer_pts")
+    got = GP.read_gpkg(spark, path, "customer_pts")
+    return got.select(
+        "custkey", "name", "nat",
+        F.expr("ST_X(geom)").alias("lon"),
+        F.expr("ST_Y(geom)").alias("lat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4241,6 +4304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_geocode_reverse": _q_geocode_reverse,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
         "shapefile_polygons": _q_shapefile_polygons,
+        "geojson_roundtrip": _q_geojson_roundtrip,
+        "gpkg_roundtrip": _q_gpkg_roundtrip,
     }
 
 
@@ -4331,6 +4396,8 @@ def oracle_sql() -> dict[str, str]:
         "reproject_utm": _reproject_utm_oracle(),
         "shapefile_roundtrip": SHAPEFILE_ORACLE,
         "shapefile_polygons": SHAPEFILE_POLY_ORACLE,
+        "geojson_roundtrip": SHAPEFILE_POLY_ORACLE,
+        "gpkg_roundtrip": SHAPEFILE_ORACLE,
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }
