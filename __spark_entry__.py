@@ -4143,6 +4143,51 @@ def _q_gpkg_roundtrip(spark, sf_dir):
     )
 
 
+def _q_csv_wkt_roundtrip(spark, sf_dir):
+    """OGR CSV driver round-trip (ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp,
+    GEOMETRY=AS_WKT + .csvt sidecar): customer points render WKT
+    through the distributed csv writer, the typed reader restores
+    Integer64/Real columns from the sidecar, and ST_GeomFromText
+    rebuilds WKB. %.15g WKT coordinates are compared at the 1e-6 noise floor
+    (15-significant-digit print precision)."""
+    import tempfile
+
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import csv_wkt as CSVF
+
+    register_st_functions(spark)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(tempfile.gettempdir(), f"gdal_spark_csvf_{tag}_v1")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        df = c.select(
+            F.expr(f"ST_MakePoint({synth.POINT_LON_SQL}, "
+                   f"{synth.POINT_LAT_SQL})").alias("geom"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+        )
+        CSVF.write_csv_features(df, path)
+    got = CSVF.read_csv_features(spark, path)
+    # %.15g WKT keeps 15 significant digits (the reference's print
+    # precision) — compare past the last-ulp print noise, like every
+    # aggregate column in this file
+    return got.select(
+        "custkey", "name", "nat",
+        F.expr("round(ST_X(geom), 6)").alias("lon"),
+        F.expr("round(ST_Y(geom), 6)").alias("lat"),
+    )
+
+
+CSV_WKT_ORACLE = f"""
+SELECT c_custkey AS custkey, c_name AS name,
+       CAST(c_nationkey AS BIGINT) AS nat,
+       round({synth.POINT_LON_SQL}, 6) AS lon,
+       round({synth.POINT_LAT_SQL}, 6) AS lat
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4306,6 +4351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_polygons": _q_shapefile_polygons,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "gpkg_roundtrip": _q_gpkg_roundtrip,
+        "csv_wkt_roundtrip": _q_csv_wkt_roundtrip,
     }
 
 
@@ -4398,6 +4444,7 @@ def oracle_sql() -> dict[str, str]:
         "shapefile_polygons": SHAPEFILE_POLY_ORACLE,
         "geojson_roundtrip": SHAPEFILE_POLY_ORACLE,
         "gpkg_roundtrip": SHAPEFILE_ORACLE,
+        "csv_wkt_roundtrip": CSV_WKT_ORACLE,
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }
