@@ -4188,6 +4188,89 @@ FROM customer
 """
 
 
+def _q_aaigrid_roundtrip(spark, sf_dir):
+    """AAIGrid (Arc/Info ASCII Grid, frmts/aaigrid/aaigriddataset.cpp)
+    encode→decode round-trip, one 16×16 closed-form DEM per sampled
+    order: grid v=(3r+7c+okey)%97 renders to the 6-line-header text
+    form and back inside Arrow batches; per-image stats prove every
+    cell survived. Oracle regenerates the formula in SQL."""
+    import pandas as _pd
+
+    from gdal_spark.raster import simple_formats as SFMT
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 0").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(16), _np.arange(16), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                a = ((3 * r + 7 * c + int(okey)) % 97).astype(_np.int32)
+                back, hdr = SFMT.aaigrid_decode(
+                    SFMT.aaigrid_encode(a, xll=float(okey), cellsize=0.5,
+                                        nodata=-9999))
+                assert hdr["xllcorner"] == float(okey)
+                outs.append((int(okey), int(back.min()), int(back.max()),
+                             float(back.sum()), int(back.size)))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "vmin", "vmax", "vsum", "n"])
+
+    return ids.repartition(32).mapInPandas(
+        run, schema="okey long, vmin long, vmax long, vsum double, n long")
+
+
+AAIGRID_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax,
+       CAST(sum(v) AS DOUBLE) AS vsum, count(*) AS n
+FROM (
+  SELECT o_orderkey, (3*r + 7*c + o_orderkey) % 97 AS v
+  FROM orders, generate_series(0, 15) s1(r), generate_series(0, 15) s2(c)
+  WHERE o_orderkey % 200 = 0
+)
+GROUP BY o_orderkey
+"""
+
+_ENVI_SHAPE = (3, 40, 50)
+_ENVI_WIN = (1, 4, 28, 7, 43)  # band, row0, row1, col0, col1
+
+
+def _envi_fixture() -> str:
+    """Closed-form ENVI BSQ cube: v[b,r,c] = b*1000 + (3r+7c) % 89."""
+    import tempfile
+
+    from gdal_spark.raster import simple_formats as SFMT
+
+    base = _os.path.join(tempfile.gettempdir(), "gdal_spark_envi_v1")
+    if not _os.path.exists(base + ".hdr"):
+        b, r, c = _np.meshgrid(*[_np.arange(s) for s in _ENVI_SHAPE],
+                               indexing="ij")
+        cube = (b * 1000 + (3 * r + 7 * c) % 89).astype(_np.int32)
+        SFMT.write_envi(base, cube, interleave="bsq")
+    return base
+
+
+def _q_envi_window(spark, sf_dir):
+    """ENVI raw-binary window read (frmts/raw/envidataset.cpp): BSQ
+    byte offsets are closed-form, so tasks seek+read only their
+    line-block's bytes inside the window — the slab-parallel pattern
+    shared with the netCDF/shapefile sources. Closed-form SQL oracle."""
+    from gdal_spark.raster import simple_formats as SFMT
+
+    band, r0, r1, c0, c1 = _ENVI_WIN
+    return SFMT.read_envi_window(spark, _envi_fixture(), band,
+                                 r0, r1, c0, c1, rows_per_task=8)
+
+
+ENVI_WINDOW_ORACLE = """
+SELECT CAST(r AS INT) AS row, CAST(c AS INT) AS col,
+       CAST(1000 + (3*r + 7*c) % 89 AS DOUBLE) AS value
+FROM generate_series(4, 27) s1(r), generate_series(7, 42) s2(c)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4352,6 +4435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": _q_geojson_roundtrip,
         "gpkg_roundtrip": _q_gpkg_roundtrip,
         "csv_wkt_roundtrip": _q_csv_wkt_roundtrip,
+        "aaigrid_roundtrip": _q_aaigrid_roundtrip,
+        "envi_window_read": _q_envi_window,
     }
 
 
@@ -4445,6 +4530,8 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": SHAPEFILE_POLY_ORACLE,
         "gpkg_roundtrip": SHAPEFILE_ORACLE,
         "csv_wkt_roundtrip": CSV_WKT_ORACLE,
+        "aaigrid_roundtrip": AAIGRID_ORACLE,
+        "envi_window_read": ENVI_WINDOW_ORACLE,
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

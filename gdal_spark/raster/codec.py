@@ -227,6 +227,10 @@ def encode_image(arr: np.ndarray, fmt: str, compress_level: int = 6) -> bytes:
         from gdal_spark.raster import tiff
 
         return tiff.encode_geotiff(arr)
+    if fmt in ("pnm", "pgm", "ppm"):
+        from gdal_spark.raster import simple_formats
+
+        return simple_formats.pnm_encode(arr)
     raise NotImplementedError(f"codec {fmt!r} not available in this container")
 
 
@@ -246,6 +250,10 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from gdal_spark.raster import tiff
 
         return tiff.decode(b)
+    if b[:2] in (b"P5", b"P6") and b[2:3].isspace():
+        from gdal_spark.raster import simple_formats
+
+        return simple_formats.pnm_decode(b)
     if b[:8] == FAKE_MAGIC:
         return fake_lossy_decode(b)
     raise NotImplementedError(
