@@ -248,23 +248,13 @@ from gdal_spark.functions import predicates as P  # noqa: E402
 def _make_predicate_udf(name: str):
     @pandas_udf(BooleanType())
     def pred(wa: pd.Series, wb: pd.Series) -> pd.Series:
-        # parse each distinct WKB once per batch (prepared-geometry
+        # GEOS ufuncs when shapely 2.x is present (one C call per
+        # Arrow batch), else the in-repo kernels with per-batch parse
+        # caching — see functions/geos_fast.py (prepared-geometry
         # reuse, ogrlayer.cpp:5509-5519)
-        cache: dict[bytes, object] = {}
+        from gdal_spark.functions import geos_fast as GF
 
-        def get(b):
-            k = bytes(b)
-            g = cache.get(k)
-            if g is None:
-                g = cache[k] = G.parse_wkb(k)
-            return g
-
-        return pd.Series(
-            [
-                None if (a is None or b is None) else P.predicate(get(a), get(b), name)
-                for a, b in zip(wa, wb)
-            ]
-        )
+        return GF.batch_predicate(wa, wb, name)
 
     return pred
 
