@@ -4271,6 +4271,35 @@ FROM generate_series(4, 27) s1(r), generate_series(7, 42) s2(c)
 """
 
 
+def _q_kml_roundtrip(spark, sf_dir):
+    """KML 2.2 round-trip (ogr/ogrsf_frmts/kml/ogrkmllayer.cpp writer,
+    libkml reader semantics): AOI polygons as Document/Placemark with
+    ExtendedData attributes; repr-form coordinate text keeps doubles
+    bit-exact. Whole-XML-document format: single-hop write, per-file
+    task read (the presentation-format parity path — GeoJSONSeq and
+    parquet are the bulk layers)."""
+    import tempfile
+
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import kml as KMLD
+
+    register_st_functions(spark)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(tempfile.gettempdir(), f"gdal_spark_kml_{tag}_v1.kml")
+    if not _os.path.exists(path):
+        df = synth.aoi(spark, sf_dir, with_wkb=True).select(
+            "geom", "name", "poly_id", "category", "population")
+        KMLD.write_kml(df, path, name_col="name")
+    got = KMLD.read_kml(
+        spark, path, "poly_id long, category string, population long")
+    return got.select(
+        "poly_id", "category", "population",
+        F.expr("round(ST_Area(geom), 6)").alias("area"),
+        F.expr("round(ST_X(geom), 6)").alias("cx"),
+        F.expr("round(ST_Y(geom), 6)").alias("cy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4437,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_wkt_roundtrip": _q_csv_wkt_roundtrip,
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "envi_window_read": _q_envi_window,
+        "kml_roundtrip": _q_kml_roundtrip,
     }
 
 
@@ -4532,6 +4562,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_wkt_roundtrip": CSV_WKT_ORACLE,
         "aaigrid_roundtrip": AAIGRID_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
+        "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

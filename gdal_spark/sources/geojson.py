@@ -32,7 +32,6 @@ import os
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from gdal_spark.functions import geometry as G
 
@@ -224,12 +223,10 @@ def read_geojson(spark: SparkSession, path: str,
     whole-document parse inside the task — a directory of .geojson
     files parallelizes per file; a single file is inherently one task
     (same as the reference's whole-file reader)."""
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.*json")
-             .load(path if os.path.isdir(path) else os.path.dirname(path) or ".")
-             .select("path", "content"))
-    if not os.path.isdir(path):
-        files = files.filter(F.col("path").endswith(os.path.basename(path)))
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "*.*json")
+    files = reader.load(path).select("path", "content")
 
     def parse(batches):
         for pdf in batches:
