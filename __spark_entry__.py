@@ -4300,6 +4300,39 @@ def _q_kml_roundtrip(spark, sf_dir):
     )
 
 
+def _q_arrow_export_roundtrip(spark, sf_dir):
+    """OGRLayer::GetArrowStream parity (ogrlayerarrow.cpp, the
+    BASELINE.md Arrow-export perf surface): customer points export to
+    per-partition Arrow IPC streams (RecordBatches ≤65,536 rows, WKB
+    geometry column) and re-import one task per file — bit-exact,
+    since Arrow is the repo wire format end to end."""
+    import tempfile
+
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import arrow_ipc as ARW
+
+    register_st_functions(spark)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(tempfile.gettempdir(), f"gdal_spark_arrows_{tag}_v1")
+    if not (_os.path.isdir(path) and any(
+            f.endswith(".arrows") for f in _os.listdir(path))):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        df = c.select(
+            F.expr(f"ST_MakePoint({synth.POINT_LON_SQL}, "
+                   f"{synth.POINT_LAT_SQL})").alias("geom"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+        )
+        ARW.write_arrow_stream(df, path)
+    got = ARW.read_arrow_stream(spark, path)
+    return got.select(
+        "custkey", "name", "nat",
+        F.expr("ST_X(geom)").alias("lon"),
+        F.expr("ST_Y(geom)").alias("lat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4467,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
+        "arrow_export_roundtrip": _q_arrow_export_roundtrip,
     }
 
 
@@ -4563,6 +4597,7 @@ def oracle_sql() -> dict[str, str]:
         "aaigrid_roundtrip": AAIGRID_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
+        "arrow_export_roundtrip": SHAPEFILE_ORACLE,
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }
