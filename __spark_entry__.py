@@ -4333,6 +4333,72 @@ def _q_arrow_export_roundtrip(spark, sf_dir):
     )
 
 
+def _q_tile_kml_superoverlay(spark, sf_dir):
+    """gdal2tiles --kml superoverlay (osgeo_utils/gdal2tiles.py
+    generate_kml): per-tile KML built as UDF-free SQL string columns —
+    exact binary-fraction geodetic bounds, NetworkLinks only for the
+    z+1 children that exist (gdal2tiles children check :2827). The
+    query re-extracts the bounds from the generated XML text and
+    counts the links, so the oracle certifies the documents' content,
+    not just their count."""
+    from gdal_spark.raster.tiler_pages import kml_superoverlay
+
+    fp = synth.footprints(spark, sf_dir)
+    t8 = tiler.assign_tiles_geodetic(fp, GEODETIC_ZOOM)
+    t9 = tiler.assign_tiles_geodetic(fp, GEODETIC_ZOOM + 1)
+    k = kml_superoverlay(t8, GEODETIC_ZOOM, children=t9)
+    num = "CAST(regexp_extract(kml, '<%s>([^<]+)</%s>', 1) AS DOUBLE)"
+    return k.select(
+        "z", "tx", "ty", "n_links",
+        F.expr(num % ("north", "north")).alias("north"),
+        F.expr(num % ("south", "south")).alias("south"),
+        F.expr(num % ("east", "east")).alias("east"),
+        F.expr(num % ("west", "west")).alias("west"),
+    )
+
+
+def _tile_kml_oracle() -> str:
+    span8 = repr(180.0 / (1 << GEODETIC_ZOOM))
+    res8 = repr((180.0 / 256.0) / (2 ** GEODETIC_ZOOM))
+    res9 = repr((180.0 / 256.0) / (2 ** (GEODETIC_ZOOM + 1)))
+    tx8 = f"CAST(ceil(((180.0 + lon_) / {res8}) / 256.0) - 1 AS INTEGER)"
+    ty8 = f"CAST(ceil(((90.0 + lat_) / {res8}) / 256.0) - 1 AS INTEGER)"
+    tx9 = f"CAST(ceil(((180.0 + lon_) / {res9}) / 256.0) - 1 AS INTEGER)"
+    ty9 = f"CAST(ceil(((90.0 + lat_) / {res9}) / 256.0) - 1 AS INTEGER)"
+
+    def tiles_cte(tx, ty):
+        return f"""(
+  SELECT DISTINCT tx, ty FROM (
+    SELECT unnest(range({tx.replace('lon_', 'lon_min')},
+                        {tx.replace('lon_', 'lon_max')} + 1)) AS tx,
+           tymin, tymax
+    FROM (SELECT image_id, lon_min, lon_max,
+                 {ty.replace('lat_', 'lat_min')} AS tymin,
+                 {ty.replace('lat_', 'lat_max')} AS tymax FROM fp) b
+  ) t, LATERAL (SELECT unnest(range(tymin, tymax + 1)) AS ty) u
+)"""
+
+    return f"""
+WITH {FP_CTE},
+t8 AS (SELECT * FROM {tiles_cte(tx8, ty8)}),
+t9 AS (SELECT * FROM {tiles_cte(tx9, ty9)}),
+links AS (
+  SELECT t8.tx, t8.ty, count(t9.tx) AS n_links
+  FROM t8 LEFT JOIN t9
+    ON CAST(floor(t9.tx / 2) AS INTEGER) = t8.tx
+   AND CAST(floor(t9.ty / 2) AS INTEGER) = t8.ty
+  GROUP BY t8.tx, t8.ty
+)
+SELECT CAST({GEODETIC_ZOOM} AS INTEGER) AS z,
+       CAST(tx AS INTEGER) AS tx, CAST(ty AS INTEGER) AS ty, n_links,
+       CAST((ty + 1) * {span8} - 90.0 AS DOUBLE) AS north,
+       CAST(ty * {span8} - 90.0 AS DOUBLE) AS south,
+       CAST((tx + 1) * {span8} - 180.0 AS DOUBLE) AS east,
+       CAST(tx * {span8} - 180.0 AS DOUBLE) AS west
+FROM links
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4501,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
+        "tile_kml_superoverlay": _q_tile_kml_superoverlay,
     }
 
 
@@ -4598,6 +4665,7 @@ def oracle_sql() -> dict[str, str]:
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
+        "tile_kml_superoverlay": _tile_kml_oracle(),
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }
