@@ -4399,6 +4399,61 @@ FROM links
 """
 
 
+def _q_linear_referencing(spark, sf_dir):
+    """ogrlineref + spatialite ST_Line_* trio (apps/ogrlineref.cpp,
+    ogrsqlitesqlfunctions.cpp): interpolate a point at a fraction
+    along each AOI boundary ring, locate it back (must return the
+    same fraction), and measure the substring length from 0.1 to the
+    fraction. Oracle: the rectangle boundary is piecewise linear in
+    the fraction — closed-form CASE over the four segments."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    polys = synth.aoi(spark, sf_dir, with_wkb=True)
+    fracs = F.array(*[F.lit(v) for v in (0.1, 0.3, 0.6, 0.85)])
+    df = polys.select(
+        "poly_id", F.explode(fracs).alias("f"),
+        F.expr("ST_Boundary(geom)").alias("line"))
+    return df.select(
+        "poly_id", "f",
+        F.expr("round(ST_X(ST_Line_Interpolate_Point(line, f)), 6)"
+               ).alias("px"),
+        F.expr("round(ST_Y(ST_Line_Interpolate_Point(line, f)), 6)"
+               ).alias("py"),
+        F.expr("round(ST_Line_Locate_Point(line, "
+               "ST_X(ST_Line_Interpolate_Point(line, f)), "
+               "ST_Y(ST_Line_Interpolate_Point(line, f))), 9)"
+               ).alias("f_back"),
+        F.expr("round(ST_Length(ST_Line_Substring(line, CAST(0.1 AS DOUBLE)"
+               ", f)), 6)").alias("sub_len"),
+    )
+
+
+LINEAR_REF_ORACLE = f"""
+WITH {{AOI_CTE}},
+fr AS (SELECT CAST(unnest([0.1, 0.3, 0.6, 0.85]) AS DOUBLE) AS f),
+b AS (
+  SELECT poly_id, f, lon_min, lat_min, lon_max, lat_max,
+         lon_max - lon_min AS w, lat_max - lat_min AS h,
+         2.0 * ((lon_max - lon_min) + (lat_max - lat_min)) AS P
+  FROM aoi, fr
+),
+d AS (SELECT *, f * P AS dist FROM b)
+SELECT poly_id, f,
+       round(CASE WHEN dist <= w THEN lon_min + dist
+                  WHEN dist <= w + h THEN lon_max
+                  WHEN dist <= w + h + w THEN lon_max - (dist - w - h)
+                  ELSE lon_min END, 6) AS px,
+       round(CASE WHEN dist <= w THEN lat_min
+                  WHEN dist <= w + h THEN lat_min + (dist - w)
+                  WHEN dist <= w + h + w THEN lat_max
+                  ELSE lat_max - (dist - w - h - w) END, 6) AS py,
+       round(f, 9) AS f_back,
+       round((f - 0.1) * P, 6) AS sub_len
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4568,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
         "tile_kml_superoverlay": _q_tile_kml_superoverlay,
+        "linear_referencing": _q_linear_referencing,
     }
 
 
@@ -4666,6 +4722,7 @@ def oracle_sql() -> dict[str, str]:
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
         "tile_kml_superoverlay": _tile_kml_oracle(),
+        "linear_referencing": LINEAR_REF_ORACLE.replace("{AOI_CTE}", AOI_CTE),
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

@@ -422,6 +422,49 @@ def st_geomfromwkb(b: pd.Series) -> pd.Series:
 
 
 @pandas_udf(BinaryType())
+def st_line_interpolate_point(wkb: pd.Series, frac: pd.Series) -> pd.Series:
+    """ST_Line_Interpolate_Point (spatialite dialect,
+    ogrsqlitesqlfunctions.cpp; OGRLineString::Value)."""
+    from gdal_spark.functions import linear_ref as LR
+
+    return pd.Series(
+        [
+            None if b is None else LR.line_interpolate_point(
+                G.parse_wkb(bytes(b)), float(f))
+            for b, f in zip(wkb, frac)
+        ]
+    )
+
+
+@pandas_udf(DoubleType())
+def st_line_locate_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """ST_Line_Locate_Point: fraction of length at the closest point."""
+    from gdal_spark.functions import linear_ref as LR
+
+    return pd.Series(
+        [
+            None if b is None else LR.line_locate_point(
+                G.parse_wkb(bytes(b)), float(px), float(py))
+            for b, px, py in zip(wkb, x, y)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def st_line_substring(wkb: pd.Series, f0: pd.Series, f1: pd.Series) -> pd.Series:
+    """ST_Line_Substring: subline between two length fractions."""
+    from gdal_spark.functions import linear_ref as LR
+
+    return pd.Series(
+        [
+            None if b is None else LR.line_substring(
+                G.parse_wkb(bytes(b)), float(a), float(c))
+            for b, a, c in zip(wkb, f0, f1)
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
 def st_boundary(wkb: pd.Series) -> pd.Series:
     """GEOS Boundary (ogr_geometry.h:560): polygon → its rings as a
     (Multi)LineString; linestring parts pass through unchanged."""
@@ -592,6 +635,9 @@ _REGISTRY = {
     "ST_SymDifference": st_symdifference,
     "ST_GeomFromWKB": st_geomfromwkb,
     "ST_Boundary": st_boundary,
+    "ST_Line_Interpolate_Point": st_line_interpolate_point,
+    "ST_Line_Locate_Point": st_line_locate_point,
+    "ST_Line_Substring": st_line_substring,
     "ST_Simplify": st_simplify,
     "ST_SimplifyPreserveTopology": st_simplify,
     "ST_IsSimple": st_issimple,
