@@ -4454,6 +4454,82 @@ FROM d
 """
 
 
+def _q_mdim_info(spark, sf_dir):
+    """gdalmdiminfo (apps/gdalmdiminfo_lib.cpp): per-array metadata of
+    the netCDF fixture — header-only read, like the tool. Oracle is a
+    VALUES literal over the closed-form fixture facts (the fixture is
+    generated from a formula; its metadata IS the spec)."""
+    from gdal_spark.sources import mdim
+
+    return mdim.mdim_info(spark, _nc3_fixture())
+
+
+MDIM_INFO_ORACLE = """
+SELECT * FROM (VALUES
+  ('elev', 2, 'y,x', '40x50', 'i4', FALSE),
+  ('temp', 3, 'time,y,x', '10x40x50', 'f8', TRUE)
+) t(var, ndims, dims, shape, dtype, record)
+"""
+
+
+def _q_raster_compare(spark, sf_dir):
+    """gdal raster compare (apps/gdalalg_raster_compare.cpp,
+    gdalcompare.py): per-pair differing-pixel count, max |diff|, sum
+    of squared diffs, PSNR — computed over PNG-encoded 16×16
+    closed-form pairs (B perturbs A by +5 mod 97 wherever
+    (r+c) % 11 == 0), so the whole verdict surface is SQL-derivable
+    and exercises encode→decode→compare end to end."""
+    import pandas as _pd
+
+    from gdal_spark.raster.codec import encode_image
+    from gdal_spark.raster.compare import compare_images
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 0").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def gen(batches):
+        r, c = _np.meshgrid(_np.arange(16), _np.arange(16), indexing="ij")
+        mask = (r + c) % 11 == 0
+        for pdf in batches:
+            rows = []
+            for okey in pdf["okey"]:
+                a = ((3 * r + 7 * c + int(okey)) % 97).astype(_np.uint8)
+                b = a.copy()
+                b[mask] = (a[mask] + 5) % 97
+                rows.append((int(okey), encode_image(a, "png"),
+                             encode_image(b, "png")))
+            yield _pd.DataFrame(rows, columns=["okey", "bytes_a", "bytes_b"])
+
+    pairs = ids.repartition(32).mapInPandas(
+        gen, schema="okey long, bytes_a binary, bytes_b binary")
+    out = compare_images(pairs, key="okey")
+    return out.select("okey", "n_diff", "max_abs", "ssq",
+                      F.round("psnr", 6).alias("psnr"))
+
+
+RASTER_COMPARE_ORACLE = """
+SELECT okey, n_diff, max_abs, ssq,
+       round(10.0 * log10(255.0 * 255.0 / (ssq / 256.0)), 6) AS psnr
+FROM (
+  SELECT okey,
+         count(*) FILTER (d <> 0) AS n_diff,
+         CAST(max(abs(d)) AS DOUBLE) AS max_abs,
+         CAST(sum(d * d) AS DOUBLE) AS ssq
+  FROM (
+    SELECT o_orderkey AS okey,
+           CAST((3*r + 7*c + o_orderkey) % 97 AS BIGINT)
+           - CAST(CASE WHEN (r + c) % 11 = 0
+                       THEN ((3*r + 7*c + o_orderkey) % 97 + 5) % 97
+                       ELSE (3*r + 7*c + o_orderkey) % 97 END AS BIGINT) AS d
+    FROM orders, generate_series(0, 15) s1(r), generate_series(0, 15) s2(c)
+    WHERE o_orderkey % 200 = 0
+  )
+  GROUP BY okey
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4624,6 +4700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
         "tile_kml_superoverlay": _q_tile_kml_superoverlay,
         "linear_referencing": _q_linear_referencing,
+        "mdim_info": _q_mdim_info,
+        "raster_compare": _q_raster_compare,
     }
 
 
@@ -4723,6 +4801,8 @@ def oracle_sql() -> dict[str, str]:
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
         "tile_kml_superoverlay": _tile_kml_oracle(),
         "linear_referencing": LINEAR_REF_ORACLE.replace("{AOI_CTE}", AOI_CTE),
+        "mdim_info": MDIM_INFO_ORACLE,
+        "raster_compare": RASTER_COMPARE_ORACLE,
         **{name: _proj_oracle(name) for name in _PROJ_QUERY_DEFS},
         **{name: _golden_oracle(name) for name in GOLDEN_QUERIES},
     }

@@ -196,3 +196,29 @@ def mdim_translate_netcdf_to_zarr(
     return mdim_translate(
         spark, blocks, window, transpose, dst_path, dst_chunks, **kw
     )
+
+
+def mdim_info(spark, path: str):
+    """``gdalmdiminfo`` analogue (apps/gdalmdiminfo_lib.cpp): one row
+    per array of a multidim store — name, rank, dimension names,
+    shape, element type, record (unlimited-dim) flag.  Metadata-only:
+    the driver reads just the header (KBs), exactly like the tool."""
+    import pandas as pd
+
+    from gdal_spark.sources import netcdf as NC
+
+    h = NC.read_netcdf_header(path)
+    rows = []
+    for name, v in sorted(h["vars"].items()):
+        shape = list(v["shape"])
+        if v["record"]:
+            shape[0] = h["numrecs"]
+        rows.append({
+            "var": name,
+            "ndims": len(v["dims"]),
+            "dims": ",".join(v["dims"]),
+            "shape": "x".join(str(s) for s in shape),
+            "dtype": v["dtype"].lstrip("<>=|"),
+            "record": bool(v["record"]),
+        })
+    return spark.createDataFrame(pd.DataFrame(rows))

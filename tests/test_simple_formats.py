@@ -85,3 +85,20 @@ def test_envi_roundtrip_all_interleaves(spark):
     vals = {(r.row, r.col): r.value for r in rows}
     assert vals[(3, 5)] == float(cube[2, 3, 5])
     assert vals[(16, 24)] == float(cube[2, 16, 24])
+
+
+def test_compare_arrays_verdict_surface():
+    # gdal raster compare semantics (apps/gdalalg_raster_compare.cpp)
+    from gdal_spark.raster.compare import compare_arrays
+
+    a = _grid(8, 8).astype(np.uint8)
+    st = compare_arrays(a, a.copy())
+    assert st["n_diff"] == 0 and st["psnr"] == float("inf")
+    b = a.copy()
+    b[0, 0] += 10
+    b[3, 4] -= 2
+    st = compare_arrays(a, b)
+    assert st["n_diff"] == 2 and st["max_abs"] == 10.0
+    assert st["ssq"] == 104.0
+    import math
+    assert abs(st["psnr"] - 10 * math.log10(255**2 / (104 / 64))) < 1e-12
