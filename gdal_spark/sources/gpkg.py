@@ -204,6 +204,8 @@ def read_gpkg(spark: SparkSession, path: str, layer: str,
     lo, hi, n = lo_hi
     attr_cols = [(name, (decl or "TEXT").upper()) for _, name, decl, *_ in info
                  if name not in ("fid", geom_col)]
+    out_names = {c: (c + "_1" if c in ("fid", "geom") else c)
+                 for c, _ in attr_cols}
 
     def _spark_type(decl: str) -> str:
         if "INT" in decl:
@@ -217,7 +219,7 @@ def read_gpkg(spark: SparkSession, path: str, layer: str,
         return "string"
 
     schema = "fid long, geom binary" + "".join(
-        f", `{c}` {_spark_type(t)}" for c, t in attr_cols)
+        f", `{out_names[c]}` {_spark_type(t)}" for c, t in attr_cols)
     if n == 0:
         return spark.createDataFrame([], schema)
     if chunks is None:
@@ -248,7 +250,7 @@ def read_gpkg(spark: SparkSession, path: str, layer: str,
                     vals = [r[2 + j] for r in rows]
                     if cname in bool_cols:
                         vals = [None if v is None else bool(v) for v in vals]
-                    out[cname] = vals
+                    out[out_names[cname]] = vals
                 yield pd.DataFrame(out)
 
     return man_df.mapInPandas(scan, schema=schema)

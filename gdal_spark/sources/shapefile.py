@@ -374,6 +374,11 @@ def read_shapefile(spark: SparkSession, base: str,
     nrec_dbf, dbf_hdr, dbf_rec, fields = _read_dbf_header(dbf_path)
     if nrec_dbf != nrec:
         raise ValueError(f"shp/dbf record count mismatch {nrec} vs {nrec_dbf}")
+    # DBF fields shadowing the reader's own columns get suffixed (the
+    # reference renames colliding FID fields the same way,
+    # ogrshapelayer.cpp deferred-FID handling)
+    fields = [((n + "_1") if n in ("fid", "geom") else n, t, w, d)
+              for n, t, w, d in fields]
 
     if chunks is None:
         chunks = max(1, min(spark.sparkContext.defaultParallelism * 2,
