@@ -909,6 +909,124 @@ WHERE t.image_id IS NULL
 """
 
 
+def _slab_update_ctes(p: str, left: str, lkey: str, method: str) -> str:
+    """The LAYER_UPDATE_ORACLE slab machinery with parameterized CTE
+    prefix / layer roles, so SymDifference can run it in BOTH
+    directions inside one statement. Emits CTE definitions ending in
+    ``{p}out(fid, part, px0, py0, px1, py1)``."""
+    return f"""
+{p}pr AS (
+  SELECT l.{lkey} AS fid,
+         l.lon_min AS fx0, l.lat_min AS fy0, l.lon_max AS fx1, l.lat_max AS fy1,
+         greatest(l.lon_min, m.lon_min) AS ix0, greatest(l.lat_min, m.lat_min) AS iy0,
+         least(l.lon_max, m.lon_max) AS ix1, least(l.lat_max, m.lat_max) AS iy1
+  FROM {left} l JOIN {method} m
+    ON greatest(l.lon_min, m.lon_min) < least(l.lon_max, m.lon_max)
+   AND greatest(l.lat_min, m.lat_min) < least(l.lat_max, m.lat_max)
+),
+{p}bounds AS (SELECT DISTINCT fid, fx0, fy0, fx1, fy1 FROM {p}pr),
+{p}edges AS (
+  SELECT fid, fx0 AS x FROM {p}bounds
+  UNION SELECT fid, fx1 FROM {p}bounds
+  UNION SELECT fid, ix0 FROM {p}pr
+  UNION SELECT fid, ix1 FROM {p}pr
+),
+{p}slabs AS (
+  SELECT fid, x AS sa,
+         lead(x) OVER (PARTITION BY fid ORDER BY x) AS sb
+  FROM {p}edges
+),
+{p}s2 AS (
+  SELECT s.fid, s.sa, s.sb, b.fy0, b.fy1
+  FROM {p}slabs s JOIN {p}bounds b USING (fid)
+  WHERE s.sb IS NOT NULL AND s.sb > s.sa
+),
+{p}cov AS (
+  SELECT s.fid, s.sa, s.sb, s.fy0, s.fy1, p.iy0, p.iy1
+  FROM {p}s2 s JOIN {p}pr p
+    ON p.fid = s.fid AND p.ix0 <= s.sa AND p.ix1 >= s.sb
+),
+{p}ordc AS (
+  SELECT *,
+         max(iy1) OVER (PARTITION BY fid, sa
+                        ORDER BY iy0, iy1
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM {p}cov
+),
+{p}isl AS (
+  SELECT *,
+         sum(CASE WHEN prev_max IS NULL OR iy0 > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY fid, sa ORDER BY iy0, iy1) AS island
+  FROM {p}ordc
+),
+{p}merged AS (
+  SELECT fid, sa, sb, fy0, fy1, island,
+         min(iy0) AS y0, max(iy1) AS y1
+  FROM {p}isl GROUP BY fid, sa, sb, fy0, fy1, island
+),
+{p}gaps AS (
+  SELECT fid, sa, sb,
+         coalesce(lag(y1) OVER (PARTITION BY fid, sa ORDER BY y0), fy0) AS gy0,
+         y0 AS gy1
+  FROM {p}merged
+  UNION ALL
+  SELECT fid, sa, sb, max(y1) AS gy0, fy1 AS gy1
+  FROM {p}merged GROUP BY fid, sa, sb, fy1
+  UNION ALL
+  SELECT s.fid, s.sa, s.sb, s.fy0, s.fy1
+  FROM {p}s2 s LEFT JOIN (SELECT DISTINCT fid, sa FROM {p}cov) c
+    ON c.fid = s.fid AND c.sa = s.sa
+  WHERE c.fid IS NULL
+),
+{p}out AS (
+  SELECT fid, 'diff' AS part, sa AS px0, gy0 AS py0, sb AS px1, gy1 AS py1
+  FROM {p}gaps WHERE gy1 > gy0
+  UNION ALL
+  SELECT l.{lkey}, 'orig', l.lon_min, l.lat_min, l.lon_max, l.lat_max
+  FROM {left} l LEFT JOIN (SELECT DISTINCT fid FROM {p}pr) t ON t.fid = l.{lkey}
+  WHERE t.fid IS NULL
+)"""
+
+
+def _q_layer_symdifference(spark, sf_dir):
+    """OGRLayer::SymDifference (ogrsf_frmts.h:331-352, impl
+    ogrlayer.cpp:5711+): (footprints − AOIs) ∪ (AOIs − footprints),
+    each direction the canonical-slab multi-method erase of
+    layer_algebra.update_boxes, sides labeled and schema-merged —
+    completes the 7-method OGR layer-algebra family (Intersection,
+    Union, SymDifference, Identity, Update, Clip, Erase)."""
+    fp = synth.footprints(spark, sf_dir).select(
+        "image_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False).select(
+        "poly_id", "lon_min", "lat_min", "lon_max", "lat_max"
+    )
+    out = la.symdifference_boxes(fp, aoi, a_key="image_id", b_key="poly_id")
+    return out.select(
+        "side",
+        F.coalesce(
+            F.col("image_id").cast("string"), F.col("poly_id").cast("string")
+        ).alias("feat_id"),
+        "part",
+        "px0",
+        "py0",
+        "px1",
+        "py1",
+    )
+
+
+LAYER_SYMDIFF_ORACLE = f"""
+WITH {FP_CTE}, {AOI_CTE},
+{_slab_update_ctes("sda_", "fp", "image_id", "aoi")},
+{_slab_update_ctes("sdb_", "aoi", "poly_id", "fp")}
+SELECT 'a' AS side, CAST(fid AS VARCHAR) AS feat_id, part, px0, py0, px1, py1
+FROM sda_out
+UNION ALL
+SELECT 'b' AS side, CAST(fid AS VARCHAR) AS feat_id, part, px0, py0, px1, py1
+FROM sdb_out
+"""
+
+
 def _q_st_curves(spark, sf_dir):
     """ISO curve types linearized on parse (ogr_core.h:422-452,
     OGRGeometryFactory::curveToLineString, OGR_ARC_STEPSIZE=4°):
@@ -4653,6 +4771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_erase": _q_erase,
         "layer_identity": _q_layer_identity,
         "layer_update": _q_layer_update,
+        "layer_symdifference": _q_layer_symdifference,
         "ogr_sql_text": _q_ogr_sql_text,
         "st_zm_functions": _q_st_zm,
         "st_curve_linearize": _q_st_curves,
@@ -4738,6 +4857,7 @@ def oracle_sql() -> dict[str, str]:
         "intersection_geom": INTERSECTION_GEOM_ORACLE,
         "layer_identity": LAYER_IDENTITY_ORACLE,
         "layer_update": LAYER_UPDATE_ORACLE,
+        "layer_symdifference": LAYER_SYMDIFF_ORACLE,
         "ogr_sql_text": OGR_SQL_TEXT_ORACLE,
         "st_zm_functions": ST_ZM_ORACLE,
         "st_curve_linearize": ST_CURVES_ORACLE,

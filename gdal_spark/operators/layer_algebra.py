@@ -17,6 +17,7 @@ Erase (anti) and semi joins mirror ``OGRLayer::Erase``
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -148,18 +149,32 @@ def _slab_subtract(X0, Y0, X1, Y1, boxes):
     covering intervals are the pieces. Canonical means a SQL engine
     can reproduce the EXACT same piece set (gaps-and-islands over the
     same greatest/least values) — the dual-oracle currency of the
-    ``layer_update`` driver query."""
-    xs = sorted({X0, X1, *(b[0] for b in boxes), *(b[2] for b in boxes)})
+    ``layer_update``/``layer_symdifference`` driver queries.
+
+    Vectorized: pure comparison/selection over the input doubles (no
+    arithmetic), so the emitted values are bit-identical to the scalar
+    scan and to the SQL window-function construction."""
+    if not boxes:
+        return [(X0, Y0, X1, Y1)]
+    b = np.asarray(boxes, dtype=np.float64)
+    b0, b1, b2, b3 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    xs = np.unique(np.concatenate((np.array([X0, X1]), b0, b2)))
     out = []
-    for sa, sb in zip(xs[:-1], xs[1:]):
-        ivals = sorted((b[1], b[3]) for b in boxes if b[0] <= sa and b[2] >= sb)
-        cur = Y0
-        for a, b in ivals:
-            if a > cur:
-                out.append((sa, cur, sb, a))
-            cur = max(cur, b)
-        if cur < Y1:
-            out.append((sa, cur, sb, Y1))
+    for sa, sb in zip(xs[:-1].tolist(), xs[1:].tolist()):
+        m = (b0 <= sa) & (b2 >= sb)
+        if not m.any():
+            out.append((sa, Y0, sb, Y1))
+            continue
+        a, e = b1[m], b3[m]
+        o = np.lexsort((e, a))
+        a, e = a[o], e[o]
+        run = np.maximum.accumulate(e)
+        cur = np.maximum(np.concatenate(([Y0], run[:-1])), Y0)
+        g = a > cur
+        out.extend((sa, lo, sb, hi) for lo, hi in zip(cur[g].tolist(), a[g].tolist()))
+        last = max(Y0, float(run[-1]))
+        if last < Y1:
+            out.append((sa, last, sb, Y1))
     return out
 
 
@@ -242,6 +257,37 @@ def update_boxes(
         F.col(ly1).cast("double").alias("py1"),
     )
     return untouched.unionByName(touched)
+
+
+def symdifference_boxes(
+    a: DataFrame,
+    b: DataFrame,
+    a_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    b_bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    a_key: str | None = None,
+    b_key: str | None = None,
+    broadcast_b: bool = True,
+) -> DataFrame:
+    """``OGRLayer::SymDifference`` (``ogrsf_frmts.h:331-352``, impl
+    ``ogrlayer.cpp:5711+``) for the box model: (A − B) ∪ (B − A),
+    each direction the multi-method union-difference of
+    :func:`update_boxes` (canonical vertical-slab pieces, untouched
+    features pass through as ``part='orig'``). The two sides are
+    labeled ``side='a'``/``'b'`` and schema-merge-unioned, mirroring
+    the reference's result layer that carries both input schemas
+    NULL-padded.
+
+    Scale shape: each direction is the cell equi-join + per-feature
+    ``applyInPandas`` of Update — no cross product. ``broadcast_b``
+    broadcasts B as the method side of A−B; the B−A direction never
+    broadcasts A (A is the big layer by convention)."""
+    da = update_boxes(
+        a, b, a_bbox, b_bbox, key=a_key, broadcast_method=broadcast_b
+    ).withColumn("side", F.lit("a"))
+    db = update_boxes(
+        b, a, b_bbox, a_bbox, key=b_key, broadcast_method=False
+    ).withColumn("side", F.lit("b"))
+    return union_layers(da, db)
 
 
 def spatial_semi_join(left: DataFrame, polys: DataFrame, **kwargs) -> DataFrame:

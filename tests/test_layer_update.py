@@ -162,3 +162,30 @@ def test_identity_promote_to_multi(spark):
     assert len(multi) == 1
     assert len(multi[0].pieces) == len(flat) == 5  # 1 int + 4 strips
     assert sorted(p.part for p in multi[0].pieces) == sorted(r.part for r in flat)
+
+
+def test_symdifference_boxes(spark, tiny):
+    """SymDifference area identity: Σ pieces(both sides) =
+    area(A) + area(B) − 2·area(A∩B) for the hand fixture (all
+    'orig' + 'diff' rectangles are disjoint within their side)."""
+    from gdal_spark.operators.layer_algebra import symdifference_boxes
+
+    left, method = tiny
+    out = symdifference_boxes(
+        left, method, a_key="fid", b_key="mid"
+    ).collect()
+    a_rows = [r for r in out if r.side == "a"]
+    b_rows = [r for r in out if r.side == "b"]
+    area = lambda rows: sum((r.px1 - r.px0) * (r.py1 - r.py0) for r in rows)
+    # A = 100 + 16 + 4 = 120; covered-in-A = 48 (f1) + 4 (f3) = 52
+    assert abs(area(a_rows) - (120.0 - 52.0)) < 1e-9
+    # B = 40 + 28 + 16 = 84; covered-in-B: m1∩f1 (2,2,6,10)=32,
+    # m2∩f1 (4,0,8,6)=24, overlap-within-f1 double count removed via
+    # slab union per method feature: m1 minus {f1∩m1} = 40-32=8,
+    # m2 minus {f1∩m2} = 28-24=4, m3 minus {f3∩m3}=16-4=12
+    assert abs(area(b_rows) - (8.0 + 4.0 + 12.0)) < 1e-9
+    # untouched features pass through as part='orig'
+    assert any(r.part == "orig" and r.fid == "f2" for r in a_rows)
+    # both directions label sides and NULL-pad the other schema
+    assert all(r.mid is None for r in a_rows)
+    assert all(r.fid is None for r in b_rows)
