@@ -3429,6 +3429,50 @@ def _q_raster_checksums(spark, sf_dir):
     return cs.select("image_id", "fmt", "w", "h", "checksum_b0", "checksum_b1", "checksum_b2")
 
 
+def _q_raster_info(spark, sf_dir):
+    """gdalinfo analogue (apps/gdalinfo_lib.cpp): driver identify +
+    size/band count sniffed from HEADER bytes only — no pixel decode
+    (each driver's Identify + header parse). Oracle: the metadata the
+    encoder was driven by, re-derived closed-form from orders."""
+    from gdal_spark.operators.info import raster_headers
+
+    imgs = synth.images(spark, sf_dir, where="okey % 50 = 0")
+    return raster_headers(imgs)
+
+
+RASTER_INFO_ORACLE = """
+SELECT printf('img%012d', o_orderkey) AS image_id,
+       CASE o_orderkey % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS driver,
+       CASE o_orderkey % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 256 ELSE 512 END AS width,
+       CASE o_orderkey % 4 WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 512 ELSE 256 END AS height,
+       3 AS bands
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+def _q_ogr_info(spark, sf_dir):
+    """ogrinfo -so -al analogue (apps/ogrinfo_lib.cpp): one-row layer
+    report — GetFeatureCount + GetExtent(force) + per-field NULL and
+    distinct counts, all in a single JVM-side aggregate pass."""
+    from gdal_spark.operators.info import layer_summary
+
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False)
+    return layer_summary(aoi, fields=("category", "population"))
+
+
+OGR_INFO_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT CAST(count(*) AS BIGINT) AS feature_count,
+       min(lon_min) AS ext_lon_min, min(lat_min) AS ext_lat_min,
+       max(lon_max) AS ext_lon_max, max(lat_max) AS ext_lat_max,
+       CAST(sum(CASE WHEN category IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_category,
+       CAST(count(DISTINCT category) AS BIGINT) AS distinct_category,
+       CAST(sum(CASE WHEN population IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_population,
+       CAST(count(DISTINCT population) AS BIGINT) AS distinct_population
+FROM aoi
+"""
+
+
 def _q_raster_translate(spark, sf_dir):
     imgs = synth.images(spark, sf_dir, where="okey % 100 = 0")
     t = rp.translate(imgs, srcwin=(0, 0, 48, 48), scale=(0.5, 10.0), out_fmt="png")
@@ -4711,6 +4755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "saved_plan_exec": _q_saved_plan,
         # --- golden-oracled raster/pixel queries ---
         "raster_checksums": _q_raster_checksums,
+        "raster_info": _q_raster_info,
+        "ogr_info": _q_ogr_info,
         "raster_translate": _q_raster_translate,
         "raster_resample_kernels": _q_resample_kernels,
         "raster_as_features": _q_as_features,
@@ -4858,6 +4904,8 @@ def oracle_sql() -> dict[str, str]:
         "layer_identity": LAYER_IDENTITY_ORACLE,
         "layer_update": LAYER_UPDATE_ORACLE,
         "layer_symdifference": LAYER_SYMDIFF_ORACLE,
+        "raster_info": RASTER_INFO_ORACLE,
+        "ogr_info": OGR_INFO_ORACLE,
         "ogr_sql_text": OGR_SQL_TEXT_ORACLE,
         "st_zm_functions": ST_ZM_ORACLE,
         "st_curve_linearize": ST_CURVES_ORACLE,

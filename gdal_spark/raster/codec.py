@@ -261,6 +261,70 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
     )
 
 
+def sniff_info(buf: bytes) -> tuple[str, int, int, int]:
+    """gdalinfo-style header-only metadata: ``(driver, width, height,
+    bands)`` parsed from the leading bytes with NO pixel decode — the
+    access pattern of ``GDALOpen`` + size/band-count getters
+    (``apps/gdalinfo_lib.cpp``; each format driver's ``Identify`` +
+    header parse). At 100 TB this is the difference between a
+    metadata-catalog scan and decoding the corpus."""
+    b = bytes(buf)
+    if b[:8] == PNG_SIG:  # IHDR is always the first chunk (PNG §5.6)
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        bands = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[b[25]]
+        return "png", w, h, bands
+    if b[:2] == b"\xff\xd8":  # walk segments to SOFn (T.81 B.2.2)
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            m = b[i + 1]
+            if m in (0xFF, 0x01) or 0xD0 <= m <= 0xD9:
+                i += 2
+                continue
+            if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return "jpeg", w, h, b[i + 9]
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        raise ValueError("JPEG stream without SOF marker")
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and b[12:16] == b"VP8L":
+        v = int.from_bytes(b[21:25], "little")  # 14-bit w-1, h-1, alpha
+        return "webp", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1, (
+            4 if (v >> 28) & 1 else 3
+        )
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        en = "<" if b[:2] == b"II" else ">"
+        off = struct.unpack(en + "I", b[4:8])[0]
+        n = struct.unpack(en + "H", b[off : off + 2])[0]
+        tags = {}
+        for k in range(n):
+            e = off + 2 + 12 * k
+            tag, typ = struct.unpack(en + "HH", b[e : e + 4])
+            if tag in (256, 257, 277):
+                fmtc = {3: "H", 4: "I"}.get(typ, "I")
+                tags[tag] = struct.unpack(
+                    en + fmtc, b[e + 8 : e + 8 + struct.calcsize(fmtc)]
+                )[0]
+        return "tiff", tags[256], tags[257], tags.get(277, 1)
+    if b[:2] in (b"P5", b"P6") and b[2:3].isspace():
+        toks, pos = [], 2
+        while len(toks) < 3:
+            while b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                pos = b.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not b[pos : pos + 1].isspace():
+                pos += 1
+            toks.append(int(b[start:pos]))
+        return "pnm", toks[0], toks[1], 3 if b[:2] == b"P6" else 1
+    raise NotImplementedError("unrecognized header")
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """PSNR in dB — metric per ``apps/gdalalg_raster_compare.cpp:1094``."""
     a = a.astype(np.float64)
