@@ -1027,6 +1027,69 @@ FROM sdb_out
 """
 
 
+def _q_st_spatialite_misc(spark, sf_dir):
+    """spatialite long-tail ST_ surface (ogrsqlitesqlfunctions.cpp
+    registration block): ST_Azimuth (planar bearing, [0,2π)),
+    ST_SnapToGrid (floor(x/size+0.5)·size tie rule — identical IEEE in
+    both engines), ST_Reverse (structure/area invariants), and
+    geodesic ST_Project pinned by the independent Vincenty INVERSE
+    round trip (ST_GeodesicLength of the MakeLine back to the start —
+    direct and inverse are separately published formulae, so a bug in
+    either breaks the zero residual; tests/test_st_misc.py pins the
+    direct kernel against published values)."""
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    synth.points(spark, sf_dir).createOrReplaceTempView("pts_misc")
+    return spark.sql(
+        """
+        WITH p AS (
+          SELECT pt_id, lon, lat,
+                 lon + 0.01 * CAST(pt_id % 7 + 1 AS DOUBLE) AS lon2,
+                 lat + 0.005 * CAST(pt_id % 5 - 2 AS DOUBLE) AS lat2,
+                 500.0 * CAST(pt_id % 19 + 1 AS DOUBLE) AS d,
+                 0.1 * CAST(pt_id % 62 AS DOUBLE) AS az
+          FROM pts_misc WHERE pt_id % 10 = 0
+        ),
+        q AS (
+          SELECT *,
+                 ST_MakePoint(lon, lat) AS pt,
+                 ST_Project(ST_MakePoint(lon, lat), d, az) AS proj
+          FROM p
+        )
+        SELECT CAST(pt_id AS BIGINT) AS pt_id,
+               round(ST_Azimuth(pt, ST_MakePoint(lon2, lat2)), 12) AS azimuth,
+               ST_X(ST_SnapToGrid(pt, CAST(0.05 AS DOUBLE))) AS snap_x,
+               ST_Y(ST_SnapToGrid(pt, CAST(0.05 AS DOUBLE))) AS snap_y,
+               round(abs(ST_GeodesicLength(ST_MakeLine(pt, proj)) - d), 4) AS proj_dist_err,
+               ST_NPoints(ST_Reverse(ST_MakeEnvelope(lon, lat, lon2, lat2))) AS rev_npoints,
+               round(ST_Area(ST_Reverse(ST_MakeEnvelope(lon, lat, lon2, lat2))), 9) AS rev_area
+        FROM q
+        """
+    )
+
+
+ST_SPATIALITE_MISC_ORACLE = f"""
+WITH p AS (
+  SELECT CAST(c_custkey AS BIGINT) AS pt_id,
+         {P_LON} AS lon, {P_LAT} AS lat,
+         {P_LON} + 0.01 * CAST(c_custkey % 7 + 1 AS DOUBLE) AS lon2,
+         {P_LAT} + 0.005 * CAST(c_custkey % 5 - 2 AS DOUBLE) AS lat2
+  FROM customer WHERE c_custkey % 10 = 0
+)
+SELECT pt_id,
+       round(CASE WHEN atan2(lon2 - lon, lat2 - lat) < 0
+                  THEN atan2(lon2 - lon, lat2 - lat) + 2 * pi()
+                  ELSE atan2(lon2 - lon, lat2 - lat) END, 12) AS azimuth,
+       floor(lon / 0.05 + 0.5) * 0.05 AS snap_x,
+       floor(lat / 0.05 + 0.5) * 0.05 AS snap_y,
+       0.0 AS proj_dist_err,
+       5 AS rev_npoints,
+       round(abs((lon2 - lon) * (lat2 - lat)), 9) AS rev_area
+FROM p
+"""
+
+
 def _q_st_curves(spark, sf_dir):
     """ISO curve types linearized on parse (ogr_core.h:422-452,
     OGRGeometryFactory::curveToLineString, OGR_ARC_STEPSIZE=4°):
@@ -4821,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_sql_text": _q_ogr_sql_text,
         "st_zm_functions": _q_st_zm,
         "st_curve_linearize": _q_st_curves,
+        "st_spatialite_misc": _q_st_spatialite_misc,
         "zarr_3d_window": _q_zarr_3d_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
@@ -4909,6 +4973,7 @@ def oracle_sql() -> dict[str, str]:
         "ogr_sql_text": OGR_SQL_TEXT_ORACLE,
         "st_zm_functions": ST_ZM_ORACLE,
         "st_curve_linearize": ST_CURVES_ORACLE,
+        "st_spatialite_misc": ST_SPATIALITE_MISC_ORACLE,
         "zarr_3d_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,

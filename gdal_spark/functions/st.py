@@ -589,6 +589,143 @@ def ogr_inflate(data: pd.Series) -> pd.Series:
     return data.map(lambda v: None if v is None else zlib.decompress(bytes(v)))
 
 
+@pandas_udf(BinaryType())
+def st_makeline(a: pd.Series, b: pd.Series) -> pd.Series:
+    """spatialite MakeLine(a, b): 2-point LINESTRING from two points."""
+    out = []
+    for wa, wb in zip(a, b):
+        if wa is None or wb is None:
+            out.append(None)
+            continue
+        ga, gb = G.parse_wkb(bytes(wa)), G.parse_wkb(bytes(wb))
+        out.append(
+            G.wkb_linestring(
+                np.array(
+                    [
+                        [ga.coords[0][0, 0], ga.coords[0][0, 1]],
+                        [gb.coords[0][0, 0], gb.coords[0][0, 1]],
+                    ]
+                )
+            )
+        )
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def st_azimuth(a: pd.Series, b: pd.Series) -> pd.Series:
+    """ST_Azimuth (spatialite ogrsqlitesqlfunctions.cpp registration
+    surface / PostGIS semantics): planar bearing A→B in radians
+    clockwise from north, in [0, 2π); NULL for coincident points."""
+    import math
+
+    out = []
+    for wa, wb in zip(a, b):
+        if wa is None or wb is None:
+            out.append(None)
+            continue
+        ga, gb = G.parse_wkb(bytes(wa)), G.parse_wkb(bytes(wb))
+        x1, y1 = ga.coords[0][0, 0], ga.coords[0][0, 1]
+        x2, y2 = gb.coords[0][0, 0], gb.coords[0][0, 1]
+        dx, dy = float(x2 - x1), float(y2 - y1)
+        if dx == 0.0 and dy == 0.0:
+            out.append(None)
+            continue
+        az = math.atan2(dx, dy)
+        out.append(az + 2.0 * math.pi if az < 0.0 else az)
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_project(pt: pd.Series, dist: pd.Series, azimuth: pd.Series) -> pd.Series:
+    """ST_Project (spatialite geodesic semantics): destination point
+    from start + distance (meters) + azimuth (radians from north) via
+    Vincenty's direct formula on WGS84 — the ellipsoid the reference
+    routes through PROJ (``ogr/ogrct.cpp``)."""
+    import math
+
+    from gdal_spark.functions import geodesic as GE
+
+    out = []
+    for w, d, az in zip(pt, dist, azimuth):
+        if w is None or d is None or az is None:
+            out.append(None)
+            continue
+        g = G.parse_wkb(bytes(w))
+        lon1, lat1 = float(g.coords[0][0, 0]), float(g.coords[0][0, 1])
+        phi2, dlam = GE.vincenty_direct(lat1, lon1, float(az), float(d))
+        out.append(
+            G.wkb_point(lon1 + math.degrees(dlam), math.degrees(phi2))
+        )
+    return pd.Series(out)
+
+
+def _snap_arr(arr: np.ndarray, size: float) -> np.ndarray:
+    """floor(x/size + 0.5)·size per coordinate — the SQL-twin-safe tie
+    rule (DuckDB round() is half-away, np.round half-even; floor+0.5
+    is identical in both engines)."""
+    out = arr.copy()
+    out[:, :2] = np.floor(arr[:, :2] / size + 0.5) * size
+    return out
+
+
+def _dedupe_consecutive(arr: np.ndarray, close_ring: bool) -> np.ndarray:
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = (arr[1:, 0] != arr[:-1, 0]) | (arr[1:, 1] != arr[:-1, 1])
+    out = arr[keep]
+    if close_ring and len(out) and (out[0, 0] != out[-1, 0] or out[0, 1] != out[-1, 1]):
+        out = np.vstack([out, out[:1]])
+    return out
+
+
+def _snap_geom(g: "G.Geom", size: float) -> "G.Geom":
+    g.rings = [
+        _dedupe_consecutive(_snap_arr(r, size), close_ring=True) for r in g.rings
+    ]
+    g.coords = [
+        _dedupe_consecutive(_snap_arr(c, size), close_ring=False) for c in g.coords
+    ]
+    g.full = [_snap_arr(f, size) for f in g.full]
+    g.parts = [_snap_geom(p, size) for p in g.parts]
+    return g
+
+
+@pandas_udf(BinaryType())
+def st_snaptogrid(wkb: pd.Series, size: pd.Series) -> pd.Series:
+    """ST_SnapToGrid: round every vertex to the nearest grid multiple
+    (origin 0,0); consecutive duplicates collapse, rings re-close —
+    PostGIS/spatialite grid-snap semantics."""
+    return pd.Series(
+        [
+            None
+            if b is None
+            else G.geom_to_wkb(_snap_geom(G.parse_wkb(bytes(b)), float(s)))
+            for b, s in zip(wkb, size)
+        ]
+    )
+
+
+def _reverse_geom(g: "G.Geom") -> "G.Geom":
+    g.rings = [np.ascontiguousarray(r[::-1]) for r in g.rings]
+    g.coords = [np.ascontiguousarray(c[::-1]) for c in g.coords]
+    g.full = [np.ascontiguousarray(f[::-1]) for f in g.full]
+    g.parts = [_reverse_geom(p) for p in g.parts]
+    return g
+
+
+@pandas_udf(BinaryType())
+def st_reverse(wkb: pd.Series) -> pd.Series:
+    """ST_Reverse / OGRGeometry::reversePoints: vertex order flipped
+    per ring / line part (Z/M preserved via the full-width arrays)."""
+    return pd.Series(
+        [
+            None
+            if b is None
+            else G.geom_to_wkb(_reverse_geom(G.parse_wkb(bytes(b))))
+            for b in wkb
+        ]
+    )
+
+
 _REGISTRY = {
     "ST_Area": st_area,
     "ST_GeometryType": st_geometrytype,
@@ -645,6 +782,11 @@ _REGISTRY = {
     "ogr_inflate": ogr_inflate,
     "ST_GeodesicArea": st_geodesic_area,
     "ST_GeodesicLength": st_geodesic_length,
+    "ST_MakeLine": st_makeline,
+    "ST_Azimuth": st_azimuth,
+    "ST_Project": st_project,
+    "ST_SnapToGrid": st_snaptogrid,
+    "ST_Reverse": st_reverse,
 }
 
 
