@@ -139,14 +139,19 @@ def xyz_decode(buf: bytes) -> tuple[np.ndarray, dict]:
 
 
 def pnm_encode(arr: np.ndarray) -> bytes:
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        head = f"P5\n{a.shape[1]} {a.shape[0]}\n255\n"
-    elif a.ndim == 3 and a.shape[2] == 3:
-        head = f"P6\n{a.shape[1]} {a.shape[0]}\n255\n"
+    a = np.asarray(arr)
+    if a.dtype == np.uint16:
+        maxval, body = 65535, a.astype(">u2").tobytes()  # big-endian per spec
     else:
-        raise ValueError("PNM stores gray (h,w) or RGB (h,w,3) uint8")
-    return head.encode("ascii") + a.tobytes()
+        a = a.astype(np.uint8)
+        maxval, body = 255, a.tobytes()
+    if a.ndim == 2:
+        head = f"P5\n{a.shape[1]} {a.shape[0]}\n{maxval}\n"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        head = f"P6\n{a.shape[1]} {a.shape[0]}\n{maxval}\n"
+    else:
+        raise ValueError("PNM stores gray (h,w) or RGB (h,w,3), uint8 or uint16")
+    return head.encode("ascii") + body
 
 
 def pnm_decode(buf: bytes) -> np.ndarray:
@@ -167,10 +172,12 @@ def pnm_decode(buf: bytes) -> np.ndarray:
         tokens.append(int(b[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
+    # 2-byte samples are big-endian per the Netpbm spec (pnm(5))
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
     n = w * h * (3 if b[:2] == b"P6" else 1)
-    a = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
+    a = np.frombuffer(b, dtype=dt, count=n, offset=pos)
+    if dt.itemsize == 2:
+        a = a.astype(np.uint16)
     return a.reshape((h, w, 3) if b[:2] == b"P6" else (h, w))
 
 
@@ -223,18 +230,31 @@ def read_envi_window(spark: SparkSession, base: str, band: int,
                      rows_per_task: int = 64) -> DataFrame:
     """Distributed window read → long-form (row, col, value).
 
-    BSQ layout: byte offset of (band, line) is closed-form, so the
-    planner emits one manifest row per line-block and each task
-    seek+reads ONLY its block's bytes within the window's line range —
-    a 1 TB cube window-reads like the netCDF slab scan."""
+    All three ENVI interleaves (``frmts/raw/envidataset.cpp``): byte
+    offset of a line block is closed-form for each, so the planner
+    emits one manifest row per line-block and each task seek+reads
+    ONLY its block's byte range within the window's line span — a 1 TB
+    cube window-reads like the netCDF slab scan. BSQ reads exactly the
+    requested band's bytes; BIL/BIP necessarily read their block's
+    interleaved band data (inherent to the layout — same bytes GDAL's
+    RawRasterBand touches) and slice the band out in NumPy."""
     h = read_envi_header(base)
-    if h["interleave"] != "bsq":
-        raise NotImplementedError("window read implemented for bsq")
     if not (0 <= row0 < row1 <= h["lines"] and 0 <= col0 < col1 <= h["samples"]):
         raise ValueError("window out of bounds")
     dt = np.dtype(("<" if h["byte_order"] == 0 else ">") + h["dtype"])
     line_bytes = h["samples"] * dt.itemsize
-    band_off = h["offset"] + band * h["lines"] * line_bytes
+    interleave, bands, off0 = h["interleave"], h["bands"], h["offset"]
+    if interleave == "bsq":
+        stride = line_bytes  # bytes per line within one band plane
+        base_off = off0 + band * h["lines"] * line_bytes
+    elif interleave == "bil":
+        stride = bands * line_bytes
+        base_off = off0
+    elif interleave == "bip":
+        stride = h["samples"] * bands * dt.itemsize
+        base_off = off0
+    else:
+        raise NotImplementedError(f"unknown interleave {interleave!r}")
     blocks = [
         {"r0": int(r), "r1": int(min(r + rows_per_task, row1))}
         for r in range(row0, row1, rows_per_task)
@@ -249,9 +269,14 @@ def read_envi_window(spark: SparkSession, base: str, band: int,
             for blk in pdf.itertuples(index=False):
                 n = blk.r1 - blk.r0
                 with open(base, "rb") as f:
-                    f.seek(band_off + blk.r0 * line_bytes)
-                    data = np.frombuffer(
-                        f.read(n * line_bytes), dtype=dt).reshape(n, samples)
+                    f.seek(base_off + blk.r0 * stride)
+                    raw = np.frombuffer(f.read(n * stride), dtype=dt)
+                if interleave == "bsq":
+                    data = raw.reshape(n, samples)
+                elif interleave == "bil":
+                    data = raw.reshape(n, bands, samples)[:, band, :]
+                else:  # bip
+                    data = raw.reshape(n, samples, bands)[:, :, band]
                 win = data[:, c0:c1]
                 rr, cc = np.meshgrid(
                     np.arange(blk.r0, blk.r1), np.arange(c0, c1), indexing="ij")

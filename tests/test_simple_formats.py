@@ -102,3 +102,42 @@ def test_compare_arrays_verdict_surface():
     assert st["ssq"] == 104.0
     import math
     assert abs(st["psnr"] - 10 * math.log10(255**2 / (104 / 64))) < 1e-12
+
+
+def test_envi_window_bil_bip_match_bsq(spark):
+    """BIL/BIP slab window reads return the identical window as BSQ
+    (frmts/raw/envidataset.cpp interleave offsets)."""
+    import os
+    import tempfile
+
+    rng = np.random.default_rng(11)
+    cube = rng.integers(0, 4000, (3, 21, 30)).astype(np.int16)
+    ref = None
+    for il in ("bsq", "bil", "bip"):
+        base = os.path.join(tempfile.mkdtemp(prefix=f"envi_{il}_"), "cube")
+        SF.write_envi(base, cube, interleave=il)
+        got = SF.read_envi_window(
+            spark, base, band=1, row0=2, row1=19, col0=4, col1=27, rows_per_task=5
+        )
+        vals = {(r.row, r.col): r.value for r in got.collect()}
+        assert len(vals) == 17 * 23
+        assert vals[(2, 4)] == float(cube[1, 2, 4])
+        assert vals[(18, 26)] == float(cube[1, 18, 26])
+        if ref is None:
+            ref = vals
+        else:
+            assert vals == ref
+
+
+def test_pnm_16bit_roundtrip():
+    """P5/P6 with maxval 65535: 2-byte big-endian samples (pnm(5))."""
+    rng = np.random.default_rng(5)
+    g16 = rng.integers(0, 65536, (7, 9)).astype(np.uint16)
+    rgb16 = rng.integers(0, 65536, (6, 4, 3)).astype(np.uint16)
+    for a in (g16, rgb16):
+        buf = SF.pnm_encode(a)
+        out = SF.pnm_decode(buf)
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, a)
+    # header declares the 16-bit maxval and big-endian body
+    assert b"65535" in SF.pnm_encode(g16)[:20]
