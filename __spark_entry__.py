@@ -3415,6 +3415,7 @@ GOLDEN_QUERIES = [
     "raster_polygonize",
     "raster_contour",
     "raster_palette",
+    "raster_pct_roundtrip",
     "raster_histogram",
     "raster_pansharpen",
     "raster_viewshed",
@@ -4168,6 +4169,16 @@ def _q_palette(spark, sf_dir):
     return rgb_to_palette(imgs)
 
 
+def _q_pct_roundtrip(spark, sf_dir):
+    """rgb2pct → pct2rgb round trip (osgeo_utils/pct2rgb.py; per-pixel
+    GDALGetColorEntry = one palette-LUT np.take): expanded-raster
+    checksum + quantization error stats, golden-oracled."""
+    from gdal_spark.raster.palette import pct_roundtrip
+
+    imgs = synth.images(spark, sf_dir, where="okey % 200 = 0")
+    return pct_roundtrip(imgs)
+
+
 def _q_polygonize(spark, sf_dir):
     """gdal_polygonize (alg/polygonize.cpp): 4-connected regions of
     the 64-quantized band, one row per region >= 64 px."""
@@ -4852,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_sieve": _q_sieve,
         "raster_fillnodata": _q_fillnodata,
         "raster_palette": _q_palette,
+        "raster_pct_roundtrip": _q_pct_roundtrip,
         "raster_pansharpen": _q_pansharpen,
         "raster_color_map": _q_color_map,
         "raster_color_relief": _q_color_relief,

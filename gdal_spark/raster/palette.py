@@ -113,3 +113,52 @@ def rgb_to_palette(images: DataFrame, n_colors: int = 16) -> DataFrame:
                 )
 
     return images.mapInPandas(run, schema=schema)
+
+
+def palette_expand(idx: np.ndarray, pal: np.ndarray) -> np.ndarray:
+    """pct2rgb: paletted index raster → RGB via the color-table LUT
+    (``osgeo_utils/pct2rgb.py``; per-pixel ``GDALGetColorEntry``).
+    One ``np.take`` — vectorized, no per-pixel Python."""
+    return pal[idx]
+
+
+def pct_roundtrip(images: DataFrame, n_colors: int = 16) -> DataFrame:
+    """rgb2pct → pct2rgb round trip per image: quantize (median cut +
+    nearest map), expand back through the palette LUT, and report the
+    expanded raster's band-0 checksum plus the quantization error
+    stats vs the original (max |err| and rounded MSE). Map-only."""
+    from gdal_spark.session import ensure_pixel_batch_size
+
+    ensure_pixel_batch_size(images.sparkSession)
+    schema = (
+        "image_id string, n_colors int, checksum_r int,"
+        " max_err int, mse double"
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                arr = codec.decode_image(r.bytes, r.fmt)
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                pal = median_cut(arr, n_colors)
+                idx = map_nearest(arr, pal)
+                rgb = palette_expand(idx, pal)
+                err = rgb.astype(np.int32) - arr.astype(np.int32)
+                rows.append(
+                    (
+                        r.image_id,
+                        len(pal),
+                        checksum_band(rgb[:, :, 0]),
+                        int(np.abs(err).max()),
+                        round(float((err.astype(np.float64) ** 2).mean()), 6),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "n_colors", "checksum_r", "max_err", "mse"],
+                )
+
+    return images.mapInPandas(run, schema=schema)

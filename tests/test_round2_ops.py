@@ -255,3 +255,24 @@ def test_grid_linear_cells_plane_exact(spark):
         py = (r.gy + 0.5) * 0.5
         assert abs(r.value - (2.0 * px - 0.5 * py + 3.0)) < 1e-9
         assert r.certified
+
+
+def test_pct2rgb_exact_when_palette_covers():
+    """pct2rgb (osgeo_utils/pct2rgb.py): expansion is the palette LUT;
+    if the source has ≤ n_colors distinct colors the rgb2pct→pct2rgb
+    round trip is lossless."""
+    import numpy as np
+
+    from gdal_spark.raster.palette import (
+        map_nearest,
+        median_cut,
+        palette_expand,
+    )
+
+    rng = np.random.default_rng(9)
+    pal_true = rng.integers(0, 255, (8, 3), dtype=np.uint8)
+    idx_true = rng.integers(0, 8, (20, 30))
+    arr = pal_true[idx_true]
+    pal = median_cut(arr, 16)
+    rgb = palette_expand(map_nearest(arr, pal), pal)
+    assert np.array_equal(rgb, arr)

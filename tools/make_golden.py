@@ -714,6 +714,32 @@ def g_raster_palette(sf_dir, n_colors=16):
     return schema, rows
 
 
+def g_raster_pct_roundtrip(sf_dir, n_colors=16):
+    from gdal_spark.raster.palette import map_nearest, median_cut, palette_expand
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 200:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        pal = median_cut(arr, n_colors)
+        rgb = palette_expand(map_nearest(arr, pal), pal)
+        err = rgb.astype(np.int32) - arr.astype(np.int32)
+        rows.append(
+            (fp["image_id"], len(pal), checksum_band(rgb[:, :, 0]),
+             int(np.abs(err).max()),
+             round(float((err.astype(np.float64) ** 2).mean()), 6))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("n_colors", I32), ("checksum_r", I32),
+         ("max_err", I32), ("mse", F64)]
+    )
+    return schema, rows
+
+
 def g_raster_viewshed(sf_dir, obs_height=10.0):
     from gdal_spark.raster.viewshed import viewshed_mask_wang
 
@@ -1263,6 +1289,7 @@ GOLDEN_BUILDERS = {
     "raster_polygonize": g_raster_polygonize,
     "raster_contour": g_raster_contour,
     "raster_palette": g_raster_palette,
+    "raster_pct_roundtrip": g_raster_pct_roundtrip,
     "raster_histogram": g_raster_histogram,
     "raster_pansharpen": g_raster_pansharpen,
     "raster_viewshed": g_raster_viewshed,
