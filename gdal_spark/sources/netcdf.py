@@ -430,6 +430,69 @@ def read_netcdf_slabs(
     return plan.mapInPandas(decode, schema=schema)
 
 
+def read_netcdf_strings(spark: SparkSession, path: str, var: str) -> DataFrame:
+    """NC_CHAR variables (the classic-format string convention: a
+    trailing ``strlen`` dimension of 1-byte chars, e.g. station-name
+    tables) → one row per leading index with the fixed-width string,
+    trailing NUL/space trimmed (the rendering ``ncdump`` uses). Same
+    byte-range slab parallelism as the numeric reader: one task range
+    per outer index, nothing outside the variable is read."""
+    header = read_netcdf_header(path)
+    v = header["vars"][var]
+    if np.dtype(v["dtype"]).kind != "S":
+        raise ValueError(f"{var!r} is not a char variable")
+    shape = [int(s) for s in v["shape"]]
+    if not shape:
+        raise ValueError("scalar char variable: read via header attrs")
+    strlen = shape[-1]
+    if len(shape) == 1:
+        slabs = [{"i0": 0, "offset": int(v["begin"]), "nbytes": strlen}]
+        lead_shape: list[int] = []
+    else:
+        inner = int(np.prod(shape[1:], dtype=np.int64))
+        stride = header["recsize"] if v["record"] else inner
+        slabs = [
+            {"i0": i, "offset": int(v["begin"]) + i * stride, "nbytes": inner}
+            for i in range(shape[0])
+        ]
+        lead_shape = shape[1:-1]
+    plan = spark.createDataFrame(pd.DataFrame(slabs))
+    if len(slabs) > 1:
+        plan = plan.repartition(
+            min(len(slabs), spark.sparkContext.defaultParallelism * 2)
+        )
+    rank_gt1 = len(shape) > 1
+
+    def decode(it):
+        with open(path, "rb") as fh:
+            for pdf in it:
+                rows = []
+                for r in pdf.itertuples():
+                    fh.seek(int(r.offset))
+                    raw = fh.read(int(r.nbytes))
+                    mat = np.frombuffer(raw, dtype="S1").reshape(-1, strlen)
+                    for j in range(mat.shape[0]):
+                        s = (
+                            b"".join(mat[j])
+                            .rstrip(b"\x00 ")
+                            .decode("ascii", "replace")
+                        )
+                        idx = (
+                            [int(x) for x in np.unravel_index(j, lead_shape)]
+                            if lead_shape
+                            else []
+                        )
+                        rows.append(
+                            {
+                                "origin": ([int(r.i0)] if rank_gt1 else []) + idx,
+                                "value": s,
+                            }
+                        )
+                yield pd.DataFrame(rows, columns=["origin", "value"])
+
+    return plan.mapInPandas(decode, schema="origin array<int>, value string")
+
+
 def netcdf_window(
     spark: SparkSession, path: str, var: str, window: list[tuple[int, int]]
 ) -> DataFrame:
