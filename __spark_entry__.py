@@ -2719,6 +2719,14 @@ _PROJ_QUERY_DEFS = {
         ("x_ps", "y_ps"),
         "lat >= 60.0",
     ),
+    # MODIS sinusoidal grid (SR-ORG:6974, custom sphere; registry key
+    # 96974 — no EPSG code exists). Global projection; band-limit the
+    # fixture to keep cos(lat) well away from the polar singularity.
+    "reproject_sinusoidal": (
+        96974,
+        ("x_sin", "y_sin"),
+        "lat >= -60.0 AND lat < 60.0",
+    ),
 }
 
 

@@ -86,6 +86,8 @@ AIRY1830 = Ellipsoid(6377563.396, 299.3249646)
 INTL1924 = Ellipsoid(6378388.0, 297.0)
 CLARKE1866 = Ellipsoid(6378206.4, 294.978698214)
 BESSEL1841 = Ellipsoid(6377397.155, 299.1528128)
+# MODIS sinusoidal grid sphere (1/f = inf → f = 0, e = 0 exactly)
+MODIS_SPHERE = Ellipsoid(6371007.181, float("inf"))
 
 
 @dataclass(frozen=True)
@@ -562,6 +564,73 @@ class TransMerc:
         return self.lon0 + lam / DEG, phi / DEG
 
 
+@dataclass(frozen=True)
+class Sinusoidal:
+    """Sinusoidal (Sanson–Flamsteed), ellipsoidal — Snyder eqs
+    30-8..30-11 (meridian arc 3-21, rectifying-latitude inverse 3-26);
+    the sphere case (e = 0) degenerates exactly. This is the MODIS
+    tile-grid projection (custom authalic sphere R = 6 371 007.181 m)
+    and ESRI:54008 World Sinusoidal."""
+
+    ell: Ellipsoid
+    lon0: float
+    fe: float = 0.0
+    fn: float = 0.0
+
+    def _mcoef(self):
+        e2 = self.ell.e2
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        return (
+            1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0,
+            3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0,
+            15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0,
+            35.0 * e6 / 3072.0,
+        )
+
+    def _merid(self, phi):
+        c0, c2, c4, c6 = self._mcoef()
+        return self.ell.a * (
+            c0 * phi
+            - c2 * np.sin(2.0 * phi)
+            + c4 * np.sin(4.0 * phi)
+            - c6 * np.sin(6.0 * phi)
+        )
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        phi = lat * DEG
+        s = np.sin(phi)
+        x = (
+            self.fe
+            + self.ell.a
+            * (lon - self.lon0)
+            * DEG
+            * np.cos(phi)
+            / np.sqrt(1.0 - self.ell.e2 * s * s)
+        )
+        return x, self.fn + self._merid(phi)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.fe
+        y = np.asarray(y, dtype=np.float64) - self.fn
+        a, e2 = self.ell.a, self.ell.e2
+        c0 = self._mcoef()[0]
+        mu = y / (a * c0)
+        se = math.sqrt(1.0 - e2)
+        e1 = (1.0 - se) / (1.0 + se)
+        phi = (
+            mu
+            + (3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0) * np.sin(2.0 * mu)
+            + (21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0) * np.sin(4.0 * mu)
+            + (151.0 * e1**3 / 96.0) * np.sin(6.0 * mu)
+            + (1097.0 * e1**4 / 512.0) * np.sin(8.0 * mu)
+        )
+        s = np.sin(phi)
+        lam = x * np.sqrt(1.0 - e2 * s * s) / (a * np.cos(phi))
+        return self.lon0 + lam / DEG, phi / DEG
+
+
 # ---------------------------------------------------------------------------
 # EPSG registry
 # ---------------------------------------------------------------------------
@@ -657,6 +726,19 @@ def _registry() -> dict[int, CRS]:
             AIRY1830,
             to_wgs84=_OSGB36,
             name="OSGB36 / British National Grid",
+        ),
+        54008: CRS(
+            "projected",
+            Sinusoidal(WGS84, 0.0),
+            WGS84,
+            name="World Sinusoidal (ESRI:54008)",
+        ),
+        # MODIS grid has no EPSG code (SR-ORG:6974); registry key 96974
+        96974: CRS(
+            "projected",
+            Sinusoidal(MODIS_SPHERE, 0.0),
+            MODIS_SPHERE,
+            name="MODIS Sinusoidal (SR-ORG:6974, custom sphere)",
         ),
     }
     # ETRS89 / UTM zones 28N-38N (EPSG 258xx)
@@ -821,6 +903,24 @@ def ps_sql(proj: PolarStereo, lon_expr: str, lat_expr: str) -> tuple[str, str]:
     return x, y
 
 
+def sinus_sql(proj: Sinusoidal, lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    """Forward sinusoidal as shared SQL text (same constant folding as
+    the NumPy kernel — identical IEEE op order)."""
+    c0, c2, c4, c6 = proj._mcoef()
+    a, e2 = proj.ell.a, proj.ell.e2
+    lat_rad = f"(({lat_expr}) * {repr(DEG)})"
+    s = f"sin({lat_rad})"
+    m = (
+        f"({repr(a)} * ({repr(c0)} * {lat_rad} - {repr(c2)} * sin(2.0 * {lat_rad})"
+        f" + {repr(c4)} * sin(4.0 * {lat_rad}) - {repr(c6)} * sin(6.0 * {lat_rad})))"
+    )
+    x = (
+        f"({repr(proj.fe)} + {repr(a)} * (({lon_expr}) - {repr(proj.lon0)})"
+        f" * {repr(DEG)} * cos({lat_rad}) / sqrt(1.0 - {repr(e2)} * {s} * {s}))"
+    )
+    return x, f"({repr(proj.fn)} + {m})"
+
+
 def forward_sql(epsg: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:
     """Shared-SQL forward for a registered null-datum projected CRS."""
     crs = lookup(epsg)
@@ -842,6 +942,8 @@ def forward_sql(epsg: int, lon_expr: str, lat_expr: str) -> tuple[str, str]:
         return laea_sql(p, lon_expr, lat_expr)
     if isinstance(p, CEA):
         return cea_sql(p, lon_expr, lat_expr)
+    if isinstance(p, Sinusoidal):
+        return sinus_sql(p, lon_expr, lat_expr)
     if isinstance(p, TransMerc):
         # reuse srs.utm_sql for the standard UTM shape. For GRS80 CRSs
         # (ETRS89/NAD83 zones) the twin carries WGS84 series constants —

@@ -289,3 +289,53 @@ def test_laea_cea_sql_twins():
         res = con.execute(f"SELECT {xsql} AS x, {ysql} AS y FROM pts").fetchnumpy()
         assert np.abs(res["x"] - xs).max() < 1e-5, code
         assert np.abs(res["y"] - ys).max() < 1e-5, code
+
+
+def test_sinusoidal_published_pins():
+    """Sinusoidal pins: (a) the WGS84 quarter meridian is the published
+    10 001 965.729 m (Snyder meridian-arc series 3-21 at 90°); (b) the
+    MODIS grid half-width is the documented 20 015 109.354 m (π·R for
+    the MODIS sphere R = 6 371 007.181, MODIS user-guide constant);
+    (c) forward/inverse round trip to sub-µdeg."""
+    import numpy as np
+
+    from gdal_spark.functions.proj import MODIS_SPHERE, WGS84, Sinusoidal
+
+    s_wgs = Sinusoidal(WGS84, 0.0)
+    _, qm = s_wgs.forward(0.0, 90.0)
+    assert abs(float(qm) - 10001965.7293) < 0.01
+
+    s_mod = Sinusoidal(MODIS_SPHERE, 0.0)
+    x, _ = s_mod.forward(180.0, 0.0)
+    assert abs(float(x) - 20015109.354) < 0.01
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-179, 179, 50)
+    lat = rng.uniform(-85, 85, 50)
+    for p in (s_wgs, s_mod):
+        x, y = p.forward(lon, lat)
+        lon2, lat2 = p.inverse(x, y)
+        # the e^6/e1^4-truncated Snyder 3-21/3-26 series pair leaves
+        # ~7e-9 deg (≈0.8 mm) in φ; λ = x/(a·cosφ) amplifies that by
+        # 1/cosφ at high latitude
+        assert np.abs(lat2 - lat).max() < 1e-8
+        assert np.abs(lon2 - lon).max() < 1e-6
+
+
+def test_sinusoidal_sql_twin_matches_kernel(spark):
+    """Shared-SQL forward == NumPy kernel bit-for-bit-ish (<1e-6 m)."""
+    import numpy as np
+
+    from gdal_spark.functions.proj import lookup, sinus_sql
+
+    crs = lookup(96974)
+    x_sql, y_sql = sinus_sql(crs.proj, "lon", "lat")
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo in (-120, -30, 45, 170) for la in (-55, 0, 33, 59)],
+        "lon double, lat double",
+    )
+    rows = df.selectExpr("lon", "lat", f"{x_sql} AS x", f"{y_sql} AS y").collect()
+    for r in rows:
+        x, y = crs.proj.forward(r.lon, r.lat)
+        assert abs(float(x) - r.x) < 1e-6
+        assert abs(float(y) - r.y) < 1e-6
