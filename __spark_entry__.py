@@ -2974,6 +2974,62 @@ SELECT doc_id, {', '.join(f'score_{lg}' for lg in langs)}, {pred} AS pred_lang F
 """
 
 
+def _q_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate removal (LLM-pipeline surface; no
+    reference analogue — the per-shard paragraph-dedup design from the
+    published CCNet pipeline): 8-word segments, per-source document
+    frequency, drop df ≥ 5, reassemble. The fixture injects an exactly
+    8-word-aligned per-source banner so the operator has real
+    boilerplate to strip; every doc keeps its own content segments."""
+    from gdal_spark.functions.text import remove_boilerplate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.expr(
+            "concat('promo header advert banner footer nav cookie ', source, ' ', text)"
+        ).alias("text"),
+    )
+    return remove_boilerplate(d, max_df=5)
+
+
+BOILERPLATE_ORACLE = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         concat('promo header advert banner footer nav cookie ', source, ' ', text) AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source,
+         unnest(string_split(t, ' ')) AS word,
+         generate_subscripts(string_split(t, ' '), 1) AS ord
+  FROM d
+),
+s AS (
+  SELECT doc_id, source, CAST((ord - 1) // 8 AS BIGINT) AS chunk,
+         string_agg(word, ' ' ORDER BY ord) AS seg
+  FROM w GROUP BY doc_id, source, (ord - 1) // 8
+),
+f AS (
+  SELECT source, seg, count(DISTINCT doc_id) AS df FROM s GROUP BY source, seg
+),
+k AS (
+  SELECT s.doc_id, s.chunk, s.seg FROM s JOIN f USING (source, seg)
+  WHERE f.df < 5
+),
+r AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY chunk) AS cleaned
+  FROM k GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_segments FROM s GROUP BY doc_id)
+SELECT d.doc_id, tot.n_segments,
+       coalesce(r.n_kept, 0) AS n_kept,
+       md5(coalesce(r.cleaned, '')) AS fp
+FROM d JOIN tot USING (doc_id) LEFT JOIN r USING (doc_id)
+"""
+
+
 def _q_quality(spark, sf_dir):
     """Quality features with raw (unrounded) composite — identical op
     order in both engines → bit-identical doubles, no rounding-mode
@@ -4926,6 +4982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "text_boilerplate": _q_boilerplate,
         "ann_lsh": _q_ann_lsh,
         "embedding_neardup": _q_embedding_neardup,
         "simhash_neardup": _q_simhash_neardup,
@@ -5031,6 +5088,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_oracle(),
         "text_quality": _quality_oracle(),
         "text_fingerprint": FINGERPRINT_ORACLE,
+        "text_boilerplate": BOILERPLATE_ORACLE,
         "ann_topk": _ann_oracle(),
         "gcp_fit_points": GCP_FIT_ORACLE,
         "rpc_project_points": _rpc_project_oracle(),

@@ -93,3 +93,59 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Order-insensitive content fingerprint: md5 of the sorted distinct
     token set (binary/ASCII sort order, identical in DuckDB)."""
     return docs.select("doc_id", F.expr(FINGERPRINT).alias("fingerprint"))
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    doc_id: str = "doc_id",
+    seg_words: int = 8,
+    max_df: int = 5,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: segment each document into
+    fixed ``seg_words``-word windows, count each segment's document
+    frequency WITHIN its group (domain/source), drop segments shared
+    by ≥ ``max_df`` documents (headers, navs, cookie banners), and
+    reassemble the survivors in order.
+
+    Returns (doc_id, n_segments, n_kept, cleaned). Scale shape: one
+    explode + one (group, segment) aggregation + one equi-join + one
+    per-doc regroup — all JVM-side (no UDF anywhere); segment df is a
+    classic map-side-combinable count, and the join key (group,
+    segment) is exactly the aggregation key, so AQE reuses the
+    shuffle. The web-pipeline precedent is CCNet's per-shard paragraph
+    dedup; the reference has no text surface (this is part of the
+    LLM-data-pipeline extension)."""
+    segs_expr = (
+        f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) /"
+        f" {float(seg_words)}) as int) - 1),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '),"
+        f" i * {seg_words} + 1, {seg_words})))"
+    )
+    ex = docs.select(
+        doc_id, group_col, F.posexplode(F.expr(segs_expr)).alias("chunk", "seg")
+    )
+    seg_df = ex.groupBy(group_col, "seg").agg(
+        F.countDistinct(doc_id).alias("df")
+    )
+    kept = ex.join(seg_df, [group_col, "seg"]).filter(F.col("df") < max_df)
+    re = kept.groupBy(doc_id).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr("transform(sort_array(collect_list(struct(chunk, seg))), x -> x.seg)"),
+        ).alias("cleaned"),
+    )
+    tot = ex.groupBy(doc_id).agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        docs.select(doc_id)
+        .join(tot, doc_id)
+        .join(re, doc_id, "left")
+        .select(
+            doc_id,
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("fp"),
+        )
+    )

@@ -682,3 +682,31 @@ def test_ngram_jaccard_pairs(spark):
     # df_cap=1 keeps only shingles unique to one doc -> no shared
     # shingles survive -> no pairs at all
     assert ngram_jaccard_pairs(docs, threshold=0.0, df_cap=1).count() == 0
+
+
+def test_remove_boilerplate(spark):
+    """Segments shared by >= max_df docs of a source are dropped;
+    unique content survives in order (CCNet paragraph-dedup shape)."""
+    from gdal_spark.functions.text import remove_boilerplate
+
+    banner = "promo header advert banner footer nav cookie siteA"
+    docs = spark.createDataFrame(
+        [
+            (i, "a", f"{banner} alpha{i} beta{i} gamma{i} delta{i} "
+                      f"eps{i} zeta{i} eta{i} theta{i}")
+            for i in range(6)
+        ]
+        + [(99, "b", f"{banner} solo content here now one two three four")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r for r in remove_boilerplate(docs, max_df=5).collect()}
+    for i in range(6):
+        assert out[i].n_segments == 2
+        assert out[i].n_kept == 1  # banner segment dropped
+    # source 'b' has one doc: its banner df=1 < 5 -> everything kept
+    assert out[99].n_kept == 2
+    # cleaned fingerprint of a kept-only content doc == md5(content)
+    import hashlib
+
+    content0 = "alpha0 beta0 gamma0 delta0 eps0 zeta0 eta0 theta0"
+    assert out[0].fp == hashlib.md5(content0.encode()).hexdigest()
