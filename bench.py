@@ -72,6 +72,12 @@ def run(sf_dir: str, cpus: str | None) -> dict:
         "geojson_roundtrip",
         "arrow_export_roundtrip",
         "tile_kml_superoverlay",
+        # round-4 late additions: metadata-catalog scan throughput
+        # (header sniff, no pixel decode), dual-direction layer
+        # algebra, CCNet-style segment-df boilerplate removal
+        "raster_info",
+        "layer_symdifference",
+        "text_boilerplate",
     ]
     def _isolate():
         # measurement isolation (VERDICT r03 item 6): drop any cached

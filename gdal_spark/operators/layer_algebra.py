@@ -159,22 +159,75 @@ def _slab_subtract(X0, Y0, X1, Y1, boxes):
     b = np.asarray(boxes, dtype=np.float64)
     b0, b1, b2, b3 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
     xs = np.unique(np.concatenate((np.array([X0, X1]), b0, b2)))
+    nslab = len(xs) - 1
+    # slab i (edges xs[i], xs[i+1]) is covered by box k iff
+    # b0[k] <= xs[i] and b2[k] >= xs[i+1]; b0/b2 are members of xs, so
+    # the covered slabs are exactly [pos(b0[k]), pos(b2[k]) - 1] —
+    # total stabbing count T replaces the old O(m·slabs) mask.
+    s_lo = np.searchsorted(xs, b0, side="left")
+    s_hi = np.searchsorted(xs, b2, side="left")  # exclusive slab end
+    counts = s_hi - s_lo
+    T = int(counts.sum())
     out = []
-    for sa, sb in zip(xs[:-1].tolist(), xs[1:].tolist()):
-        m = (b0 <= sa) & (b2 >= sb)
-        if not m.any():
-            out.append((sa, Y0, sb, Y1))
-            continue
-        a, e = b1[m], b3[m]
-        o = np.lexsort((e, a))
-        a, e = a[o], e[o]
-        run = np.maximum.accumulate(e)
-        cur = np.maximum(np.concatenate(([Y0], run[:-1])), Y0)
+    covered = np.zeros(nslab, dtype=bool)
+    if T:
+        box_ids = np.repeat(np.arange(len(b)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        sl = np.arange(T) - np.repeat(offs, counts) + np.repeat(s_lo, counts)
+        a, e = b1[box_ids], b3[box_ids]
+        o = np.lexsort((e, a, sl))
+        sl, a, e = sl[o], a[o], e[o]
+        covered[np.unique(sl)] = True
+        starts = np.ones(T, dtype=bool)
+        starts[1:] = sl[1:] != sl[:-1]
+        seg_start = np.where(starts)[0]
+        seg0 = np.repeat(seg_start, np.diff(np.append(seg_start, T)))
+        # exclusive prefix values: p[i] = e[i-1] within segment, Y0 at
+        # segment start; segmented inclusive prefix-max of p by offset
+        # doubling reproduces the scalar scan's running `cur` exactly
+        # (pure max/selection — no arithmetic, bit-identical)
+        p = np.empty(T, dtype=np.float64)
+        p[0] = Y0
+        p[1:] = e[:-1]
+        p[starts] = Y0
+        idx = np.arange(T)
+        val = p
+        shift = 1
+        while shift < T:
+            can = idx - shift >= seg0
+            cand = np.empty_like(val)
+            cand[shift:] = val[:-shift]
+            cand[:shift] = val[:shift]
+            val = np.where(can, np.maximum(val, cand), val)
+            shift *= 2
+        cur = np.maximum(val, Y0)
         g = a > cur
-        out.extend((sa, lo, sb, hi) for lo, hi in zip(cur[g].tolist(), a[g].tolist()))
-        last = max(Y0, float(run[-1]))
-        if last < Y1:
-            out.append((sa, last, sb, Y1))
+        if g.any():
+            sa_g, sb_g = xs[sl[g]], xs[sl[g] + 1]
+            out.extend(
+                zip(sa_g.tolist(), cur[g].tolist(), sb_g.tolist(), a[g].tolist())
+            )
+        # per-segment final cover end = max(Y0, max e in segment)
+        ends = np.concatenate((seg_start[1:] - 1, [T - 1]))
+        # cur[last] is the exclusive prefix max; including e[last]
+        # gives the segment's full cover end (the scalar scan's final
+        # `cur`), already floored at Y0
+        last_cover = np.maximum(cur[ends], e[ends])
+        tail = last_cover < Y1
+        if tail.any():
+            sl_t = sl[ends][tail]
+            out.extend(
+                zip(
+                    xs[sl_t].tolist(),
+                    last_cover[tail].tolist(),
+                    xs[sl_t + 1].tolist(),
+                    np.full(tail.sum(), Y1).tolist(),
+                )
+            )
+    un = np.where(~covered)[0]
+    out.extend(
+        (float(xs[i]), Y0, float(xs[i + 1]), Y1) for i in un.tolist()
+    )
     return out
 
 
@@ -200,11 +253,13 @@ def update_boxes(
       separate so schema policy stays explicit).
 
     Shape for scale: candidates from the cell equi-join (never a cross
-    product), then ``groupBy(input key).applyInPandas`` — the
-    multi-method union-difference is per-input-feature local work (the
-    reference's per-feature GEOS ``Difference`` against the unioned
-    method geometry), so thousands of groups parallelize with no
-    driver involvement."""
+    product), then the per-feature method boxes are gathered JVM-side
+    (``groupBy(key).agg(collect_list)`` — map-side combinable) and ONE
+    ``mapInPandas`` Arrow stage runs the slab-difference kernel per
+    feature ROW. This deliberately avoids ``applyInPandas``: with
+    hundreds of thousands of touched features the per-group pandas
+    spin-up dominated wall time (~1 ms/group); batching features as
+    rows makes per-feature cost just the vectorized kernel call."""
     import pandas as pd
 
     lx0, ly0, lx1, ly1 = left_bbox
@@ -222,32 +277,39 @@ def update_boxes(
     )
     out_schema += ", part string, px0 double, py0 double, px1 double, py1 double"
 
-    def erase_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        first = pdf.iloc[0]
-        boxes = list(
-            zip(
-                pdf["clip_lon_min"].astype(float),
-                pdf["clip_lat_min"].astype(float),
-                pdf["clip_lon_max"].astype(float),
-                pdf["clip_lat_max"].astype(float),
-            )
-        )
-        rects = _slab_subtract(
-            float(first[lx0]),
-            float(first[ly0]),
-            float(first[lx1]),
-            float(first[ly1]),
-            boxes,
-        )
-        base = {c: first[c] for c in keep}
-        rows = [
-            {**base, "part": "diff", "px0": a, "py0": b, "px1": c, "py1": d}
-            for a, b, c, d in rects
-        ]
-        cols = keep + ["part", "px0", "py0", "px1", "py1"]
-        return pd.DataFrame(rows, columns=cols)
+    gathered = pairs.groupBy(key).agg(
+        *[F.first(c).alias(c) for c in keep if c != key],
+        F.collect_list(
+            F.array("clip_lon_min", "clip_lat_min", "clip_lon_max", "clip_lat_max")
+        ).alias("_boxes"),
+    )
 
-    touched = pairs.groupBy(key).applyInPandas(erase_group, schema=out_schema)
+    def erase_rows(it):
+        for pdf in it:
+            out = {c: [] for c in keep + ["part", "px0", "py0", "px1", "py1"]}
+            cols = {c: pdf[c].values for c in keep}
+            bx0, by0 = pdf[lx0].values, pdf[ly0].values
+            bx1, by1 = pdf[lx1].values, pdf[ly1].values
+            boxes_col = pdf["_boxes"].values
+            for i in range(len(pdf)):
+                rects = _slab_subtract(
+                    float(bx0[i]),
+                    float(by0[i]),
+                    float(bx1[i]),
+                    float(by1[i]),
+                    [tuple(b) for b in boxes_col[i]],
+                )
+                for a, b, c, d in rects:
+                    for col in keep:
+                        out[col].append(cols[col][i])
+                    out["part"].append("diff")
+                    out["px0"].append(a)
+                    out["py0"].append(b)
+                    out["px1"].append(c)
+                    out["py1"].append(d)
+            yield pd.DataFrame(out)
+
+    touched = gathered.mapInPandas(erase_rows, schema=out_schema)
     untouched = left.join(pairs.select(key).distinct(), key, "left_anti").select(
         *keep,
         F.lit("orig").alias("part"),

@@ -1,0 +1,395 @@
+"""Mapbox Vector Tiles (MVT) encoder/decoder + Spark tile builder.
+
+Reference: ``ogr/ogrsf_frmts/mvt/`` (mvtwriterdataset.cpp ~5,900 LoC +
+mvt_tile.cpp protobuf layer) implements the public Mapbox Vector Tile
+Specification 2.1. This module re-implements the SPEC (not the
+driver): hand-rolled protobuf wire format (varint/zigzag/length-
+delimited — the spec pins the message numbers), command-integer
+geometry encoding (MoveTo=1/LineTo=2/ClosePath=7 with zigzag deltas in
+a 4096-extent integer grid), and the layer/keys/values string tables.
+
+Spark shape: features are assigned to mercator tiles with the existing
+``tile_math`` SQL columns (JVM-side), then ONE ``applyInPandas`` per
+(z, x, y) group encodes the tile — the same groupBy-compose stage the
+raster tiler uses, so a planet-scale vector tile build shuffles once
+on the tile key and writes tiles from executors (hive-partitioned by
+z), never through the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EXTENT = 4096
+
+# geometry types (spec 4.3.4)
+POINT, LINESTRING, POLYGON = 1, 2, 3
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives (spec 2.1 uses proto2 wire format)
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    n &= (1 << 64) - 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _key(field: int, wire: int) -> bytes:
+    return _varint(field << 3 | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:  # length-delimited
+    return _key(field, 2) + _varint(len(payload)) + payload
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift, out = 0, 0
+    while True:
+        b = buf[i]
+        out |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return out, i
+        shift += 7
+
+
+# ---------------------------------------------------------------------------
+# geometry command stream (spec 4.3.5)
+# ---------------------------------------------------------------------------
+
+
+def encode_geometry(parts: list[np.ndarray], gtype: int) -> list[int]:
+    """Rings/lines (already quantized int arrays (n,2)) → command ints.
+
+    Polygons: each ring emits MoveTo(1)+LineTo(n-2)+ClosePath (the
+    closing vertex is implicit per spec); lines emit MoveTo+LineTo;
+    points emit a single MoveTo with all points."""
+    cmds: list[int] = []
+    cx = cy = 0
+    if gtype == POINT:
+        pts = parts[0]
+        cmds.append(1 | (len(pts) << 3))
+        for x, y in pts:
+            cmds.append(_zigzag(int(x) - cx))
+            cmds.append(_zigzag(int(y) - cy))
+            cx, cy = int(x), int(y)
+        return cmds
+    for part in parts:
+        p = part
+        close = gtype == POLYGON
+        if close and len(p) > 1 and (p[0] == p[-1]).all():
+            p = p[:-1]  # closing vertex is implicit (ClosePath)
+        cmds.append(1 | (1 << 3))  # MoveTo count 1
+        cmds.append(_zigzag(int(p[0, 0]) - cx))
+        cmds.append(_zigzag(int(p[0, 1]) - cy))
+        cx, cy = int(p[0, 0]), int(p[0, 1])
+        n = len(p) - 1
+        if n > 0:
+            cmds.append(2 | (n << 3))  # LineTo count n
+            for x, y in p[1:]:
+                cmds.append(_zigzag(int(x) - cx))
+                cmds.append(_zigzag(int(y) - cy))
+                cx, cy = int(x), int(y)
+        if close:
+            cmds.append(7 | (1 << 3))  # ClosePath
+    return cmds
+
+
+def decode_geometry(cmds: list[int], gtype: int) -> list[np.ndarray]:
+    parts: list[np.ndarray] = []
+    cur: list[tuple[int, int]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        cid, cnt = cmds[i] & 0x7, cmds[i] >> 3
+        i += 1
+        if cid == 1:  # MoveTo
+            if cur:
+                parts.append(np.array(cur, dtype=np.int64))
+                cur = []
+            for _ in range(cnt):
+                cx += _unzigzag(cmds[i])
+                cy += _unzigzag(cmds[i + 1])
+                i += 2
+                cur.append((cx, cy))
+        elif cid == 2:  # LineTo
+            for _ in range(cnt):
+                cx += _unzigzag(cmds[i])
+                cy += _unzigzag(cmds[i + 1])
+                i += 2
+                cur.append((cx, cy))
+        elif cid == 7:  # ClosePath → re-append the ring start
+            cur.append(cur[0])
+    if cur:
+        parts.append(np.array(cur, dtype=np.int64))
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# value / feature / layer messages (spec 4.1-4.4)
+# ---------------------------------------------------------------------------
+
+
+def _value_msg(v) -> bytes:
+    if isinstance(v, bool):
+        return _key(7, 0) + _varint(1 if v else 0)
+    if isinstance(v, (int, np.integer)):
+        return _key(4, 0) + _varint(int(v))  # int64
+    if isinstance(v, float):
+        import struct as _s
+
+        return _key(3, 1) + _s.pack("<d", v)
+    return _ld(1, str(v).encode("utf-8"))
+
+
+def encode_tile(
+    layer_name: str,
+    features: list[dict],
+) -> bytes:
+    """features: [{'id': int, 'gtype': 1|2|3, 'parts': [int (n,2)],
+    'tags': {k: v}}] → one-layer MVT tile bytes."""
+    keys: list[str] = []
+    vals: list[bytes] = []
+    val_index: dict[bytes, int] = {}
+    key_index: dict[str, int] = {}
+    feats = b""
+    for f in features:
+        tag_ints: list[int] = []
+        for k, v in f.get("tags", {}).items():
+            if k not in key_index:
+                key_index[k] = len(keys)
+                keys.append(k)
+            vm = _value_msg(v)
+            if vm not in val_index:
+                val_index[vm] = len(vals)
+                vals.append(vm)
+            tag_ints += [key_index[k], val_index[vm]]
+        cmds = encode_geometry(f["parts"], f["gtype"])
+        body = _key(1, 0) + _varint(int(f.get("id", 0)))
+        if tag_ints:
+            body += _ld(2, b"".join(_varint(t) for t in tag_ints))
+        body += _key(3, 0) + _varint(f["gtype"])
+        body += _ld(4, b"".join(_varint(c) for c in cmds))
+        feats += _ld(2, body)
+    layer = _key(15, 0) + _varint(2)  # version 2 (required, spec 4.1)
+    layer += _ld(1, layer_name.encode("utf-8"))
+    layer += feats
+    layer += b"".join(_ld(3, k.encode("utf-8")) for k in keys)
+    layer += b"".join(_ld(4, v) for v in vals)
+    layer += _key(5, 0) + _varint(EXTENT)
+    return _ld(3, layer)
+
+
+def decode_tile(buf: bytes) -> dict:
+    """Inverse of :func:`encode_tile` (single- or multi-layer)."""
+    layers = []
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        assert tag >> 3 == 3 and tag & 7 == 2, "expected Tile.layers"
+        ln, i = _read_varint(buf, i)
+        layers.append(_decode_layer(buf[i : i + ln]))
+        i += ln
+    return {"layers": layers}
+
+
+def _decode_layer(buf: bytes) -> dict:
+    name, version, extent = "", 1, EXTENT
+    keys: list[str] = []
+    vals: list[object] = []
+    feats: list[dict] = []
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        f, w = tag >> 3, tag & 7
+        if w == 0:
+            v, i = _read_varint(buf, i)
+            if f == 15:
+                version = v
+            elif f == 5:
+                extent = v
+        else:
+            ln, i = _read_varint(buf, i)
+            chunk = buf[i : i + ln]
+            i += ln
+            if f == 1:
+                name = chunk.decode("utf-8")
+            elif f == 3:
+                keys.append(chunk.decode("utf-8"))
+            elif f == 4:
+                vals.append(_decode_value(chunk))
+            elif f == 2:
+                feats.append(_decode_feature(chunk))
+    for ft in feats:
+        ft["tags"] = {
+            keys[k]: vals[v]
+            for k, v in zip(ft["tag_ints"][::2], ft["tag_ints"][1::2])
+        }
+        del ft["tag_ints"]
+    return {
+        "name": name,
+        "version": version,
+        "extent": extent,
+        "features": feats,
+    }
+
+
+def _decode_value(buf: bytes) -> object:
+    tag, i = _read_varint(buf, 0)
+    f, w = tag >> 3, tag & 7
+    if f == 1:
+        ln, i = _read_varint(buf, i)
+        return buf[i : i + ln].decode("utf-8")
+    if f == 3:
+        import struct as _s
+
+        return _s.unpack("<d", buf[i : i + 8])[0]
+    if f == 7:
+        v, _ = _read_varint(buf, i)
+        return bool(v)
+    v, _ = _read_varint(buf, i)
+    if f == 5:  # sint64
+        v = _unzigzag(v)
+    return v
+
+
+def _decode_feature(buf: bytes) -> dict:
+    out = {"id": 0, "gtype": 0, "tag_ints": [], "cmds": []}
+    i = 0
+    while i < len(buf):
+        tag, i = _read_varint(buf, i)
+        f, w = tag >> 3, tag & 7
+        if w == 0:
+            v, i = _read_varint(buf, i)
+            if f == 1:
+                out["id"] = v
+            elif f == 3:
+                out["gtype"] = v
+        else:
+            ln, i = _read_varint(buf, i)
+            end = i + ln
+            ints = []
+            while i < end:
+                v, i = _read_varint(buf, i)
+                ints.append(v)
+            if f == 2:
+                out["tag_ints"] = ints
+            elif f == 4:
+                out["cmds"] = ints
+    out["parts"] = decode_geometry(out["cmds"], out["gtype"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark tile builder
+# ---------------------------------------------------------------------------
+
+
+def build_mvt_tiles(
+    polys: DataFrame,
+    zoom: int,
+    layer_name: str = "aoi",
+    id_col: str = "poly_id",
+    bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
+    tag_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Box polygons → per-mercator-tile MVT bytes at ``zoom``.
+
+    Tile assignment (which tiles each bbox touches) and the quantized
+    4096-grid coordinates are pure SQL columns (same mercator algebra
+    as the raster tiler — ``tile_math``); one shuffle on (tx, ty),
+    then ``applyInPandas`` encodes each tile. Returns
+    (z, tx, ty, n_features, tile bytes)."""
+    from gdal_spark.functions import tile_math as tm
+
+    d = polys.select(
+        F.col(id_col).alias("fid"),
+        *[F.col(c) for c in tag_cols],
+        tm.merc_x(F.col(bbox[0])).alias("mx0"),
+        tm.merc_x(F.col(bbox[2])).alias("mx1"),
+        tm.merc_y(F.col(bbox[1])).alias("my0"),
+        tm.merc_y(F.col(bbox[3])).alias("my1"),
+    )
+    size = tm.resolution(zoom) * 256.0  # tile size in meters
+    org = tm.ORIGIN_SHIFT
+    d = (
+        d.withColumn("tx0", tm.meters_to_tile_x(F.col("mx0"), zoom))
+        .withColumn("tx1", tm.meters_to_tile_x(F.col("mx1"), zoom))
+        .withColumn("ty0", tm.meters_to_tile_y(F.col("my0"), zoom))
+        .withColumn("ty1", tm.meters_to_tile_y(F.col("my1"), zoom))
+    )
+    d = d.withColumn("tx", F.explode(F.expr("sequence(tx0, tx1)"))).withColumn(
+        "ty", F.explode(F.expr("sequence(ty0, ty1)"))
+    )
+    # quantized tile-local integer coords. Spec 4.3.2: +y grows DOWN
+    # from the tile's top edge; our ty is TMS (y up), so flip against
+    # the tile's top = (ty+1)·size − origin_shift. Coordinates outside
+    # [0, extent) are spec-legal buffer geometry for edge-crossing
+    # boxes (decoders clip).
+    ext = F.lit(float(EXTENT))
+    size_l, org_l = F.lit(size), F.lit(org)
+    top = (F.col("ty").cast("double") + F.lit(1.0)) * size_l - org_l
+    left = F.col("tx").cast("double") * size_l - org_l
+    d = (
+        d.withColumn("qx0", F.floor((F.col("mx0") - left) / size_l * ext).cast("long"))
+        .withColumn("qx1", F.floor((F.col("mx1") - left) / size_l * ext).cast("long"))
+        .withColumn("qy0", F.floor((top - F.col("my1")) / size_l * ext).cast("long"))
+        .withColumn("qy1", F.floor((top - F.col("my0")) / size_l * ext).cast("long"))
+    )
+    keep = ["fid", "tx", "ty", "qx0", "qy0", "qx1", "qy1", *tag_cols]
+    d = d.select(*keep)
+    schema = "z int, tx int, ty int, n_features long, tile binary"
+
+    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        feats = []
+        for r in pdf.sort_values("fid").itertuples():
+            x0, y0 = int(r.qx0), int(r.qy0)
+            x1, y1 = int(r.qx1), int(r.qy1)
+            ring = np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                dtype=np.int64,
+            )
+            feats.append(
+                {
+                    "id": int(r.fid),
+                    "gtype": POLYGON,
+                    "parts": [ring],
+                    "tags": {c: getattr(r, c) for c in tag_cols},
+                }
+            )
+        buf = encode_tile(layer_name, feats)
+        return pd.DataFrame(
+            [
+                {
+                    "z": zoom,
+                    "tx": tx,
+                    "ty": ty,
+                    "n_features": len(feats),
+                    "tile": buf,
+                }
+            ]
+        )
+
+    return d.groupBy("tx", "ty").applyInPandas(encode_group, schema=schema)
