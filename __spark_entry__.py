@@ -1027,6 +1027,75 @@ FROM sdb_out
 """
 
 
+def _q_mvt_tiles(spark, sf_dir):
+    """Mapbox Vector Tiles (ogr/ogrsf_frmts/mvt/ — the public MVT 2.1
+    spec reimplemented, not the driver): AOI boxes → per-mercator-tile
+    protobuf tiles at z4 (one shuffle on the tile key, same compose
+    shape as the raster tiler), decoded back feature-by-feature. The
+    oracle re-derives every quantized 4096-grid corner closed-form in
+    DuckDB (identical mercator/floor arithmetic), so the encode→decode
+    byte path must preserve exact geometry; the protobuf wire format
+    itself is pinned against the spec's published command-integer
+    examples in tests/test_mvt.py."""
+    from gdal_spark.sources import mvt
+
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False)
+    tiles = mvt.build_mvt_tiles(aoi, zoom=4, tag_cols=("category",))
+    return mvt.tiles_to_features(tiles, tag_cols=("category",)).select(
+        "z", "tx", "ty", "fid", "category", "qx0", "qy0", "qx1", "qy1"
+    )
+
+
+def _mvt_oracle() -> str:
+    from gdal_spark.functions import tile_math as tm
+
+    zoom = 4
+    res = repr(tm.resolution(zoom))
+    size = repr(tm.resolution(zoom) * 256.0)
+    org = repr(tm.ORIGIN_SHIFT)
+    pi = repr(3.141592653589793)
+
+    def merc_x(lon):
+        return f"(({lon}) * {org} / 180.0)"
+
+    def merc_y(lat):
+        return (
+            f"(ln(tan((90.0 + ({lat})) * {pi} / 360.0)) / ({pi} / 180.0)"
+            f" * {org} / 180.0)"
+        )
+
+    def tile(m):
+        return f"CAST(ceil((({m} + {org}) / {res}) / 256.0) - 1 AS INTEGER)"
+
+    return f"""
+WITH {AOI_CTE},
+m AS (
+  SELECT poly_id AS fid, category,
+         {merc_x('lon_min')} AS mx0, {merc_x('lon_max')} AS mx1,
+         {merc_y('lat_min')} AS my0, {merc_y('lat_max')} AS my1
+  FROM aoi
+),
+t AS (
+  SELECT fid, category, mx0, mx1, my0, my1,
+         {tile('mx0')} AS tx0, {tile('mx1')} AS tx1,
+         {tile('my0')} AS ty0, {tile('my1')} AS ty1
+  FROM m
+),
+e AS (
+  SELECT t.*, gx.tx, gy.ty
+  FROM t,
+       unnest(generate_series(t.tx0, t.tx1)) AS gx(tx),
+       unnest(generate_series(t.ty0, t.ty1)) AS gy(ty)
+)
+SELECT 4 AS z, tx, ty, CAST(fid AS BIGINT) AS fid, category,
+       CAST(floor((mx0 - (CAST(tx AS DOUBLE) * {size} - {org})) / {size} * 4096.0) AS BIGINT) AS qx0,
+       CAST(floor(((CAST(ty AS DOUBLE) + 1.0) * {size} - {org} - my1) / {size} * 4096.0) AS BIGINT) AS qy0,
+       CAST(floor((mx1 - (CAST(tx AS DOUBLE) * {size} - {org})) / {size} * 4096.0) AS BIGINT) AS qx1,
+       CAST(floor(((CAST(ty AS DOUBLE) + 1.0) * {size} - {org} - my0) / {size} * 4096.0) AS BIGINT) AS qy1
+FROM e
+"""
+
+
 def _q_st_spatialite_misc(spark, sf_dir):
     """spatialite long-tail ST_ surface (ogrsqlitesqlfunctions.cpp
     registration block): ST_Azimuth (planar bearing, [0,2π)),
@@ -4961,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_zm_functions": _q_st_zm,
         "st_curve_linearize": _q_st_curves,
         "st_spatialite_misc": _q_st_spatialite_misc,
+        "mvt_tiles": _q_mvt_tiles,
         "zarr_3d_window": _q_zarr_3d_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
@@ -5051,6 +5121,7 @@ def oracle_sql() -> dict[str, str]:
         "st_zm_functions": ST_ZM_ORACLE,
         "st_curve_linearize": ST_CURVES_ORACLE,
         "st_spatialite_misc": ST_SPATIALITE_MISC_ORACLE,
+        "mvt_tiles": _mvt_oracle(),
         "zarr_3d_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,

@@ -393,3 +393,39 @@ def build_mvt_tiles(
         )
 
     return d.groupBy("tx", "ty").applyInPandas(encode_group, schema=schema)
+
+
+def tiles_to_features(tiles: DataFrame, tag_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Decode MVT tile bytes back to per-feature rows (map-only Arrow
+    stage): (z, tx, ty, fid, <tags...>, qx0, qy0, qx1, qy1) with the
+    box corners read from ring vertices 0 and 2."""
+    tag_schema = "".join(f", {c} string" for c in tag_cols)
+    schema = (
+        "z int, tx int, ty int, fid long" + tag_schema +
+        ", qx0 long, qy0 long, qx1 long, qy1 long"
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                layer = decode_tile(bytes(r.tile))["layers"][0]
+                for ft in layer["features"]:
+                    ring = ft["parts"][0]
+                    rows.append(
+                        {
+                            "z": int(r.z),
+                            "tx": int(r.tx),
+                            "ty": int(r.ty),
+                            "fid": int(ft["id"]),
+                            **{c: str(ft["tags"][c]) for c in tag_cols},
+                            "qx0": int(ring[0, 0]),
+                            "qy0": int(ring[0, 1]),
+                            "qx1": int(ring[2, 0]),
+                            "qy1": int(ring[2, 1]),
+                        }
+                    )
+            cols = ["z", "tx", "ty", "fid", *tag_cols, "qx0", "qy0", "qx1", "qy1"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return tiles.mapInPandas(gen, schema=schema)
