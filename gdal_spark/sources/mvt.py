@@ -313,19 +313,29 @@ def build_mvt_tiles(
     id_col: str = "poly_id",
     bbox=("lon_min", "lat_min", "lon_max", "lat_max"),
     tag_cols: tuple[str, ...] = (),
+    geom_col: str | None = None,
 ) -> DataFrame:
-    """Box polygons → per-mercator-tile MVT bytes at ``zoom``.
+    """Polygons → per-mercator-tile MVT bytes at ``zoom``.
 
     Tile assignment (which tiles each bbox touches) and the quantized
     4096-grid coordinates are pure SQL columns (same mercator algebra
     as the raster tiler — ``tile_math``); one shuffle on (tx, ty),
     then ``applyInPandas`` encodes each tile. Returns
-    (z, tx, ty, n_features, tile bytes)."""
+    (z, tx, ty, n_features, tile bytes).
+
+    With ``geom_col`` the actual WKB rings are encoded (quantized per
+    tile inside the encode stage with the same mercator/floor
+    arithmetic); without it, the bbox rectangle is the geometry — for
+    bbox-polygon WKB the two paths yield the same quantized corner
+    set (pinned in tests/test_mvt.py; vertex start/order may differ
+    with the source ring's winding)."""
     from gdal_spark.functions import tile_math as tm
 
+    geom_sel = [F.col(geom_col).alias("wkb_")] if geom_col else []
     d = polys.select(
         F.col(id_col).alias("fid"),
         *[F.col(c) for c in tag_cols],
+        *geom_sel,
         tm.merc_x(F.col(bbox[0])).alias("mx0"),
         tm.merc_x(F.col(bbox[2])).alias("mx1"),
         tm.merc_y(F.col(bbox[1])).alias("my0"),
@@ -358,24 +368,54 @@ def build_mvt_tiles(
         .withColumn("qy1", F.floor((top - F.col("my0")) / size_l * ext).cast("long"))
     )
     keep = ["fid", "tx", "ty", "qx0", "qy0", "qx1", "qy1", *tag_cols]
+    if geom_col:
+        keep.append("wkb_")
     d = d.select(*keep)
     schema = "z int, tx int, ty int, n_features long, tile binary"
+    org_f, size_f, ext_f = float(org), float(size), float(EXTENT)
+
+    def _quantize_ring(ring: np.ndarray, tx: int, ty: int) -> np.ndarray:
+        """lon/lat ring → tile-local grid ints with the identical
+        mercator/floor arithmetic as the SQL bbox path."""
+        import math as _m
+
+        lon, lat = ring[:, 0], ring[:, 1]
+        mx = lon * org_f / 180.0
+        my = (
+            np.log(np.tan((90.0 + lat) * _m.pi / 360.0))
+            / (_m.pi / 180.0)
+            * org_f
+            / 180.0
+        )
+        left = tx * size_f - org_f
+        top = (ty + 1.0) * size_f - org_f
+        qx = np.floor((mx - left) / size_f * ext_f).astype(np.int64)
+        qy = np.floor((top - my) / size_f * ext_f).astype(np.int64)
+        return np.stack([qx, qy], axis=1)
 
     def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         feats = []
         for r in pdf.sort_values("fid").itertuples():
-            x0, y0 = int(r.qx0), int(r.qy0)
-            x1, y1 = int(r.qx1), int(r.qy1)
-            ring = np.array(
-                [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
-                dtype=np.int64,
-            )
+            if geom_col:
+                from gdal_spark.functions import geometry as G
+
+                g = G.parse_wkb(bytes(r.wkb_))
+                parts = [_quantize_ring(ring, tx, ty) for ring in g.rings]
+            else:
+                x0, y0 = int(r.qx0), int(r.qy0)
+                x1, y1 = int(r.qx1), int(r.qy1)
+                parts = [
+                    np.array(
+                        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                        dtype=np.int64,
+                    )
+                ]
             feats.append(
                 {
                     "id": int(r.fid),
                     "gtype": POLYGON,
-                    "parts": [ring],
+                    "parts": parts,
                     "tags": {c: getattr(r, c) for c in tag_cols},
                 }
             )
@@ -393,6 +433,22 @@ def build_mvt_tiles(
         )
 
     return d.groupBy("tx", "ty").applyInPandas(encode_group, schema=schema)
+
+
+def write_mvt_dir(tiles: DataFrame, out_dir: str) -> None:
+    """Write (z, tx, ty, tile) rows as ``{z}/{x}/{y}.pbf`` from the
+    executors (the gdal MVT writer's directory layout,
+    ``mvtwriterdataset.cpp``); no driver-side collect."""
+    import os
+
+    def write_part(rows):
+        for r in rows:
+            d = os.path.join(out_dir, str(r.z), str(r.tx))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{r.ty}.pbf"), "wb") as f:
+                f.write(bytes(r.tile))
+
+    tiles.foreachPartition(write_part)
 
 
 def tiles_to_features(tiles: DataFrame, tag_cols: tuple[str, ...] = ()) -> DataFrame:

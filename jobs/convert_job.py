@@ -124,8 +124,54 @@ def write_any(df, path: str, fmt: str, layer: str) -> None:
         D.write_arrow_stream(df, path)
     elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
+    elif fmt == "mvt":
+        # ogr2ogr -f MVT (ogr/ogrsf_frmts/mvt/mvtwriterdataset.cpp):
+        # z/x/y.pbf directory written from executors. Needs lon/lat
+        # bbox columns; derived from the WKB geometry when absent.
+        from gdal_spark.sources import mvt as D
+
+        zoom = int(os.environ.get("CONVERT_MVT_ZOOM", "6"))
+        if "lon_min" not in df.columns:
+            df = _with_geom_bbox(df)
+        id_col = next(
+            (c for c in df.columns if c.endswith("id") and c != "geom"),
+            df.columns[0],
+        )
+        tiles = D.build_mvt_tiles(
+            df, zoom, layer_name=layer or "layer0", id_col=id_col,
+            geom_col="geom" if "geom" in df.columns else None,
+        )
+        D.write_mvt_dir(tiles, path)
     else:
         raise SystemExit(f"unsupported output format {fmt!r}")
+
+
+def _with_geom_bbox(df):
+    """Attach lon/lat bbox columns from the WKB geometry (one Arrow
+    pass — the envelope scan every OGR driver does on write)."""
+    import pandas as pd
+
+    from gdal_spark.functions import geometry as G
+
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", lon_min double, lat_min double, lon_max double, lat_max double"
+
+    def gen(it):
+        for pdf in it:
+            boxes = [
+                G.geom_bbox(G.parse_wkb(bytes(b))) if b is not None else
+                (None, None, None, None)
+                for b in pdf["geom"]
+            ]
+            pdf = pdf.copy()
+            pdf["lon_min"] = [b[0] for b in boxes]
+            pdf["lat_min"] = [b[1] for b in boxes]
+            pdf["lon_max"] = [b[2] for b in boxes]
+            pdf["lat_max"] = [b[3] for b in boxes]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
 
 
 def main(argv=None):

@@ -128,3 +128,82 @@ def test_build_mvt_tiles(spark):
                 [[qx0, qy0], [qx1, qy0], [qx1, qy1], [qx0, qy1], [qx0, qy0]],
             )
             assert ft["tags"]["category"] == s.category
+
+
+def test_build_mvt_tiles_wkb_path(spark):
+    """geom_col path: quantized corner set equals the bbox path when
+    the WKB is the bbox polygon (winding may rotate the start vertex)."""
+    from gdal_spark.functions import geometry as G
+
+    rows = [
+        (1, 10.0, 40.0, 10.4, 40.3, "park"),
+        (2, -74.3, 40.5, -73.8, 40.9, "urban"),
+    ]
+    wkb_rows = [
+        (
+            *r,
+            G.wkb_polygon(
+                [[(r[1], r[2]), (r[3], r[2]), (r[3], r[4]), (r[1], r[4]), (r[1], r[2])]]
+            ),
+        )
+        for r in rows
+    ]
+    polys = spark.createDataFrame(
+        wkb_rows,
+        "poly_id long, lon_min double, lat_min double, lon_max double,"
+        " lat_max double, category string, geom binary",
+    )
+    t_box = mvt.build_mvt_tiles(polys, 6, tag_cols=("category",)).collect()
+    t_wkb = mvt.build_mvt_tiles(
+        polys, 6, tag_cols=("category",), geom_col="geom"
+    ).collect()
+
+    def corners(rows_):
+        out = {}
+        for row in rows_:
+            for ft in mvt.decode_tile(bytes(row.tile))["layers"][0]["features"]:
+                ring = ft["parts"][0]
+                out[(row.tx, row.ty, ft["id"])] = (
+                    int(ring[:, 0].min()),
+                    int(ring[:, 1].min()),
+                    int(ring[:, 0].max()),
+                    int(ring[:, 1].max()),
+                )
+        return out
+
+    assert corners(t_box) == corners(t_wkb)
+
+
+def test_convert_job_mvt_sink(spark, tmp_path):
+    """ogr2ogr -f MVT analogue: geojson → z/x/y.pbf directory."""
+    import os
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import geojson as GJ
+    from jobs.convert_job import write_any
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "park",
+                G.wkb_polygon(
+                    [[(10.0, 40.0), (10.4, 40.0), (10.4, 40.3), (10.0, 40.3), (10.0, 40.0)]]
+                ),
+            )
+        ],
+        "feat_id long, category string, geom binary",
+    )
+    out = str(tmp_path / "tiles")
+    os.environ["CONVERT_MVT_ZOOM"] = "5"
+    try:
+        write_any(df, out, "mvt", "parks")
+    finally:
+        del os.environ["CONVERT_MVT_ZOOM"]
+    pbfs = []
+    for root, _, files in os.walk(out):
+        pbfs += [os.path.join(root, f) for f in files if f.endswith(".pbf")]
+    assert pbfs
+    layer = mvt.decode_tile(open(pbfs[0], "rb").read())["layers"][0]
+    assert layer["name"] == "parks"
+    assert layer["features"][0]["id"] == 1
