@@ -485,3 +485,34 @@ def tiles_to_features(tiles: DataFrame, tag_cols: tuple[str, ...] = ()) -> DataF
             yield pd.DataFrame(rows, columns=cols)
 
     return tiles.mapInPandas(gen, schema=schema)
+
+
+def write_mvt_mbtiles(
+    tiles: DataFrame,
+    path: str,
+    layer_name: str = "aoi",
+    fields: dict | None = None,
+) -> dict:
+    """Vector MBTiles — the gdal MVT driver's default container
+    (``mvtwriterdataset.cpp`` MBTILES output): the raster MBTiles 1.3
+    writer with ``format=pbf`` plus the spec-required ``json``
+    metadata row describing ``vector_layers``."""
+    import json as _json
+    import sqlite3 as _sqlite3
+
+    from gdal_spark.raster.mbtiles import write_mbtiles
+
+    meta = write_mbtiles(
+        tiles, path, name=layer_name, fmt="pbf", description="vector tiles"
+    )
+    vl = {"vector_layers": [{"id": layer_name, "fields": fields or {}}]}
+    con = _sqlite3.connect(path)
+    try:
+        con.execute(
+            "INSERT INTO metadata VALUES ('json', ?)", (_json.dumps(vl),)
+        )
+        con.commit()
+    finally:
+        con.close()
+    meta["json"] = _json.dumps(vl)
+    return meta

@@ -207,3 +207,27 @@ def test_convert_job_mvt_sink(spark, tmp_path):
     layer = mvt.decode_tile(open(pbfs[0], "rb").read())["layers"][0]
     assert layer["name"] == "parks"
     assert layer["features"][0]["id"] == 1
+
+
+def test_mvt_mbtiles_container(spark, tmp_path):
+    """gdal MVT driver's MBTiles output: format=pbf + vector_layers
+    json metadata; tiles round-trip through the MBTiles reader."""
+    from gdal_spark.raster.mbtiles import mbtiles_metadata, read_mbtiles
+
+    polys = spark.createDataFrame(
+        [(1, 10.0, 40.0, 10.4, 40.3, "park")],
+        "poly_id long, lon_min double, lat_min double, lon_max double,"
+        " lat_max double, category string",
+    )
+    tiles = mvt.build_mvt_tiles(polys, 5, tag_cols=("category",))
+    path = str(tmp_path / "v.mbtiles")
+    meta = mvt.write_mvt_mbtiles(tiles, path, layer_name="aoi",
+                                 fields={"category": "String"})
+    assert meta["format"] == "pbf"
+    md = mbtiles_metadata(path)
+    assert "vector_layers" in md["json"]
+    back = read_mbtiles(spark, path).collect()
+    assert back
+    layer = mvt.decode_tile(bytes(back[0].tile))["layers"][0]
+    assert layer["name"] == "aoi"
+    assert layer["features"][0]["tags"]["category"] == "park"
