@@ -1027,6 +1027,64 @@ FROM sdb_out
 """
 
 
+def _q_wrapdateline(spark, sf_dir):
+    """ogr2ogr -wrapdateline (OGRGeometryFactory::transformWithOptions
+    WRAPDATELINE, ogr/ogrgeometryfactory.cpp): antimeridian-crossing
+    boxes split into a MULTIPOLYGON of the two hemispheric halves;
+    non-crossing controls pass through. Oracle: closed-form part count
+    + total area from the same deterministic fixture parameters."""
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.functions.st import register_st_functions
+
+    register_st_functions(spark)
+    rows = []
+    for nk in range(25):  # TPC-H nation is fixed at 25 rows
+        lat0 = -12.0 + nk * 1.0
+        lat1 = lat0 + 0.5
+        if nk % 2 == 0:
+            lon0 = 170.0 + nk * 0.1
+            ring = [
+                (lon0, lat0),
+                (lon0 + 0.25, lat0),
+                (lon0 + 0.25, lat1),
+                (lon0, lat1),
+                (lon0, lat0),
+            ]
+        else:
+            lon_w = 179.0 + nk * 0.03
+            lon_e = -179.9 + nk * 0.005
+            ring = [
+                (lon_w, lat0),
+                (lon_e, lat0),
+                (lon_e, lat1),
+                (lon_w, lat1),
+                (lon_w, lat0),
+            ]
+        rows.append((nk, G.wkb_polygon([ring])))
+    spark.createDataFrame(rows, "nk int, geom binary").createOrReplaceTempView(
+        "adl"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(nk AS BIGINT) AS nk,
+               ST_NumGeometries(ST_WrapDateLine(geom)) AS n_geoms,
+               round(ST_Area(ST_WrapDateLine(geom)), 9) AS area
+        FROM adl
+        """
+    )
+
+
+WRAPDATELINE_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS nk,
+       CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 2 END AS n_geoms,
+       round(CAST(CASE WHEN n_nationkey % 2 = 0 THEN 0.25 * 0.5
+             ELSE ((180.0 - (179.0 + n_nationkey * 0.03))
+                   + ((-179.9 + n_nationkey * 0.005) + 180.0)) * 0.5
+             END AS DOUBLE), 9) AS area
+FROM nation
+"""
+
+
 def _q_mvt_tiles(spark, sf_dir):
     """Mapbox Vector Tiles (ogr/ogrsf_frmts/mvt/ — the public MVT 2.1
     spec reimplemented, not the driver): AOI boxes → per-mercator-tile
@@ -5031,6 +5089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_curve_linearize": _q_st_curves,
         "st_spatialite_misc": _q_st_spatialite_misc,
         "mvt_tiles": _q_mvt_tiles,
+        "vector_wrapdateline": _q_wrapdateline,
         "zarr_3d_window": _q_zarr_3d_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
@@ -5122,6 +5181,7 @@ def oracle_sql() -> dict[str, str]:
         "st_curve_linearize": ST_CURVES_ORACLE,
         "st_spatialite_misc": ST_SPATIALITE_MISC_ORACLE,
         "mvt_tiles": _mvt_oracle(),
+        "vector_wrapdateline": WRAPDATELINE_ORACLE,
         "zarr_3d_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,

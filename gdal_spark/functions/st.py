@@ -790,7 +790,16 @@ _REGISTRY = {
 }
 
 
+def _late_registrations():
+    """Registrations that import from operators (avoid cycles)."""
+    from gdal_spark.operators.vector_ops import st_wrapdateline
+
+    return {"ST_WrapDateLine": st_wrapdateline}
+
+
 def register_st_functions(spark: SparkSession) -> None:
     """Make the ST_ set callable from ``spark.sql`` strings."""
     for name, fn in _REGISTRY.items():
+        spark.udf.register(name, fn)
+    for name, fn in _late_registrations().items():
         spark.udf.register(name, fn)

@@ -484,3 +484,54 @@ def check_geometry(
     if not include_valid:
         out = out.filter(out.error.isNotNull())
     return out
+
+
+def wrap_dateline(g: "G.Geom") -> list[list[np.ndarray]]:
+    """``ogr2ogr -wrapdateline`` (OGRGeometryFactory::
+    transformWithOptions WRAPDATELINE path, ogr/ogrgeometryfactory.cpp):
+    a polygon whose ring hops > 180° of longitude between consecutive
+    vertices crosses the antimeridian; normalize negative longitudes
+    by +360, split at lon = 180 with the Sutherland–Hodgman clipper,
+    and shift the eastern half back to [-180, -?]. Returns a list of
+    polygons (each a list of rings); a non-crossing geometry comes
+    back unchanged as a single polygon."""
+    rings = g.rings if g.rings else g.coords
+    crossing = any(
+        len(r) > 1 and float(np.abs(np.diff(r[:, 0])).max()) > 180.0
+        for r in rings
+    )
+    if not crossing:
+        return [list(rings)]
+    shifted = []
+    for r in rings:
+        s = r.copy()
+        s[:, 0] = np.where(s[:, 0] < 0.0, s[:, 0] + 360.0, s[:, 0])
+        shifted.append(s)
+    west, east = [], []
+    for s in shifted:
+        w = G.clip_ring_to_bbox(s, -360.0, -90.0, 180.0, 90.0)
+        if len(w):
+            west.append(w)
+        e = G.clip_ring_to_bbox(s, 180.0, -90.0, 540.0, 90.0)
+        if len(e):
+            e = e.copy()
+            e[:, 0] = e[:, 0] - 360.0
+            east.append(e)
+    return [p for p in (west, east) if p]
+
+
+@pandas_udf(BinaryType())
+def st_wrapdateline(wkb: pd.Series) -> pd.Series:
+    """ST surface for wrap_dateline: crossing polygons become a
+    MULTIPOLYGON of the split halves; others pass through."""
+
+    def f(b):
+        if b is None:
+            return None
+        g = G.parse_wkb(bytes(b))
+        polys = wrap_dateline(g)
+        if len(polys) == 1:
+            return bytes(b)
+        return G.wkb_multipolygon([[r.tolist() for r in p] for p in polys])
+
+    return wkb.map(f)

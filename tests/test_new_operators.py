@@ -710,3 +710,27 @@ def test_remove_boilerplate(spark):
 
     content0 = "alpha0 beta0 gamma0 delta0 eps0 zeta0 eta0 theta0"
     assert out[0].fp == hashlib.md5(content0.encode()).hexdigest()
+
+
+def test_wrap_dateline_kernel():
+    """Antimeridian split: crossing box -> two halves with exact
+    boundary coords; non-crossing passes through; holes clip too."""
+    import numpy as np
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.operators.vector_ops import wrap_dateline
+
+    ring = np.array(
+        [[179.5, 10.0], [-179.8, 10.0], [-179.8, 11.0], [179.5, 11.0], [179.5, 10.0]]
+    )
+    polys = wrap_dateline(G.parse_wkb(G.wkb_polygon([ring.tolist()])))
+    assert len(polys) == 2
+    west, east = polys
+    wx = np.concatenate([r[:, 0] for r in west])
+    ex = np.concatenate([r[:, 0] for r in east])
+    assert wx.min() == 179.5 and wx.max() == 180.0
+    assert ex.min() == -180.0 and ex.max() == -179.8
+    # non-crossing unchanged
+    plain = np.array([[10.0, 0.0], [11.0, 0.0], [11.0, 1.0], [10.0, 0.0]])
+    out = wrap_dateline(G.parse_wkb(G.wkb_polygon([plain.tolist()])))
+    assert len(out) == 1 and np.allclose(out[0][0][:, 0].max(), 11.0)
