@@ -1027,6 +1027,39 @@ FROM sdb_out
 """
 
 
+def _q_ogr_rollup(spark, sf_dir):
+    """Grouping-sets surface (SURVEY §2.4: absent in the reference,
+    free in Spark): ROLLUP over (category, population-band) with
+    grouping() flags — subtotals + grand total in one pass."""
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False)
+    aoi.createOrReplaceTempView("aoi_ru")
+    return spark.sql(
+        """
+        SELECT category,
+               CAST(population DIV 250000 AS BIGINT) AS pop_band,
+               grouping(category) AS g_cat,
+               grouping(CAST(population DIV 250000 AS BIGINT)) AS g_band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(population) AS BIGINT) AS pop_sum
+        FROM aoi_ru
+        GROUP BY ROLLUP(category, CAST(population DIV 250000 AS BIGINT))
+        """
+    )
+
+
+OGR_ROLLUP_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT category,
+       CAST(population // 250000 AS BIGINT) AS pop_band,
+       CAST(grouping(category) AS INT) AS g_cat,
+       CAST(grouping(CAST(population // 250000 AS BIGINT)) AS INT) AS g_band,
+       count(*) AS n,
+       CAST(sum(population) AS BIGINT) AS pop_sum
+FROM aoi
+GROUP BY ROLLUP(category, CAST(population // 250000 AS BIGINT))
+"""
+
+
 def _q_wrapdateline(spark, sf_dir):
     """ogr2ogr -wrapdateline (OGRGeometryFactory::transformWithOptions
     WRAPDATELINE, ogr/ogrgeometryfactory.cpp): antimeridian-crossing
@@ -5090,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_spatialite_misc": _q_st_spatialite_misc,
         "mvt_tiles": _q_mvt_tiles,
         "vector_wrapdateline": _q_wrapdateline,
+        "ogr_rollup": _q_ogr_rollup,
         "zarr_3d_window": _q_zarr_3d_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
@@ -5182,6 +5216,7 @@ def oracle_sql() -> dict[str, str]:
         "st_spatialite_misc": ST_SPATIALITE_MISC_ORACLE,
         "mvt_tiles": _mvt_oracle(),
         "vector_wrapdateline": WRAPDATELINE_ORACLE,
+        "ogr_rollup": OGR_ROLLUP_ORACLE,
         "zarr_3d_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,
