@@ -1027,6 +1027,56 @@ FROM sdb_out
 """
 
 
+def _q_geoparquet_roundtrip(spark, sf_dir):
+    """GeoParquet 1.0 round trip (ogr/ogrsf_frmts/parquet/
+    ogrparquetwriterdataset.cpp 'geo' footer key): distributed
+    per-partition pyarrow write with the spec metadata (WKB encoding,
+    global bbox aggregated map-side), plain spark.read.parquet back.
+    The footer bbox is emitted as literal columns so the oracle's
+    independent min/max over the AOI bounds value-checks it."""
+    import tempfile
+
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import geoparquet as GP
+
+    register_st_functions(spark)
+    aoi = synth.aoi(spark, sf_dir).select("poly_id", "category", "geom")
+    out = tempfile.mkdtemp(prefix="geoparquet_")
+    GP.write_geoparquet(aoi, out, geom_col="geom", geometry_types=["Polygon"])
+    df, meta = GP.read_geoparquet(spark, out)
+    assert meta["version"] == GP.GEO_VERSION
+    assert meta["columns"]["geom"]["encoding"] == "WKB"
+    b = meta["columns"]["geom"]["bbox"]
+    df.createOrReplaceTempView("gpq")
+    return spark.sql(
+        f"""
+        SELECT CAST(poly_id AS BIGINT) AS poly_id, category,
+               ST_NPoints(geom) AS npoints,
+               round(ST_X(geom), 9) AS cx, round(ST_Y(geom), 9) AS cy,
+               CAST({b[0]!r} AS DOUBLE) AS bbox_x0,
+               CAST({b[1]!r} AS DOUBLE) AS bbox_y0,
+               CAST({b[2]!r} AS DOUBLE) AS bbox_x1,
+               CAST({b[3]!r} AS DOUBLE) AS bbox_y1
+        FROM gpq
+        """
+    )
+
+
+GEOPARQUET_ORACLE = f"""
+WITH {AOI_CTE},
+bb AS (
+  SELECT min(lon_min) AS x0, min(lat_min) AS y0,
+         max(lon_max) AS x1, max(lat_max) AS y1
+  FROM aoi
+)
+SELECT poly_id, category, 5 AS npoints,
+       round(CAST((lon_min + lon_max) / 2 AS DOUBLE), 9) AS cx,
+       round(CAST((lat_min + lat_max) / 2 AS DOUBLE), 9) AS cy,
+       bb.x0 AS bbox_x0, bb.y0 AS bbox_y0, bb.x1 AS bbox_x1, bb.y1 AS bbox_y1
+FROM aoi, bb
+"""
+
+
 def _q_ogr_rollup(spark, sf_dir):
     """Grouping-sets surface (SURVEY §2.4: absent in the reference,
     free in Spark): ROLLUP over (category, population-band) with
@@ -5124,6 +5174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_tiles": _q_mvt_tiles,
         "vector_wrapdateline": _q_wrapdateline,
         "ogr_rollup": _q_ogr_rollup,
+        "geoparquet_roundtrip": _q_geoparquet_roundtrip,
         "zarr_3d_window": _q_zarr_3d_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
@@ -5217,6 +5268,7 @@ def oracle_sql() -> dict[str, str]:
         "mvt_tiles": _mvt_oracle(),
         "vector_wrapdateline": WRAPDATELINE_ORACLE,
         "ogr_rollup": OGR_ROLLUP_ORACLE,
+        "geoparquet_roundtrip": GEOPARQUET_ORACLE,
         "zarr_3d_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,

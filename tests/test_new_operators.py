@@ -734,3 +734,39 @@ def test_wrap_dateline_kernel():
     plain = np.array([[10.0, 0.0], [11.0, 0.0], [11.0, 1.0], [10.0, 0.0]])
     out = wrap_dateline(G.parse_wkb(G.wkb_polygon([plain.tolist()])))
     assert len(out) == 1 and np.allclose(out[0][0][:, 0].max(), 11.0)
+
+
+def test_geoparquet_metadata_roundtrip(spark, tmp_path):
+    """GeoParquet 1.0: every part footer carries the 'geo' key with
+    WKB encoding + the dataset bbox; plain parquet scan reads back."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.sources import geoparquet as GP
+
+    df = spark.createDataFrame(
+        [
+            (1, G.wkb_polygon([[(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (0.0, 0.0)]])),
+            (2, G.wkb_polygon([[(5.0, 5.0), (6.0, 5.0), (6.0, 7.0), (5.0, 5.0)]])),
+        ],
+        "fid long, geom binary",
+    )
+    out = str(tmp_path / "gp")
+    meta = GP.write_geoparquet(df, out, geometry_types=["Polygon"])
+    assert meta["columns"]["geom"]["bbox"] == [0.0, 0.0, 6.0, 7.0]
+    back, meta2 = GP.read_geoparquet(spark, out)
+    assert meta2 == meta
+    assert back.count() == 2
+    # WKB bytes survive parquet bit-exactly
+    src = {r.fid: bytes(r.geom) for r in df.collect()}
+    got = {r.fid: bytes(r.geom) for r in back.collect()}
+    assert src == got
+    # every part file carries the footer key
+    import os
+
+    for f in os.listdir(out):
+        if f.endswith(".parquet"):
+            md = pq.read_schema(os.path.join(out, f)).metadata
+            assert json.loads(md[b"geo"])["primary_column"] == "geom"
