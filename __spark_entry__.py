@@ -1401,6 +1401,34 @@ FROM generate_series(3, 8) s1(t),
 """
 
 
+def _zarr3d_v3_fixture() -> str:
+    """Same closed-form cube as the v2 fixture, stored as a Zarr v3
+    array (zarr.json + c/<t>/<y>/<x> chunk keys, bytes+gzip codecs)."""
+    import tempfile
+
+    from gdal_spark.sources import zarr as Z
+
+    p = _os.path.join(tempfile.gettempdir(), "gdal_spark_zarr3d_v3_1")
+    if not _os.path.exists(_os.path.join(p, "zarr.json")):
+        t, y, x = _np.meshgrid(
+            *[_np.arange(s) for s in _ZARR3D_SHAPE], indexing="ij"
+        )
+        arr = ((t * 7 + y * 3 + x) % 101).astype(_np.float64)
+        Z.write_zarr_v3(p, arr, _ZARR3D_CHUNKS)
+    return p
+
+
+def _q_zarr_v3_window(spark, sf_dir):
+    """Zarr v3 window read (frmts/zarr reads v2 AND v3; v3 core spec:
+    zarr.json array node, regular chunk grid, default c/-separated
+    chunk keys, bytes+gzip codec chain): identical window, pruning and
+    long-form contract as the v2 query — and the identical closed-form
+    oracle, so v2/v3 readers are pinned to the same values."""
+    from gdal_spark.sources import zarr as Z
+
+    return Z.zarr_hypercube_window(spark, _zarr3d_v3_fixture(), _ZARR3D_WIN)
+
+
 def _q_zarr_axis_stats(spark, sf_dir):
     """Per-time-step statistics over the hypercube
     (GDALMDArray::GetStatistics per slice): per-chunk NumPy partial
@@ -5176,6 +5204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_rollup": _q_ogr_rollup,
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
         "zarr_3d_window": _q_zarr_3d_window,
+        "zarr_v3_window": _q_zarr_v3_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
         "netcdf_axis_stats": _q_netcdf_axis_stats,
@@ -5270,6 +5299,7 @@ def oracle_sql() -> dict[str, str]:
         "ogr_rollup": OGR_ROLLUP_ORACLE,
         "geoparquet_roundtrip": GEOPARQUET_ORACLE,
         "zarr_3d_window": ZARR_3D_ORACLE,
+        "zarr_v3_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,
         "netcdf_axis_stats": NETCDF_AXIS_ORACLE,

@@ -228,6 +228,115 @@ def read_zarray_meta_nd(path: str) -> dict:
     return meta
 
 
+_V3_DTYPES = {
+    "float64": "<f8", "float32": "<f4",
+    "int64": "<i8", "int32": "<i4", "int16": "<i2", "int8": "|i1",
+    "uint64": "<u8", "uint32": "<u4", "uint16": "<u2", "uint8": "|u1",
+}
+
+
+def write_zarr_v3(
+    path: str,
+    arr: np.ndarray,
+    chunks: tuple[int, ...],
+    codec: str | None = "gzip",
+    level: int = 1,
+    fill_value=0,
+) -> None:
+    """Zarr v3 array writer (``zarr.json`` + ``c/<i>/<j>/...`` chunk
+    keys, bytes+gzip codec chain — the v3 core spec the reference's
+    ``frmts/zarr`` driver reads alongside v2)."""
+    import gzip as _gzip
+    import itertools
+
+    os.makedirs(path, exist_ok=True)
+    dt_name = {v: k for k, v in _V3_DTYPES.items()}[
+        arr.dtype.newbyteorder("<").str if arr.dtype.itemsize > 1 else arr.dtype.str
+    ]
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+    if codec == "gzip":
+        codecs.append({"name": "gzip", "configuration": {"level": level}})
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(arr.shape),
+        "data_type": dt_name,
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": [int(c) for c in chunks]},
+        },
+        "chunk_key_encoding": {
+            "name": "default",
+            "configuration": {"separator": "/"},
+        },
+        "fill_value": fill_value,
+        "codecs": codecs,
+    }
+    with open(os.path.join(path, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    le = arr.dtype.newbyteorder("<")
+    grids = [range(-(-s // c)) for s, c in zip(arr.shape, chunks)]
+    for idx in itertools.product(*grids):
+        block = np.full(chunks, fill_value, dtype=le)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, arr.shape)
+        )
+        part = arr[sel]
+        block[tuple(slice(0, p) for p in part.shape)] = part
+        raw = block.astype(le, copy=False).tobytes(order="C")
+        if codec == "gzip":
+            raw = _gzip.compress(raw, level)
+        d = os.path.join(path, "c", *[str(i) for i in idx[:-1]])
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, str(idx[-1])), "wb") as f:
+            f.write(raw)
+
+
+def read_zarr_meta_v3(path: str) -> dict:
+    """zarr.json → the v2-reader's normalized field set + v3 markers."""
+    with open(os.path.join(path, "zarr.json")) as f:
+        m = json.load(f)
+    if m.get("node_type") != "array" or m.get("zarr_format") != 3:
+        raise NotImplementedError("only Zarr v3 array nodes supported")
+    names = [c["name"] for c in m.get("codecs", [])]
+    if names and names[0] != "bytes":
+        raise NotImplementedError("v3 codec chain must start with 'bytes'")
+    extra = [n for n in names[1:] if n != "gzip"]
+    if extra:
+        raise NotImplementedError(
+            f"v3 codecs {extra} need their codec libraries — only "
+            "bytes/gzip are available in-container"
+        )
+    endian = "<"
+    for c in m.get("codecs", []):
+        if c["name"] == "bytes" and c.get("configuration", {}).get("endian") == "big":
+            endian = ">"
+    base = _V3_DTYPES[m["data_type"]]
+    dtype = base if base[0] == "|" else endian + base[1:]
+    sep = (
+        m.get("chunk_key_encoding", {})
+        .get("configuration", {})
+        .get("separator", "/")
+    )
+    return {
+        "shape": m["shape"],
+        "chunks": m["chunk_grid"]["configuration"]["chunk_shape"],
+        "dtype": dtype,
+        "compressor": {"id": "gzip"} if "gzip" in names else None,
+        "v3": True,
+        "sep": sep,
+    }
+
+
+def _read_meta_any(path: str) -> dict:
+    if os.path.exists(os.path.join(path, "zarr.json")):
+        return read_zarr_meta_v3(path)
+    meta = read_zarray_meta_nd(path)
+    meta["v3"] = False
+    return meta
+
+
 def read_zarr_chunks_nd(
     spark: SparkSession,
     path: str,
@@ -245,11 +354,12 @@ def read_zarr_chunks_nd(
     of its time/band/space sub-grid."""
     import itertools
 
-    meta = read_zarray_meta_nd(path)
+    meta = _read_meta_any(path)
+    v3 = meta.get("v3", False)
     shape = [int(s) for s in meta["shape"]]
     csz = [int(c) for c in meta["chunks"]]
     dtype = np.dtype(meta["dtype"])
-    compressed = meta.get("compressor") is not None
+    comp_id = (meta.get("compressor") or {}).get("id")
     ngrid = [-(-s // c) for s, c in zip(shape, csz)]
     if window is not None:
         if len(window) != len(shape):
@@ -262,21 +372,33 @@ def read_zarr_chunks_nd(
         ranges = [range(n) for n in ngrid]
     files = []
     for idx in itertools.product(*ranges):
-        p = os.path.join(path, ".".join(str(i) for i in idx))
+        if v3:
+            p = os.path.join(path, "c", *[str(i) for i in idx])
+        else:
+            p = os.path.join(path, ".".join(str(i) for i in idx))
         if os.path.exists(p):
             files.append(p)
     schema = "idx array<int>, origin array<int>, dims array<int>, values array<double>"
     if not files:
         return spark.createDataFrame([], schema)
     scan = spark.read.format("binaryFile").load(files)
+    rank = len(shape)
 
     def decode(it):
+        import gzip as _gzip
+
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
-                idx = [int(v) for v in os.path.basename(r.path).split(".")]
+                if v3:  # .../c/<i>/<j>/<k> — last `rank` path parts
+                    parts = r.path.split("/")[-rank:]
+                    idx = [int(v) for v in parts]
+                else:
+                    idx = [int(v) for v in os.path.basename(r.path).split(".")]
                 raw = bytes(r.content)
-                if compressed:
+                if comp_id == "gzip":
+                    raw = _gzip.decompress(raw)
+                elif comp_id == "zlib":
                     raw = zlib.decompress(raw)
                 block = np.frombuffer(raw, dtype=dtype).reshape(csz)
                 dims = [
@@ -303,7 +425,7 @@ def zarr_hypercube_window(
     to the window; only intersecting chunk files are read. The explode
     is per chunk (bounded batch), coordinates recovered from the
     row-major position with pure SQL arithmetic."""
-    meta = read_zarray_meta_nd(path)
+    meta = _read_meta_any(path)
     rank = len(meta["shape"])
     chunks = read_zarr_chunks_nd(spark, path, window)
     ex = chunks.select(
@@ -336,7 +458,7 @@ def zarr_axis_stats(
     ``GDALMDArray::GetStatistics`` per slice). Partial per-chunk
     reductions (NumPy inside the scan's mapInPandas shape) feed one
     small groupBy on the axis index — per-pixel rows never shuffle."""
-    meta = read_zarray_meta_nd(path)
+    meta = _read_meta_any(path)
     rank = len(meta["shape"])
     if not 0 <= axis < rank:
         raise ValueError("axis out of range")

@@ -193,3 +193,63 @@ def test_nd_4d(spark, tmp_path):
     assert len(rows) == 2 * 2 * 5 * 4
     for r in rows:
         assert arr[r.d0, r.d1, r.d2, r.d3] == r.value
+
+
+def test_zarr_v3_roundtrip_and_window(spark, tmp_path):
+    """Zarr v3 core spec: zarr.json array node, c/-separated chunk
+    keys, bytes+gzip codec chain; window read matches the source and
+    the v2 reader's contract (frmts/zarr reads both versions)."""
+    import numpy as np
+
+    from gdal_spark.sources import zarr as Z
+
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 1000, (9, 14, 11)).astype(np.int32)
+    p = str(tmp_path / "v3")
+    Z.write_zarr_v3(p, arr, (4, 5, 6))
+    meta = Z.read_zarr_meta_v3(p)
+    assert meta["shape"] == [9, 14, 11] and meta["dtype"] == "<i4"
+    win = [(2, 5), (3, 8), (1, 9)]
+    rows = Z.zarr_hypercube_window(spark, p, win).collect()
+    assert len(rows) == 5 * 8 * 9
+    got = {(r.d0, r.d1, r.d2): r.value for r in rows}
+    for t in range(2, 7):
+        for y in range(3, 11):
+            for x in range(1, 10):
+                assert got[(t, y, x)] == float(arr[t, y, x])
+    # uncompressed v3 (bytes codec only) also reads
+    p2 = str(tmp_path / "v3raw")
+    Z.write_zarr_v3(p2, arr, (4, 5, 6), codec=None)
+    assert Z.read_zarr_meta_v3(p2)["compressor"] is None
+    n = Z.zarr_hypercube_window(spark, p2, win).count()
+    assert n == 5 * 8 * 9
+
+
+def test_zarr_v3_rejects_unknown_codec(tmp_path):
+    import json as _json
+
+    from gdal_spark.sources import zarr as Z
+
+    p = str(tmp_path / "bad")
+    import os
+
+    os.makedirs(p)
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [4],
+        "data_type": "float64",
+        "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "blosc", "configuration": {}},
+        ],
+    }
+    with open(os.path.join(p, "zarr.json"), "w") as f:
+        _json.dump(meta, f)
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="blosc"):
+        Z.read_zarr_meta_v3(p)
