@@ -124,6 +124,10 @@ def write_any(df, path: str, fmt: str, layer: str) -> None:
         D.write_arrow_stream(df, path)
     elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
+    elif fmt == "geoparquet":
+        from gdal_spark.sources import geoparquet as GP
+
+        GP.write_geoparquet(df, path)
     elif fmt == "mvt":
         # ogr2ogr -f MVT (ogr/ogrsf_frmts/mvt/mvtwriterdataset.cpp):
         # z/x/y.pbf directory written from executors. Needs lon/lat
