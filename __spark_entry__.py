@@ -1110,6 +1110,29 @@ GROUP BY ROLLUP(category, CAST(population // 250000 AS BIGINT))
 """
 
 
+def _q_pmtiles_roundtrip(spark, sf_dir):
+    """PMTiles v3 archive round trip (ogr/ogrsf_frmts/pmtiles/, the
+    vendored spec header pmtiles.hpp — whose C++ implementation also
+    parses OUR archives byte-exactly in tests/test_pmtiles.py): the
+    mvt_tiles pyramid written into one clustered archive (Hilbert
+    tile-id order, gzip directories) and read back as one ranged read
+    per tile on the executors. Output contract and closed-form DuckDB
+    oracle are identical to mvt_tiles, so the archive hop must
+    preserve every tile bit."""
+    import tempfile
+
+    from gdal_spark.sources import mvt, pmtiles as PT
+
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False)
+    tiles = mvt.build_mvt_tiles(aoi, zoom=4, tag_cols=("category",))
+    path = _os.path.join(tempfile.mkdtemp(prefix="pmtiles_"), "aoi.pmtiles")
+    PT.write_pmtiles(tiles, path, tile_type="mvt")
+    back = PT.read_pmtiles(spark, path)
+    return mvt.tiles_to_features(back, tag_cols=("category",)).select(
+        "z", "tx", "ty", "fid", "category", "qx0", "qy0", "qx1", "qy1"
+    )
+
+
 def _q_wrapdateline(spark, sf_dir):
     """ogr2ogr -wrapdateline (OGRGeometryFactory::transformWithOptions
     WRAPDATELINE, ogr/ogrgeometryfactory.cpp): antimeridian-crossing
@@ -5200,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_curve_linearize": _q_st_curves,
         "st_spatialite_misc": _q_st_spatialite_misc,
         "mvt_tiles": _q_mvt_tiles,
+        "pmtiles_roundtrip": _q_pmtiles_roundtrip,
         "vector_wrapdateline": _q_wrapdateline,
         "ogr_rollup": _q_ogr_rollup,
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
@@ -5295,6 +5319,7 @@ def oracle_sql() -> dict[str, str]:
         "st_curve_linearize": ST_CURVES_ORACLE,
         "st_spatialite_misc": ST_SPATIALITE_MISC_ORACLE,
         "mvt_tiles": _mvt_oracle(),
+        "pmtiles_roundtrip": _mvt_oracle(),
         "vector_wrapdateline": WRAPDATELINE_ORACLE,
         "ogr_rollup": OGR_ROLLUP_ORACLE,
         "geoparquet_roundtrip": GEOPARQUET_ORACLE,
