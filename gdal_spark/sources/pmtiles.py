@@ -243,6 +243,7 @@ def write_pmtiles(
     tile_type: str = "mvt",
     metadata: dict | None = None,
     bounds: tuple[float, float, float, float] = (-180.0, -85.0, 180.0, 85.0),
+    leaf_size: int = 16384,
 ) -> dict:
     """(z, tx TMS-y ty, tile) DataFrame → one PMTiles v3 archive.
 
@@ -269,14 +270,14 @@ def write_pmtiles(
             data.extend(blob)
             content_offsets[blob] = (off, ln)
         entries.append((tid, off, ln, 1))
-    root = gzip.compress(serialize_directory(entries), 6)
+    root, leaves = _build_directories(entries, leaf_size)
     meta_raw = gzip.compress(
         json.dumps(metadata or {}).encode("utf-8"), 6
     )
     root_off = HEADER_SIZE
     meta_off = root_off + len(root)
     leaf_off = meta_off + len(meta_raw)
-    data_off = leaf_off  # no leaf directories for root-sized archives
+    data_off = leaf_off + len(leaves)
     header = _pack_header(
         {
             "root_dir_offset": root_off,
@@ -284,7 +285,7 @@ def write_pmtiles(
             "json_metadata_offset": meta_off,
             "json_metadata_bytes": len(meta_raw),
             "leaf_dirs_offset": leaf_off,
-            "leaf_dirs_bytes": 0,
+            "leaf_dirs_bytes": len(leaves),
             "tile_data_offset": data_off,
             "tile_data_bytes": len(data),
             "addressed_tiles_count": len(entries),
@@ -309,8 +310,34 @@ def write_pmtiles(
         f.write(header)
         f.write(root)
         f.write(meta_raw)
+        f.write(leaves)
         f.write(bytes(data))
-    return {"entries": len(entries), "bytes": HEADER_SIZE + len(root) + len(meta_raw) + len(data)}
+    return {
+        "entries": len(entries),
+        "leaf_bytes": len(leaves),
+        "bytes": HEADER_SIZE + len(root) + len(meta_raw) + len(leaves) + len(data),
+    }
+
+
+def _build_directories(
+    entries: list[tuple[int, int, int, int]], leaf_size: int
+) -> tuple[bytes, bytes]:
+    """Root directory (gzip), optionally splitting into leaf
+    directories of ``leaf_size`` entries when the root would exceed it
+    (``pmtiles.hpp make_root_leaves`` shape: root entries carry
+    run_length 0 and point at (offset, length) ranges INSIDE the leaf
+    section). At planet scale (~10⁹ tiles) the root stays KBs and each
+    lookup is header → root → one leaf → one tile range read."""
+    if len(entries) <= leaf_size:
+        return gzip.compress(serialize_directory(entries), 6), b""
+    leaves = bytearray()
+    root_entries = []
+    for i in range(0, len(entries), leaf_size):
+        chunk = entries[i : i + leaf_size]
+        blob = gzip.compress(serialize_directory(chunk), 6)
+        root_entries.append((chunk[0][0], len(leaves), len(blob), 0))
+        leaves.extend(blob)
+    return gzip.compress(serialize_directory(root_entries), 6), bytes(leaves)
 
 
 def read_entries(path: str) -> list[tuple[int, int, int, int, int]]:

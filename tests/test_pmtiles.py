@@ -148,3 +148,23 @@ def test_archive_roundtrip_and_reference_parse(spark, tmp_path, oracle_bin):
     ]
     ours = P.deserialize_directory(raw)
     assert ref_entries == ours
+
+
+def test_leaf_directories_roundtrip(spark, tmp_path):
+    """Writer splits into leaf directories past leaf_size; the
+    leaf-aware reader reassembles every entry (the planet-scale
+    layout: root -> leaf -> ranged tile read)."""
+    rows = []
+    z = 7
+    for x in range(16):
+        for y in range(16):
+            rows.append((z, x, y, bytes([x, y]) * 3))
+    tiles = spark.createDataFrame(rows, "z int, tx int, ty int, tile binary")
+    path = str(tmp_path / "leafy.pmtiles")
+    info = P.write_pmtiles(tiles, path, tile_type="unknown", leaf_size=50)
+    assert info["leaf_bytes"] > 0
+    ents = P.read_entries(path)
+    assert len(ents) == 256
+    got = {(r.z, r.tx, r.ty): bytes(r.tile) for r in P.read_pmtiles(spark, path).collect()}
+    assert len(got) == 256
+    assert got[(z, 3, 9)] == bytes([3, 9]) * 3  # TMS ty round-trips
