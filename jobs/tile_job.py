@@ -46,6 +46,12 @@ def main(argv=None):
         help="also ship the finished pyramid as one MBTiles file "
         "(single-file terminal hop; the cluster store stays --out)",
     )
+    p.add_argument(
+        "--pmtiles",
+        default=None,
+        help="also ship the finished pyramid as one PMTiles v3 archive "
+        "(cloud-optimized: one ranged read per tile; terminal hop)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -78,6 +84,11 @@ def main(argv=None):
 
         tiles = spark.read.parquet(f"{args.out}/tiles")
         stats["mbtiles"] = write_mbtiles(tiles, args.mbtiles)
+    if args.pmtiles:
+        from gdal_spark.sources.pmtiles import write_pmtiles
+
+        tiles = spark.read.parquet(f"{args.out}/tiles")
+        stats["pmtiles"] = write_pmtiles(tiles, args.pmtiles, tile_type="png")
     print(json.dumps(stats))
     if not preexisting:  # don't tear down a caller's session (tests)
         spark.stop()

@@ -168,3 +168,40 @@ def test_leaf_directories_roundtrip(spark, tmp_path):
     got = {(r.z, r.tx, r.ty): bytes(r.tile) for r in P.read_pmtiles(spark, path).collect()}
     assert len(got) == 256
     assert got[(z, 3, 9)] == bytes([3, 9]) * 3  # TMS ty round-trips
+
+
+def test_tile_job_pmtiles_sink(spark, sf_dir, tmp_path):
+    """jobs/tile_job.py --pmtiles: the raster pyramid ships as one
+    cloud-optimized archive; read back and spot-check a tile byte-for-
+    byte against the cluster store."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from jobs.tile_job import main
+
+    out = str(tmp_path / "tiles_out")
+    arc = str(tmp_path / "pyramid.pmtiles")
+    argv = [
+        "--sf-dir", sf_dir, "--out", out,
+        "--min-zoom", "11", "--max-zoom", "12",
+        "--subset", "okey % 200 = 0",
+        "--pmtiles", arc,
+    ]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(argv) == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["pmtiles"]["entries"] == stats["n_tiles"]
+    h = P.read_header(arc)
+    assert (h["min_zoom"], h["max_zoom"]) == (11, 12)
+    assert h["tile_type"] == P.TILE_TYPES["png"]
+    store = {
+        (r.z, r.tx, r.ty): bytes(r.tile)
+        for r in spark.read.parquet(f"{out}/tiles").collect()
+    }
+    back = {
+        (r.z, r.tx, r.ty): bytes(r.tile)
+        for r in P.read_pmtiles(spark, arc).collect()
+    }
+    assert back == store
