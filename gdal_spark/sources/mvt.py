@@ -516,3 +516,21 @@ def write_mvt_mbtiles(
         con.close()
     meta["json"] = _json.dumps(vl)
     return meta
+
+
+def build_mvt_pyramid(
+    polys: DataFrame,
+    min_zoom: int,
+    max_zoom: int,
+    **kwargs,
+) -> DataFrame:
+    """MVT pyramid min→max zoom (the gdal MVT writer's MINZOOM/MAXZOOM
+    surface): per-zoom builds unioned — each zoom is an independent
+    one-shuffle job, so the pyramid is max_zoom−min_zoom+1 parallel
+    stages with no cross-zoom dependency (unlike raster overviews,
+    vector tiles re-quantize from source at every zoom)."""
+    out = None
+    for z in range(min_zoom, max_zoom + 1):
+        t = build_mvt_tiles(polys, z, **kwargs)
+        out = t if out is None else out.unionByName(t)
+    return out

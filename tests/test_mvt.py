@@ -231,3 +231,18 @@ def test_mvt_mbtiles_container(spark, tmp_path):
     layer = mvt.decode_tile(bytes(back[0].tile))["layers"][0]
     assert layer["name"] == "aoi"
     assert layer["features"][0]["tags"]["category"] == "park"
+
+
+def test_build_mvt_pyramid(spark):
+    polys = spark.createDataFrame(
+        [(1, 10.0, 40.0, 10.4, 40.3, "park")],
+        "poly_id long, lon_min double, lat_min double, lon_max double,"
+        " lat_max double, category string",
+    )
+    out = mvt.build_mvt_pyramid(polys, 3, 6, tag_cols=("category",)).collect()
+    zs = sorted({r.z for r in out})
+    assert zs == [3, 4, 5, 6]
+    # every tile decodes with the feature present
+    for r in out:
+        layer = mvt.decode_tile(bytes(r.tile))["layers"][0]
+        assert layer["features"][0]["id"] == 1
