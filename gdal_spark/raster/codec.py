@@ -295,19 +295,27 @@ def sniff_info(buf: bytes) -> tuple[str, int, int, int]:
         return "webp", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1, (
             4 if (v >> 28) & 1 else 3
         )
-    if b[:4] in (b"II*\x00", b"MM\x00*"):
+    if b[:2] in (b"II", b"MM") and b[2:4] in (b"*\x00", b"\x00*", b"+\x00", b"\x00+"):
         en = "<" if b[:2] == b"II" else ">"
+        magic = struct.unpack(en + "H", b[2:4])[0]
+        if magic == 43:
+            raise NotImplementedError("BigTIFF sniff unsupported")
         off = struct.unpack(en + "I", b[4:8])[0]
         n = struct.unpack(en + "H", b[off : off + 2])[0]
         tags = {}
         for k in range(n):
             e = off + 2 + 12 * k
             tag, typ = struct.unpack(en + "HH", b[e : e + 4])
-            if tag in (256, 257, 277):
-                fmtc = {3: "H", 4: "I"}.get(typ, "I")
+            if tag in (256, 257, 277) and typ in (3, 4):
+                # only SHORT/LONG-typed dims are meaningful; skip others
+                fmtc = {3: "H", 4: "I"}[typ]
                 tags[tag] = struct.unpack(
                     en + fmtc, b[e + 8 : e + 8 + struct.calcsize(fmtc)]
                 )[0]
+        if 256 not in tags or 257 not in tags:
+            raise ValueError(
+                "TIFF header missing ImageWidth/ImageLength size tags"
+            )
         return "tiff", tags[256], tags[257], tags.get(277, 1)
     if b[:2] in (b"P5", b"P6") and b[2:3].isspace():
         toks, pos = [], 2

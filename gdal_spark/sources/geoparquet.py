@@ -89,6 +89,11 @@ def write_geoparquet(
         F.max("_gx1").alias("x1"),
         F.max("_gy1").alias("y1"),
     ).collect()[0]
+    if agg.x0 is None:
+        raise ValueError(
+            "write_geoparquet: cannot compute the 'geo' bbox — the frame is "
+            f"empty or every value in geometry column {geom_col!r} is NULL"
+        )
     bbox = [float(agg.x0), float(agg.y0), float(agg.x1), float(agg.y1)]
     meta = geo_metadata(geom_col, bbox, geometry_types)
     meta_json = json.dumps(meta, sort_keys=True)
@@ -120,10 +125,15 @@ def read_geo_metadata(path: str) -> dict:
     """Parse the ``geo`` footer key from the first part file."""
     import pyarrow.parquet as pq
 
-    parts = sorted(
-        f for f in os.listdir(path) if f.endswith(".parquet")
-    ) if os.path.isdir(path) else [""]
-    target = os.path.join(path, parts[0]) if parts[0] else path
+    if os.path.isdir(path):
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            raise ValueError(
+                f"read_geo_metadata: no .parquet part files under {path}"
+            )
+        target = os.path.join(path, parts[0])
+    else:
+        target = path
     md = pq.read_schema(target).metadata or {}
     if b"geo" not in md:
         raise ValueError(f"{target} has no GeoParquet 'geo' metadata")

@@ -256,22 +256,31 @@ def _decode_layer(buf: bytes) -> dict:
 
 
 def _decode_value(buf: bytes) -> object:
+    """Decode one MVT ``Value`` message (vector_tile.proto / mvt_tile.h).
+
+    Field numbers per spec: 1=string, 2=float(fixed32), 3=double(fixed64),
+    4=int64(varint, two's complement), 5=uint64(varint), 6=sint64(zigzag),
+    7=bool.  Dispatch honours the wire type, not just the field number.
+    """
+    import struct as _s
+
     tag, i = _read_varint(buf, 0)
     f, w = tag >> 3, tag & 7
-    if f == 1:
+    if w == 2:  # length-delimited → string_value (field 1)
         ln, i = _read_varint(buf, i)
         return buf[i : i + ln].decode("utf-8")
-    if f == 3:
-        import struct as _s
-
+    if w == 5:  # fixed32 → float_value (field 2)
+        return _s.unpack("<f", buf[i : i + 4])[0]
+    if w == 1:  # fixed64 → double_value (field 3)
         return _s.unpack("<d", buf[i : i + 8])[0]
-    if f == 7:
-        v, _ = _read_varint(buf, i)
-        return bool(v)
     v, _ = _read_varint(buf, i)
-    if f == 5:  # sint64
-        v = _unzigzag(v)
-    return v
+    if f == 7:
+        return bool(v)
+    if f == 6:  # sint_value: zigzag
+        return _unzigzag(v)
+    if f == 4 and v >= 1 << 63:  # int_value: two's-complement negative
+        v -= 1 << 64
+    return v  # int_value (4) or uint_value (5), plain varint
 
 
 def _decode_feature(buf: bytes) -> dict:

@@ -253,6 +253,8 @@ def write_pmtiles(
     (our TMS ``ty`` flips)."""
     rows = tiles.select("z", "tx", "ty", "tile")
     zmin_zmax = rows.agg(F.min("z"), F.max("z")).collect()[0]
+    if zmin_zmax[0] is None:
+        raise ValueError("write_pmtiles: no tiles to write (empty DataFrame)")
     it = rows.toLocalIterator()
     staged = []
     for r in it:
@@ -374,6 +376,14 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
     tile on the executors → (z, tx, ty TMS, tile)."""
     h = read_header(path)
     data_off = h["tile_data_offset"]
+    tile_comp = h.get("tile_compression", COMPRESSION_NONE)
+    if tile_comp not in (0, COMPRESSION_NONE, COMPRESSION_GZIP):
+        # 3=brotli, 4=zstd per spec — not in this container; never
+        # silently hand back compressed bytes.
+        raise NotImplementedError(
+            f"PMTiles tile_compression={tile_comp} (brotli/zstd) unsupported; "
+            "swap in a cluster codec library"
+        )
     ents = read_entries(path)
     man = spark.createDataFrame(
         pd.DataFrame(ents, columns=["z", "x", "y", "off", "ln"])
@@ -390,6 +400,8 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
                 for r in pdf.itertuples():
                     f.seek(data_off + int(r.off))
                     blob = f.read(int(r.ln))
+                    if tile_comp == COMPRESSION_GZIP:
+                        blob = gzip.decompress(blob)
                     rows.append(
                         {
                             "z": int(r.z),

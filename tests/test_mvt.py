@@ -246,3 +246,31 @@ def test_build_mvt_pyramid(spark):
     for r in out:
         layer = mvt.decode_tile(bytes(r.tile))["layers"][0]
         assert layer["features"][0]["id"] == 1
+
+
+def test_value_message_field_semantics():
+    """MVT Value fields per vector_tile.proto / mvt_tile.h: 1=string,
+    2=float(fixed32), 3=double(fixed64), 4=int64, 5=uint64(plain),
+    6=sint64(zigzag), 7=bool — decoded by wire type, not field number."""
+    import struct
+
+    from gdal_spark.sources.mvt import (
+        _decode_value,
+        _key,
+        _ld,
+        _value_msg,
+        _varint,
+        _zigzag,
+    )
+
+    # own-encoder round trips, including negative int64
+    for v in [-5, 0, 7, 2**40, -(2**40), True, False, 1.5, "tag"]:
+        out = _decode_value(_value_msg(v))
+        assert out == v and type(out) is type(v), (v, out)
+    # externally shaped messages (encoder never emits these fields)
+    assert _decode_value(_key(5, 0) + _varint(7)) == 7  # uint: plain
+    assert _decode_value(_key(6, 0) + _varint(_zigzag(-3))) == -3  # sint
+    assert _decode_value(_key(2, 5) + struct.pack("<f", 1.5)) == 1.5  # float
+    assert _decode_value(_key(3, 1) + struct.pack("<d", -2.25)) == -2.25
+    assert _decode_value(_ld(1, b"abc")) == "abc"
+    assert _decode_value(_key(7, 0) + _varint(1)) is True

@@ -770,3 +770,46 @@ def test_geoparquet_metadata_roundtrip(spark, tmp_path):
         if f.endswith(".parquet"):
             md = pq.read_schema(os.path.join(out, f)).metadata
             assert json.loads(md[b"geo"])["primary_column"] == "geom"
+
+
+def test_geoparquet_empty_and_missing_inputs(spark, tmp_path):
+    """Clear errors for all-NULL geometry frames and empty directories."""
+    from gdal_spark.sources import geoparquet as GP
+
+    empty = spark.createDataFrame([], "geom binary, name string")
+    with pytest.raises(ValueError, match="bbox"):
+        GP.write_geoparquet(empty, str(tmp_path / "e"), geom_col="geom")
+
+    nodir = tmp_path / "nodir"
+    nodir.mkdir()
+    with pytest.raises(ValueError, match="no .parquet"):
+        GP.read_geo_metadata(str(nodir))
+
+
+def test_sniff_tiff_robustness():
+    """Missing/odd-typed size tags → ValueError, BigTIFF → explicit raise."""
+    import struct
+
+    from gdal_spark.raster import codec
+
+    # classic little-endian TIFF whose only tag is BitsPerSample (258)
+    ifd = struct.pack("<H", 1) + struct.pack("<HHII", 258, 3, 1, 8) + b"\0" * 4
+    buf = b"II*\x00" + struct.pack("<I", 8) + ifd
+    with pytest.raises(ValueError, match="size tags"):
+        codec.sniff_info(buf)
+
+    # width/height present but typed LONG8 (16) — skipped, then ValueError
+    ifd2 = (
+        struct.pack("<H", 2)
+        + struct.pack("<HHII", 256, 16, 1, 64)
+        + struct.pack("<HHII", 257, 16, 1, 64)
+        + b"\0" * 4
+    )
+    buf2 = b"II*\x00" + struct.pack("<I", 8) + ifd2
+    with pytest.raises(ValueError, match="size tags"):
+        codec.sniff_info(buf2)
+
+    # BigTIFF magic 43
+    big = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16) + b"\0" * 16
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        codec.sniff_info(big)
