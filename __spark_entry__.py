@@ -3726,6 +3726,7 @@ GOLDEN_QUERIES = [
     "raster_color_map",
     "raster_blend",
     "raster_psnr_gate",
+    "jpeg_progressive",
     "raster_warp_utm",
     "raster_warp_lcc",
     "raster_warp_gcp",
@@ -3956,6 +3957,19 @@ def _q_psnr_gate(spark, sf_dir):
     return out.select(
         "image_id", "fmt", "lossless_exact", F.round("psnr_db", 2).alias("psnr_db"), "ok"
     )
+
+
+def _q_jpeg_progressive(spark, sf_dir):
+    """Progressive (SOF2) JPEG decode gate: every sampled image
+    re-encoded with the progressive encoder must decode bit-identical
+    to the baseline encoding of the same quantized coefficients, at
+    PSNR >= 40 dB vs the source (frmts/jpeg/jpgdataset.cpp libjpeg
+    SOF2 path; wild-web-corpus coverage per VERDICT r04 item 1).
+    okey % 101 keeps every (w, h) size class in the sample."""
+    from gdal_spark.raster.composite import progressive_jpeg_gate
+
+    imgs = synth.images(spark, sf_dir, where="okey % 101 = 0")
+    return progressive_jpeg_gate(imgs)
 
 
 def _q_warp_utm(spark, sf_dir):
@@ -5167,6 +5181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_dem_metrics": _q_dem,
         "raster_blend": _q_mosaic_blend,
         "raster_psnr_gate": _q_psnr_gate,
+        "jpeg_progressive": _q_jpeg_progressive,
         "raster_warp_utm": _q_warp_utm,
         "raster_warp_lcc": _q_warp_lcc,
         "raster_cutline": _q_raster_cutline,

@@ -177,6 +177,56 @@ def lossy_psnr_gate(images: DataFrame, min_db: float = 40.0) -> DataFrame:
     return images.mapInPandas(run, schema=schema)
 
 
+def progressive_jpeg_gate(images: DataFrame, min_db: float = 25.0) -> DataFrame:
+    """Progressive (SOF2) JPEG round-trip gate per image: re-encode the
+    decoded pixels with the progressive encoder (libjpeg-style scan
+    script, per-scan optimized Huffman tables, EOB runs) AND the
+    baseline encoder at the same quality/subsampling, then require the
+    two decodes to be bit-identical (same quantized coefficients,
+    different entropy coding). PSNR vs the (already once-lossy for
+    fmt='jpeg') source pixels is informational with a >= ``min_db``
+    sanity floor — this query varies quality/subsampling per row, so
+    the 40 dB single-generation bar lives in ``lossy_psnr_gate``.
+    Reference surface: ``frmts/jpeg/jpgdataset.cpp`` SOF2 decode via
+    libjpeg; ``autotest/gdrivers/jpeg.py`` progressive fixtures.
+    Returns (image_id, w, h, subsampling, quality, prog_len,
+    match_baseline, psnr_db, ok)."""
+    from gdal_spark.raster import jpeg
+
+    _ensure(images)
+    schema = (
+        "image_id string, w int, h int, subsampling string, quality int, "
+        "prog_len long, match_baseline boolean, psnr_db double, ok boolean"
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                okey = int(r.image_id[3:])
+                arr = codec.decode_image(r.bytes, r.fmt)
+                sub = "420" if okey % 3 == 0 else "444"
+                q = 85 if okey % 2 else 95
+                bp = jpeg.encode_progressive(arr, q, subsampling=sub)
+                bb = jpeg.encode(arr, q, subsampling=sub)
+                dp = jpeg.decode(bp)
+                db = jpeg.decode(bb)
+                match = dp.shape == db.shape and bool((dp == db).all())
+                p = round(codec.psnr(arr, dp), 2)
+                rows.append(
+                    (r.image_id, int(r.w), int(r.h), sub, q, len(bp),
+                     match, p, bool(match and p >= min_db))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "w", "h", "subsampling", "quality",
+                             "prog_len", "match_baseline", "psnr_db", "ok"],
+                )
+
+    return images.mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # gdaldem color-relief (apps/gdaldem_lib.cpp:1639-1806)
 # ---------------------------------------------------------------------------

@@ -471,12 +471,420 @@ def encode(arr: np.ndarray, quality: int = 95, subsampling: str = "444") -> byte
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (SOF2) — libjpeg-style scan script, Annex K tables
+# ---------------------------------------------------------------------------
+
+# default scan scripts (component indices), mirroring libjpeg
+# jcparam.c jpeg_simple_progression: (comps, Ss, Se, Ah, Al)
+PROG_SCANS_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+PROG_SCANS_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _gen_optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
+    """Frequency-optimal length-limited Huffman table → (BITS[1..16]
+    counts padded to index 0..16, symbol list).
+
+    The classic IJG construction (public algorithm of jchuff.c
+    ``jpeg_gen_optimal_table``): repeated two-least-frequent merge with
+    an 'others' chain, then the >16-bit length fix-up, then dropping
+    the pseudo-symbol that reserves the all-ones code."""
+    f = np.zeros(257, dtype=np.int64)
+    f[: len(freq)] = freq
+    f[256] = 1  # pseudo-symbol: keeps the all-ones code unused (T.81)
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        nz = np.flatnonzero(f)
+        if len(nz) <= 1:
+            break
+        order = nz[np.lexsort((-nz, f[nz]))]  # freq asc, index desc on ties
+        c1, c2 = int(order[0]), int(order[1])
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = int(others[c1])
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = int(others[c2])
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[int(codesize[i])] += 1
+    for i in range(32, 16, -1):  # limit code lengths to 16
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    for i in range(16, 0, -1):
+        if bits[i] > 0:
+            bits[i] -= 1  # drop the pseudo-symbol's (longest) code
+            break
+    vals = [
+        s
+        for s in sorted(range(256), key=lambda s: (int(codesize[s]), s))
+        if codesize[s] > 0
+    ]
+    return bits[:17], vals
+
+
+def _run_prog_scan(
+    Zs, grids, comp_idx, ss, se, ah, al, mcux, nbx_c, bw_c, bh_c, dri,
+    sym, put, boundary,
+) -> None:
+    """Walk one progressive scan's coding units exactly once, calling
+    ``sym(key, s)`` per Huffman symbol (key = ('dc'|'ac', tclass)),
+    ``put(v, n)`` per raw-bit group, and ``boundary()`` at restart
+    edges. Run twice: a counting pass (build optimal tables) and an
+    emission pass — both produce the identical symbol stream.
+
+    Symbol/bit ordering mirrors libjpeg's jcphuff.c (the exact inverse
+    of ``_prog_block_*`` below), including general EOB runs (≤32767)
+    with buffered refinement correction bits."""
+    tclass = [0 if g[3] == 0 else 1 for g in grids]
+    tc_scan = tclass[comp_idx[0]]
+    ac_key = ("ac", tc_scan)
+    eob = {"run": 0, "bits": []}
+
+    def flush_eobrun() -> None:
+        n = eob["run"]
+        if n:
+            r = n.bit_length() - 1
+            sym(ac_key, r << 4)
+            if r:
+                put(n - (1 << r), r)
+            for b in eob["bits"]:
+                put(b, 1)
+            eob["run"] = 0
+            eob["bits"] = []
+
+    def dc_first(ci: int, bidx: int, preds: list[int]) -> None:
+        v = int(Zs[ci][bidx, 0]) >> al  # arithmetic shift, per jcphuff
+        diff = v - preds[ci]
+        preds[ci] = v
+        cat = abs(diff).bit_length()
+        sym(("dc", tclass[ci]), cat)
+        if cat:
+            vb = diff if diff > 0 else diff + (1 << cat) - 1
+            put(vb & ((1 << cat) - 1), cat)
+
+    def dc_refine(ci: int, bidx: int) -> None:
+        put((int(Zs[ci][bidx, 0]) >> al) & 1, 1)
+
+    def ac_first(ci: int, bidx: int) -> None:
+        row = Zs[ci][bidx]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(row[k])
+            t = abs(v) >> al  # magnitude shift, per jcphuff
+            if t == 0:
+                r += 1
+                continue
+            flush_eobrun()
+            while r > 15:
+                sym(ac_key, 0xF0)
+                r -= 16
+            cat = t.bit_length()
+            sym(ac_key, (r << 4) | cat)
+            put((t if v > 0 else -t + (1 << cat) - 1) & ((1 << cat) - 1), cat)
+            r = 0
+        if r > 0:  # trailing zeros join the pending EOB run
+            eob["run"] += 1
+            if eob["run"] == 0x7FFF:
+                flush_eobrun()
+
+    def ac_refine(ci: int, bidx: int) -> None:
+        row = Zs[ci][bidx]
+        band = [int(row[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in band]
+        eobpos = -1
+        for j, t in enumerate(absv):
+            if t == 1:
+                eobpos = j
+        r = 0
+        br: list[int] = []  # correction bits pending within this block
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs that cannot fold into the EOB run (jcphuff ordering:
+            # flushed BEFORE the already-nonzero correction test)
+            while r > 15 and j <= eobpos:
+                flush_eobrun()
+                sym(ac_key, 0xF0)
+                r -= 16
+                for b in br:
+                    put(b, 1)
+                br = []
+            if t > 1:  # already nonzero: defer its correction bit
+                br.append(t & 1)
+                continue
+            flush_eobrun()
+            sym(ac_key, (r << 4) | 1)
+            put(1 if band[j] > 0 else 0, 1)
+            for b in br:
+                put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eob["run"] += 1
+            eob["bits"].extend(br)
+            if eob["run"] == 0x7FFF:
+                flush_eobrun()
+
+    if len(comp_idx) > 1:  # interleaved DC scan over the MCU grid
+        ci0 = comp_idx[0]
+        n_units = len(Zs[ci0]) // (grids[ci0][1] * grids[ci0][2])  # mcux*mcuy
+        plan = []
+        for ci in comp_idx:
+            _, ch, cv, _ = grids[ci]
+            for dy in range(cv):
+                for dx in range(ch):
+                    plan.append((ci, ch, cv, dy, dx))
+    else:
+        ci0 = comp_idx[0]
+        n_units = bw_c[ci0] * bh_c[ci0]
+
+    preds = [0] * len(grids)
+    for unit in range(n_units):
+        if dri and unit and unit % dri == 0:
+            flush_eobrun()
+            boundary()
+            preds = [0] * len(grids)
+        if len(comp_idx) > 1:
+            my, mx = divmod(unit, mcux)
+            for ci, ch, cv, dy, dx in plan:
+                bidx = (my * cv + dy) * nbx_c[ci] + mx * ch + dx
+                if ah == 0:
+                    dc_first(ci, bidx, preds)
+                else:
+                    dc_refine(ci, bidx)
+        else:
+            row_, col = divmod(unit, bw_c[ci0])
+            bidx = row_ * nbx_c[ci0] + col
+            if ss == 0:
+                if ah == 0:
+                    dc_first(ci0, bidx, preds)
+                else:
+                    dc_refine(ci0, bidx)
+            elif ah == 0:
+                ac_first(ci0, bidx)
+            else:
+                ac_refine(ci0, bidx)
+    flush_eobrun()
+
+
+def encode_progressive(
+    arr: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "444",
+    dri: int = 0,
+    scans=None,
+) -> bytes:
+    """Encode uint8 gray (h,w) or RGB (h,w,3) to progressive (SOF2)
+    JFIF bytes.
+
+    Same color transform / DCT / quantization as the baseline
+    ``encode`` (identical quantized coefficients), entropy-coded with
+    spectral selection + successive approximation over a libjpeg-style
+    scan script — so ``decode(encode_progressive(a)) ==
+    decode(encode(a))`` bit-for-bit. Like real progressive encoders,
+    each scan carries frequency-optimized Huffman tables (DHT emitted
+    per scan) and general EOB runs, so the decoder's EOBRUN path is
+    exercised by every fixture. Reference decode surface:
+    ``frmts/jpeg/jpgdataset.cpp`` (libjpeg SOF2 path)."""
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("jpeg encode expects uint8")
+    gray = arr.ndim == 2
+    h_img, w_img = arr.shape[:2]
+    qy, qc = quality_tables(quality)
+
+    if gray:
+        comps = [(arr.astype(np.float64), 1, 1, 0)]
+    else:
+        ycc = rgb_to_ycbcr(arr)
+        if subsampling == "420":
+            y = ycc[..., 0]
+            p = _pad_to_block(ycc[..., 1], 2, 2)
+            cb = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            p = _pad_to_block(ycc[..., 2], 2, 2)
+            cr = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            comps = [(y, 2, 2, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+        elif subsampling == "444":
+            comps = [(ycc[..., 0], 1, 1, 0), (ycc[..., 1], 1, 1, 1), (ycc[..., 2], 1, 1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    grids = []
+    for plane, ch, cv, qid in comps:
+        grids.append((_pad_to_block(plane, 8 * cv, 8 * ch), ch, cv, qid))
+    mcux = grids[0][0].shape[1] // (8 * grids[0][1])
+    mcuy = grids[0][0].shape[0] // (8 * grids[0][2])
+
+    # per-component quantized zigzag coefficients in raster block order
+    # (same einsum expression as `encode` — identical rounding ties)
+    Zs = []
+    nbx_c = []
+    for plane, ch, cv, qid in grids:
+        b = _blocks(plane)
+        Fc = np.einsum("ij,bjk,lk->bil", DCT_M, b - 128.0, DCT_M)
+        qtab = qy if qid == 0 else qc
+        Fq = np.round(Fc.reshape(-1, 64) / qtab).astype(np.int64)
+        Zs.append(Fq[:, ZIGZAG])
+        nbx_c.append(plane.shape[1] // 8)
+    cdiv = lambda a, b: -(-a // b)  # noqa: E731
+    bw_c = [cdiv(cdiv(w_img * g[1], hmax), 8) for g in grids]
+    bh_c = [cdiv(cdiv(h_img * g[2], vmax), 8) for g in grids]
+
+    if scans is None:
+        scans = PROG_SCANS_GRAY if gray else PROG_SCANS_COLOR
+
+    out = [b"\xff\xd8"]
+    out.append(
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    ntab = 1 if gray else 2
+    for tid, q in enumerate((qy, qc)[:ntab]):
+        out.append(b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(q[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">HBHHB", 8 + 3 * len(grids), 8, h_img, w_img, len(grids))
+    for ci, (_, ch, cv, qid) in enumerate(grids):
+        sof += struct.pack(">BBB", ci + 1, (ch << 4) | cv, qid)
+    out.append(b"\xff\xc2" + sof)
+    if dri:
+        out.append(b"\xff\xdd" + struct.pack(">HH", 4, dri))
+
+    run_args = (Zs, grids)
+    for comp_idx, ss, se, ah, al in scans:
+        # pass 1: symbol frequencies for this scan
+        freqs: dict[tuple, np.ndarray] = {}
+
+        def sym1(key, s):
+            a = freqs.get(key)
+            if a is None:
+                a = freqs[key] = np.zeros(256, dtype=np.int64)
+            a[s] += 1
+
+        _run_prog_scan(
+            Zs, grids, comp_idx, ss, se, ah, al, mcux, nbx_c, bw_c, bh_c,
+            dri, sym1, lambda v, n: None, lambda: None,
+        )
+        tables = {k: _gen_optimal_table(f) for k, f in freqs.items()}
+        enc = {k: _enc_table(b16[1:17], v) for k, (b16, v) in tables.items()}
+        for (kind, tc), (b16, v) in sorted(tables.items()):
+            tcbyte = (0x00 if kind == "dc" else 0x10) | tc
+            out.append(
+                b"\xff\xc4"
+                + struct.pack(">HB", 19 + len(v), tcbyte)
+                + bytes(b16[1:17])
+                + bytes(v)
+            )
+        sos = struct.pack(">HB", 6 + 2 * len(comp_idx), len(comp_idx))
+        for ci in comp_idx:
+            tc = 0 if grids[ci][3] == 0 else 1
+            sos += struct.pack(">BB", ci + 1, (tc << 4) | tc)
+        sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        out.append(b"\xff\xda" + sos)
+
+        # pass 2: emission (identical symbol stream, now with codes)
+        segs: list[bytes] = []
+        bits_l: list[int] = []
+        len_l: list[int] = []
+
+        def sym2(key, s):
+            c, ln = enc[key]
+            bits_l.append(int(c[s]))
+            len_l.append(int(ln[s]))
+
+        def put2(v, n):
+            bits_l.append(v)
+            len_l.append(n)
+
+        def bnd2():
+            segs.append(
+                _pack_bits(
+                    np.asarray(bits_l, dtype=np.int64),
+                    np.asarray(len_l, dtype=np.int64),
+                )
+            )
+            bits_l.clear()
+            len_l.clear()
+
+        _run_prog_scan(
+            Zs, grids, comp_idx, ss, se, ah, al, mcux, nbx_c, bw_c, bh_c,
+            dri, sym2, put2, bnd2,
+        )
+        bnd2()
+        for si, sdata in enumerate(segs):
+            out.append(sdata)
+            if si < len(segs) - 1:
+                out.append(bytes([0xFF, 0xD0 + si % 8]))
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
 def _extend(bits: int, sz: int) -> int:
     return bits if bits >= (1 << (sz - 1)) else bits - (1 << sz) + 1
+
+
+def _entropy_segments(buf: bytes, start: int) -> tuple[list[bytearray], int]:
+    """Destuffed entropy data from ``start`` to the next non-RST marker,
+    split into restart segments. Returns ``(segments, end)`` where
+    ``end`` indexes the 0xFF of the terminating marker (or len(buf))."""
+    segs: list[bytearray] = [bytearray()]
+    i = start
+    n = len(buf)
+    while i < n:
+        nxt = buf.find(b"\xff", i)
+        if nxt < 0:
+            segs[-1] += buf[i:]
+            i = n
+            break
+        segs[-1] += buf[i:nxt]
+        m = buf[nxt + 1] if nxt + 1 < n else 0xD9
+        if m == 0x00:
+            segs[-1].append(0xFF)
+            i = nxt + 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytearray())
+            i = nxt + 2
+        else:
+            i = nxt
+            break
+    return segs, i
 
 
 def _bit_windows(data: bytes) -> tuple[np.ndarray, np.ndarray]:
@@ -556,6 +964,9 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
     scan_comps = None
     pos = 2
     scan_start = None
+    progressive = False
+    prog_scans: list[dict] = []  # one entry per SOS (progressive only)
+    base_segs: list[bytearray] | None = None
     while pos < len(buf):
         if buf[pos] != 0xFF:
             pos += 1
@@ -579,15 +990,16 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
                 z[ZIGZAG] = t  # stored in zigzag order → natural
                 qtabs[tq] = z
                 o += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline + ext sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 (sequential + progressive)
             prec, h_img, w_img, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, qid = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append((cid, hv >> 4, hv & 15, qid))
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
             raise NotImplementedError(f"non-baseline SOF 0x{marker:02x}")
         elif marker == 0xC4:  # DHT
             o = 0
@@ -607,30 +1019,49 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
                 cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_comps.append((cs, tabs >> 4, tabs & 15))
             scan_start = pos + 2 + seglen
-            break
+            if not progressive:
+                base_segs, _ = _entropy_segments(buf, scan_start)
+                break
+            if comps is None:
+                raise ValueError("SOS before SOF")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            sc = []
+            for cs, td, ta in scan_comps:
+                ci = next(
+                    (k for k, c in enumerate(comps) if c[0] == cs), None
+                )
+                if ci is None:
+                    raise ValueError(f"scan component {cs} not in frame")
+                dclut = hufs.get(td) if ss == 0 else None
+                aclut = hufs.get(0x10 | ta) if se > 0 else None
+                if ss == 0 and ahal >> 4 == 0 and dclut is None:
+                    raise ValueError("missing DC huffman table")
+                if ss > 0 and aclut is None:
+                    raise ValueError("missing AC huffman table")
+                sc.append((ci, dclut, aclut))
+            segs, endpos = _entropy_segments(buf, scan_start)
+            prog_scans.append(
+                {
+                    "comps": sc,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 15,
+                    "dri": dri,
+                    "segs": segs,
+                }
+            )
+            pos = endpos
+            continue
         pos += 2 + seglen
-    if comps is None or scan_start is None:
+    if comps is None or (scan_start is None and not prog_scans):
         raise ValueError("missing SOF/SOS")
-
-    # entropy segment: up to the next non-RST marker; destuff + split on RSTs
-    segs: list[bytearray] = [bytearray()]
-    i = scan_start
-    n = len(buf)
-    while i < n:
-        nxt = buf.find(b"\xff", i)
-        if nxt < 0:
-            segs[-1] += buf[i:]
-            break
-        segs[-1] += buf[i:nxt]
-        m = buf[nxt + 1] if nxt + 1 < n else 0xD9
-        if m == 0x00:
-            segs[-1].append(0xFF)
-            i = nxt + 2
-        elif 0xD0 <= m <= 0xD7:
-            segs.append(bytearray())
-            i = nxt + 2
-        else:
-            break
+    if progressive:
+        return _decode_progressive(
+            comps, h_img, w_img, qtabs, prog_scans, raw_components
+        )
+    segs = base_segs
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -800,6 +1231,217 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
             out_val[ci], dtype=np.int32
         )
     return _finish_decode(coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (SOF2, spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first bit reader over one destuffed entropy segment, built on
+    the same whole-stream ``_bit_windows`` tables as the baseline walk.
+    Reads past the end index into the 1-pad and surface as IndexError
+    (caller maps to 'truncated')."""
+
+    __slots__ = ("win", "win16", "i", "end")
+
+    def __init__(self, data: bytes):
+        self.win, self.win16 = _bit_windows(data + b"\xff" * 64)
+        self.i = 0
+        self.end = len(data) * 8
+
+    def huff(self, lut: np.ndarray) -> int:
+        if self.i >= self.end:
+            raise ValueError("truncated JPEG scan")
+        e = int(lut[self.win16[self.i]])
+        if e == 0:
+            raise ValueError("invalid huffman code")
+        self.i += e >> 8
+        return e & 255
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.i >= self.end:
+            raise ValueError("truncated JPEG scan")
+        v = (int(self.win[self.i]) >> (32 - n)) & ((1 << n) - 1)
+        self.i += n
+        return v
+
+
+def _prog_block_dc_first(br, dclut, preds, ci, blk, al):
+    t = br.huff(dclut)
+    if t > 11:
+        raise ValueError("invalid DC category")
+    diff = _extend(br.bits(t), t) if t else 0
+    pred = preds[ci] + diff
+    preds[ci] = pred
+    blk[0] = pred << al
+
+
+def _prog_block_ac_first(br, aclut, blk, ss, se, al, eobrun):
+    """Returns the updated EOB run (jdphuff.c decode_mcu_AC_first)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = br.huff(aclut)
+        r, s = sym >> 4, sym & 15
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+    return 0
+
+
+def _prog_block_ac_refine(br, aclut, blk, ss, se, al, eobrun):
+    """Returns the updated EOB run (jdphuff.c decode_mcu_AC_refine)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = br.huff(aclut)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid refinement size")
+                val = p1 if br.bits(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                break
+            # advance over r zero-history coefficients, emitting
+            # correction bits for every nonzero-history one passed
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bits(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if br.bits(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(comps, h_img, w_img, qtabs, scans, raw_components):
+    """Accumulate coefficients over all scans, then share the baseline
+    finish (dequant → IDCT → upsample → color).
+
+    Semantics follow ITU-T T.81 Annex G as implemented by the
+    reference's libjpeg path (``frmts/jpeg/jpgdataset.cpp`` decode of
+    SOF2 streams): DC first/refine, AC first with EOB runs, AC
+    refinement with correction bits; non-interleaved scans walk the
+    component's own block grid (not the padded MCU grid); restart
+    intervals reset predictors and the EOB run."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w_img // (8 * hmax))
+    mcuy = -(-h_img // (8 * vmax))
+    nbx_comp = [mcux * c[1] for c in comps]
+    coef = [
+        np.zeros((mcuy * cv * mcux * ch, 64), dtype=np.int32)
+        for (_, ch, cv, _) in comps
+    ]
+    # single-component (non-interleaved) scans cover ceil(comp_dim/8)
+    # blocks of the component's own ceil(dim*sampling/max) grid
+    cdiv = lambda a, b: -(-a // b)  # noqa: E731
+    bw_comp = [cdiv(cdiv(w_img * ch, hmax), 8) for (_, ch, _, _) in comps]
+    bh_comp = [cdiv(cdiv(h_img * cv, vmax), 8) for (_, _, cv, _) in comps]
+
+    for scan in scans:
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        dri = scan["dri"]
+        sc = scan["comps"]
+        ncomp_scan = len(sc)
+        if ss > 0 and ncomp_scan != 1:
+            raise ValueError("interleaved AC scan is invalid in progressive")
+
+        if ncomp_scan == 1:
+            ci, dclut, aclut = sc[0]
+            bw, bh = bw_comp[ci], bh_comp[ci]
+            nbx = nbx_comp[ci]
+            n_units = bw * bh
+        else:
+            n_units = mcux * mcuy
+            plan = []
+            for ci, dclut, aclut in sc:
+                _, ch, cv, _ = comps[ci]
+                for dy in range(cv):
+                    for dx in range(ch):
+                        plan.append((ci, dclut, ch, cv, dy, dx))
+
+        unit = 0
+        for seg in scan["segs"]:
+            if unit >= n_units:
+                break
+            br = _BitReader(bytes(seg))
+            preds = [0] * len(comps)
+            eobrun = 0
+            end = min(n_units, unit + dri) if dri else n_units
+            try:
+                if ncomp_scan > 1:  # interleaved DC scan over MCUs
+                    while unit < end:
+                        my, mx = divmod(unit, mcux)
+                        for ci2, dclut2, ch, cv, dy, dx in plan:
+                            bidx = (my * cv + dy) * nbx_comp[ci2] + mx * ch + dx
+                            blk = coef[ci2][bidx]
+                            if ah == 0:
+                                _prog_block_dc_first(
+                                    br, dclut2, preds, ci2, blk, al
+                                )
+                            elif br.bits(1):
+                                blk[0] = int(blk[0]) | (1 << al)
+                        unit += 1
+                elif ss == 0:  # single-component DC scan
+                    while unit < end:
+                        row, col = divmod(unit, bw)
+                        blk = coef[ci][row * nbx + col]
+                        if ah == 0:
+                            _prog_block_dc_first(br, dclut, preds, ci, blk, al)
+                        elif br.bits(1):
+                            blk[0] = int(blk[0]) | (1 << al)
+                        unit += 1
+                else:  # AC scan
+                    fn = (
+                        _prog_block_ac_first if ah == 0 else _prog_block_ac_refine
+                    )
+                    while unit < end:
+                        row, col = divmod(unit, bw)
+                        blk = coef[ci][row * nbx + col]
+                        eobrun = fn(br, aclut, blk, ss, se, al, eobrun)
+                        unit += 1
+            except IndexError:
+                raise ValueError("truncated JPEG scan") from None
+            unit = end
+    return _finish_decode(
+        coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components
+    )
 
 
 def _mm8_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:

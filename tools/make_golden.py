@@ -392,6 +392,35 @@ def g_raster_psnr_gate(sf_dir, min_db=40.0):
     return schema, rows
 
 
+def g_jpeg_progressive(sf_dir, min_db=25.0):
+    from gdal_spark.raster import jpeg
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 101:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        sub = "420" if okey % 3 == 0 else "444"
+        q = 85 if okey % 2 else 95
+        bp = jpeg.encode_progressive(arr, q, subsampling=sub)
+        bb = jpeg.encode(arr, q, subsampling=sub)
+        dp = jpeg.decode(bp)
+        db = jpeg.decode(bb)
+        match = dp.shape == db.shape and bool((dp == db).all())
+        p = round(codec.psnr(arr, dp), 2)
+        rows.append(
+            (fp["image_id"], fp["w"], fp["h"], sub, q, len(bp), match, p,
+             bool(match and p >= min_db))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("w", I32), ("h", I32), ("subsampling", STR),
+         ("quality", I32), ("prog_len", I64), ("match_baseline", BOOL),
+         ("psnr_db", F64), ("ok", BOOL)]
+    )
+    return schema, rows
+
+
 def _phash_clusters(sf_dir):
     clusters: dict[int, list[str]] = {}
     for okey in order_keys(sf_dir):
@@ -1275,6 +1304,7 @@ GOLDEN_BUILDERS = {
     "raster_color_map": g_raster_color_map,
     "raster_blend": g_raster_blend,
     "raster_psnr_gate": g_raster_psnr_gate,
+    "jpeg_progressive": g_jpeg_progressive,
     "raster_warp_utm": g_raster_warp_utm,
     "raster_warp_lcc": g_raster_warp_lcc,
     "raster_warp_gcp": g_raster_warp_gcp,
