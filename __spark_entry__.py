@@ -3727,6 +3727,7 @@ GOLDEN_QUERIES = [
     "raster_blend",
     "raster_psnr_gate",
     "jpeg_progressive",
+    "webp_lz77_roundtrip",
     "raster_warp_utm",
     "raster_warp_lcc",
     "raster_warp_gcp",
@@ -3970,6 +3971,16 @@ def _q_jpeg_progressive(spark, sf_dir):
 
     imgs = synth.images(spark, sf_dir, where="okey % 101 = 0")
     return progressive_jpeg_gate(imgs)
+
+
+def _q_webp_lz77(spark, sf_dir):
+    """VP8L back-reference + color-cache decode gate (round-4 verdict
+    item 2): posterized pixels -> encode_lz77 -> general decode, exact.
+    okey % 103 keeps every (w, h) size class in the sample."""
+    from gdal_spark.raster.composite import webp_lz77_gate
+
+    imgs = synth.images(spark, sf_dir, where="okey % 103 = 0")
+    return webp_lz77_gate(imgs)
 
 
 def _q_warp_utm(spark, sf_dir):
@@ -5182,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_blend": _q_mosaic_blend,
         "raster_psnr_gate": _q_psnr_gate,
         "jpeg_progressive": _q_jpeg_progressive,
+        "webp_lz77_roundtrip": _q_webp_lz77,
         "raster_warp_utm": _q_warp_utm,
         "raster_warp_lcc": _q_warp_lcc,
         "raster_cutline": _q_raster_cutline,

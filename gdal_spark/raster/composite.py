@@ -227,6 +227,56 @@ def progressive_jpeg_gate(images: DataFrame, min_db: float = 25.0) -> DataFrame:
     return images.mapInPandas(run, schema=schema)
 
 
+
+def webp_lz77_gate(images: DataFrame) -> DataFrame:
+    """VP8L wild-file-shape gate: posterize the decoded pixels (flat
+    regions → real LZ77 copy runs), encode with back-references +
+    color cache (``webp.encode_lz77``), decode with the general VP8L
+    walk, and require exact lossless round-trip. cache_bits and the
+    plane-code/1-D distance paths cycle per image so every decoder
+    branch (backrefs via 2-D plane codes, plain distances, cache hits)
+    is gate-covered. Reference surface:
+    ``frmts/webp/webpdataset.cpp:1210`` (libwebp lossless decode).
+    Returns (image_id, w, h, cache_bits, plane_codes, lz77_len,
+    literal_len, lossless_exact, smaller, ok)."""
+    from gdal_spark.raster import webp
+
+    _ensure(images)
+    schema = (
+        "image_id string, w int, h int, cache_bits int, plane_codes boolean, "
+        "lz77_len long, literal_len long, lossless_exact boolean, "
+        "smaller boolean, ok boolean"
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                okey = int(r.image_id[3:])
+                arr = codec.decode_image(r.bytes, r.fmt)
+                post = ((arr >> 5) << 5).astype(np.uint8)
+                cb = (0, 4, 8)[okey % 3]
+                upc = okey % 2 == 0
+                blz = webp.encode_lz77(post, cache_bits=cb, use_plane_codes=upc)
+                blit = webp.encode(post)
+                out = webp.decode(blz)
+                exact = out.shape == post.shape and bool((out == post).all())
+                smaller = len(blz) < len(blit)
+                rows.append(
+                    (r.image_id, int(r.w), int(r.h), cb, upc, len(blz),
+                     len(blit), exact, smaller, exact)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["image_id", "w", "h", "cache_bits", "plane_codes",
+                             "lz77_len", "literal_len", "lossless_exact",
+                             "smaller", "ok"],
+                )
+
+    return images.mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # gdaldem color-relief (apps/gdaldem_lib.cpp:1639-1806)
 # ---------------------------------------------------------------------------

@@ -15,21 +15,18 @@ GDAL's own behavior for WEBP_LOSSLESS=YES rasters.
 
 Scope:
 
-- ENCODE: full-spec-valid literal streams — RIFF/WEBP/VP8L container,
-  no transforms, no color cache, no meta-prefix image, per-channel
-  canonical prefix codes (simple 1-/2-symbol form or full
-  code-length-coded form with 16/17/18 run symbols, lengths
-  limited to 15). LZ77 backward references are never emitted (the
-  synthetic fixtures are gradient+noise; per-channel entropy coding
-  is the operative compression — the stream stays spec-valid without
-  refs, any conformant VP8L decoder reads it).
-- DECODE: the no-transform / no-cache / no-meta literal subset (a
-  superset of everything the encoder emits). Transforms, color
-  cache, meta prefix images and backward references raise
-  ``NotImplementedError`` with an explicit message; swapping in
-  Pillow/libwebp on a real cluster lifts that (the container has
-  neither — this codec exists so the lossless invariant is measured
-  against real WebP bytes, not a stand-in).
+- ENCODE: two paths. :func:`encode` — full-spec-valid literal streams
+  (no transforms, no color cache, no meta-prefix image, per-channel
+  canonical prefix codes, lengths limited to 15). :func:`encode_lz77`
+  — the wild-file shapes: LZ77 back-references (row/column copies via
+  the 2-D distance plane codes or plain 1-D distances) plus a color
+  cache, with per-stream frequency-built codes.
+- DECODE: literals + LZ77 back-references (incl. all 120 distance
+  plane codes) + color cache — the stream features real-world
+  lossless WebP relies on (round-4 verdict item 2). Transforms
+  (predictor/color/subtract-green/palette), meta prefix images and
+  lossy VP8 still raise ``NotImplementedError`` with an explicit
+  message; swapping in Pillow/libwebp on a real cluster lifts that.
 
 Design for Spark: the encoder is vectorized whole-image — channel
 histograms, canonical code construction, per-pixel symbol→(bits,len)
@@ -64,6 +61,59 @@ MAX_CL_LEN = 7  # code-length-code lengths are stored in 3 bits
 
 GREEN_ALPHABET = 256 + 24  # literals + length codes (no color cache)
 DIST_ALPHABET = 40
+
+# Distance plane codes 1..120 → (dx, dy) close-neighborhood offsets,
+# decoded as dist = dy*width + dx (clamped to >= 1), per the WebP
+# Lossless Bitstream Specification §"Decoding the distance" (RFC 9649
+# §5.2.2). The spec's 120-entry table is exactly the 16×8 pixel window
+# libwebp's plane_to_code_lut addresses (y 0..7, x -7..8, causal cells
+# only) ordered by squared Euclidean distance, ties broken by larger y
+# then positive x — verified entry-for-entry against the spec's
+# published list for the first 92 codes (the common wild-file range);
+# no libwebp exists in-container to diff the remainder, so the in-repo
+# LZ77 writer shares this table symmetrically and the round-trip gate
+# pins both sides to it.
+DIST_MAP = tuple(
+    sorted(
+        (
+            (dx, dy)
+            for dy in range(8)
+            for dx in range(-7, 9)
+            if dy > 0 or dx > 0
+        ),
+        key=lambda t: (t[0] * t[0] + t[1] * t[1], -t[1], -t[0]),
+    )
+)
+
+CACHE_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec constant)
+
+
+def _prefix_value(code: int, extra: int) -> int:
+    """LZ77 prefix code + extra-bits value → length/distance (spec
+    §"Decoding of meta prefix codes": codes 0-3 literal, then
+    (2 + code%2) << ((code-2)>>1) ranges)."""
+    if code < 4:
+        return code + 1
+    nbits = (code - 2) >> 1
+    offset = (2 + (code & 1)) << nbits
+    return offset + extra + 1
+
+
+def _prefix_nbits(code: int) -> int:
+    return 0 if code < 4 else (code - 2) >> 1
+
+
+def _prefix_split(v: int) -> tuple[int, int, int]:
+    """length/distance value → (prefix_code, extra_value, extra_bits);
+    exact inverse of :func:`_prefix_value`."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    hb = x.bit_length() - 1
+    nbits = hb - 1
+    if x - (1 << hb) < (1 << nbits):
+        return 2 * hb, x - (1 << hb), nbits
+    return 2 * hb + 1, x - (1 << hb) - (1 << nbits), nbits
 
 
 # ---------------------------------------------------------------------------
@@ -390,6 +440,14 @@ def _build_channel_code(
     """Write the prefix-code header for one channel and return the
     encode tables (reversed_code[sym], len[sym]) over ``alphabet``."""
     counts = np.bincount(values, minlength=alphabet).astype(np.int64)
+    return _build_code_from_counts(tw, counts)
+
+
+def _build_code_from_counts(
+    tw: _TokenWriter, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    counts = np.asarray(counts, dtype=np.int64)
+    alphabet = len(counts)
     distinct = np.flatnonzero(counts)
     rev = np.zeros(alphabet, dtype=np.int64)
     lens = np.zeros(alphabet, dtype=np.int64)
@@ -467,6 +525,192 @@ def encode(arr: np.ndarray) -> bytes:
     lens[:, 2] = b_len[bv]
     lens[:, 3] = a_len[av]
     tw.extend_arrays(vals.ravel(), lens.ravel())
+
+    payload = b"\x2f" + tw.pack()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# LZ77 + color-cache encoder (wild-file-shaped fixture path)
+# ---------------------------------------------------------------------------
+
+
+def _next_false_runs(eq: np.ndarray) -> np.ndarray:
+    """run[i] = number of consecutive True values starting at i."""
+    n = len(eq)
+    pos = np.where(~eq, np.arange(n), 2 * n)
+    nf = np.minimum.accumulate(pos[::-1])[::-1]
+    return np.minimum(nf, n) - np.arange(n)
+
+
+def _tokenize_lz77(
+    pix: np.ndarray, w: int, cache_bits: int, min_run: int
+) -> list[tuple]:
+    """Greedy tokens over the ARGB pixel sequence: ('lit', argb),
+    ('copy', length, dist) for dist ∈ {1, w} runs (the row/column
+    copies real encoders emit most), ('cache', idx) for color-cache
+    hits. Mirrors the decoder's cache-state evolution exactly."""
+    n = len(pix)
+    eq1 = np.zeros(n, dtype=bool)
+    eq1[1:] = pix[1:] == pix[:-1]
+    eqw = np.zeros(n, dtype=bool)
+    if n > w:
+        eqw[w:] = pix[w:] == pix[:-w]
+    run1 = _next_false_runs(eq1).tolist()
+    runw = _next_false_runs(eqw).tolist()
+    pl = pix.tolist()
+    size = 1 << cache_bits if cache_bits else 0
+    cache = [0] * size
+    seen = bytearray(size)
+    shift = 32 - cache_bits if cache_bits else 0
+    tokens: list[tuple] = []
+    i = 0
+    while i < n:
+        lw = runw[i]
+        l1 = run1[i]
+        ln = lw if lw >= l1 else l1
+        if ln >= min_run:
+            ln = min(ln, 4096)
+            dist = w if lw >= l1 else 1
+            tokens.append(("copy", ln, dist))
+            if cache_bits:
+                for j in range(i, i + ln):
+                    p = pl[j]
+                    idx = ((CACHE_MUL * p) & 0xFFFFFFFF) >> shift
+                    cache[idx] = p
+                    seen[idx] = 1
+            i += ln
+            continue
+        p = pl[i]
+        if cache_bits:
+            idx = ((CACHE_MUL * p) & 0xFFFFFFFF) >> shift
+            if seen[idx] and cache[idx] == p:
+                tokens.append(("cache", idx))
+            else:
+                cache[idx] = p
+                seen[idx] = 1
+                tokens.append(("lit", p))
+        else:
+            tokens.append(("lit", p))
+        i += 1
+    return tokens
+
+
+def encode_lz77(
+    arr: np.ndarray,
+    cache_bits: int = 8,
+    min_run: int = 4,
+    use_plane_codes: bool = True,
+) -> bytes:
+    """Encode like :func:`encode` but with LZ77 back-references and a
+    color cache — the stream shapes real-world lossless WebP uses
+    (``frmts/webp/webpdataset.cpp:1210`` decodes these via libwebp).
+    Lossless: decode(encode_lz77(a)) == a exactly. Distances 1 and
+    ``width`` exercise the 2-D distance plane-code table both ways."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        r = g = b = arr
+        a = None
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        a = None
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        r, g, b, a = (arr[:, :, i] for i in range(4))
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = arr.shape[:2]
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError(f"VP8L dimensions out of range: {w}x{h}")
+    if not 0 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be 0..11")
+    alpha_used = a is not None and bool((a != 255).any())
+    av = (a if a is not None else np.full((h, w), 255, dtype=np.uint8)).ravel()
+    pixv = (
+        (av.astype(np.uint32) << 24)
+        | (r.ravel().astype(np.uint32) << 16)
+        | (g.ravel().astype(np.uint32) << 8)
+        | b.ravel().astype(np.uint32)
+    )
+    tokens = _tokenize_lz77(pixv, w, cache_bits, min_run)
+
+    # distance value → smallest plane code that decodes back to it
+    plane: dict[int, int] = {}
+    for idx, (dx, dy) in enumerate(DIST_MAP):
+        d = dy * w + dx
+        if d >= 1 and d not in plane:
+            plane[d] = idx + 1
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    gcounts = np.zeros(GREEN_ALPHABET + cache_size, dtype=np.int64)
+    rcounts = np.zeros(256, dtype=np.int64)
+    bcounts = np.zeros(256, dtype=np.int64)
+    acounts = np.zeros(256, dtype=np.int64)
+    dcounts = np.zeros(DIST_ALPHABET, dtype=np.int64)
+    emit_plan: list[tuple] = []  # resolved symbols + extra-bit groups
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            gcounts[(p >> 8) & 255] += 1
+            rcounts[(p >> 16) & 255] += 1
+            bcounts[p & 255] += 1
+            acounts[p >> 24] += 1
+            emit_plan.append(t)
+        elif t[0] == "copy":
+            ln, dist = t[1], t[2]
+            lc, lex, lnb = _prefix_split(ln)
+            dval = plane.get(dist, dist + 120) if use_plane_codes else dist + 120
+            dc, dex, dnb = _prefix_split(dval)
+            gcounts[256 + lc] += 1
+            dcounts[dc] += 1
+            emit_plan.append(("copy", lc, lex, lnb, dc, dex, dnb))
+        else:  # cache
+            gcounts[280 + t[1]] += 1
+            emit_plan.append(t)
+
+    tw = _TokenWriter()
+    tw.put(w - 1, 14)
+    tw.put(h - 1, 14)
+    tw.put(1 if alpha_used else 0, 1)
+    tw.put(0, 3)  # version
+    tw.put(0, 1)  # no transforms
+    if cache_bits:
+        tw.put(1, 1)
+        tw.put(cache_bits, 4)
+    else:
+        tw.put(0, 1)
+    tw.put(0, 1)  # no meta prefix image
+    g_rev, g_len = _build_code_from_counts(tw, gcounts)
+    r_rev, r_len = _build_code_from_counts(tw, rcounts)
+    b_rev, b_len = _build_code_from_counts(tw, bcounts)
+    a_rev, a_len = _build_code_from_counts(tw, acounts)
+    d_rev, d_len = _build_code_from_counts(tw, dcounts)
+
+    for t in emit_plan:
+        if t[0] == "lit":
+            p = t[1]
+            gi = (p >> 8) & 255
+            tw.put(int(g_rev[gi]), int(g_len[gi]))
+            ri = (p >> 16) & 255
+            tw.put(int(r_rev[ri]), int(r_len[ri]))
+            bi = p & 255
+            tw.put(int(b_rev[bi]), int(b_len[bi]))
+            ai = p >> 24
+            tw.put(int(a_rev[ai]), int(a_len[ai]))
+        elif t[0] == "copy":
+            _, lc, lex, lnb, dc, dex, dnb = t
+            tw.put(int(g_rev[256 + lc]), int(g_len[256 + lc]))
+            if lnb:
+                tw.put(lex, lnb)
+            tw.put(int(d_rev[dc]), int(d_len[dc]))
+            if dnb:
+                tw.put(dex, dnb)
+        else:
+            gi = 280 + t[1]
+            tw.put(int(g_rev[gi]), int(g_len[gi]))
 
     payload = b"\x2f" + tw.pack()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -565,25 +809,30 @@ def decode(buf: bytes) -> np.ndarray:
             "not implemented — this decoder covers the literal subset "
             "the in-repo encoder emits; use libwebp for general files"
         )
+    cache_bits = 0
     if br.read(1):
-        raise NotImplementedError("VP8L color cache not implemented")
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid color-cache bits {cache_bits}")
     if br.read(1):
         raise NotImplementedError("VP8L meta prefix image not implemented")
-    g_code = _read_code(br, GREEN_ALPHABET)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    g_code = _read_code(br, GREEN_ALPHABET + cache_size)
     r_code = _read_code(br, 256)
     b_code = _read_code(br, 256)
     a_code = _read_code(br, 256)
-    _read_code(br, DIST_ALPHABET)
+    d_code = _read_code(br, DIST_ALPHABET)
 
     n = w * h
-    out = np.empty((n, 4), dtype=np.uint8)
 
     from gdal_spark.native import get_lib
 
     lib = get_lib()
-    if lib is not None:
+    if lib is not None and cache_bits == 0:
         # native literal scan (capability-probed; bit-identical to the
-        # Python loop below — tests/test_native.py)
+        # Python loop below — tests/test_native.py). Falls back to the
+        # general Python walk when the stream holds back-references.
+        out = np.empty((n, 4), dtype=np.uint8)
         warr = br.warr
         zero = np.zeros(1, dtype=np.int32)
 
@@ -598,20 +847,39 @@ def decode(buf: bytes) -> np.ndarray:
         rc = lib.vp8l_literals(*args, n, out.ctypes.data)
         if rc == -2000000000:
             raise ValueError("truncated VP8L stream")
-        if rc < 0:
-            raise NotImplementedError(
-                "VP8L backward references / color-cache hits not "
-                "implemented (the in-repo encoder emits literals only)"
-            )
-        br.pos = rc
-        img = out.reshape(h, w, 4)
-        if alpha_hint and (img[:, :, 3] != 255).any():
-            return img
-        return img[:, :, :3]
+        if rc >= 0:
+            br.pos = rc
+            img = out.reshape(h, w, 4)
+            if alpha_hint and (img[:, :, 3] != 255).any():
+                return img
+            return img[:, :, :3]
+        # rc < 0: back-reference encountered — br.pos untouched, redo
+        # the pixel walk generally (out is rewritten from scratch)
 
-    # hot loop: inline the bit reader (32-bit word peeks) and the four
-    # LUTs as Python lists — the prefix scan is inherently bit-serial,
-    # everything around it is vectorized
+    return _decode_pixels(
+        br, g_code, r_code, b_code, a_code, d_code, w, h, cache_bits, alpha_hint
+    )
+
+
+def _decode_pixels(
+    br: _BitReader,
+    g_code: _PrefixCode,
+    r_code: _PrefixCode,
+    b_code: _PrefixCode,
+    a_code: _PrefixCode,
+    d_code: _PrefixCode,
+    w: int,
+    h: int,
+    cache_bits: int,
+    alpha_hint: int,
+) -> np.ndarray:
+    """General VP8L pixel walk: literals, LZ77 back-references (incl.
+    the 120 close-neighborhood distance plane codes) and color-cache
+    hits (spec §"Decoding image data"; reference decode surface
+    ``frmts/webp/webpdataset.cpp:1210`` via libwebp). The prefix scan
+    is inherently bit-serial, so it runs as a table-driven Python loop
+    over symbols with the bit reader inlined (32-bit word peeks)."""
+    n = w * h
     words = br.words
     pos = br.pos
     mask15 = (1 << MAX_CODE_LEN) - 1
@@ -625,66 +893,138 @@ def decode(buf: bytes) -> np.ndarray:
     rs, rl, r1 = _tab(r_code)
     bs, bl, b1 = _tab(b_code)
     as_, al, a1 = _tab(a_code)
-    col_g = [0] * n
-    col_r = [0] * n
-    col_b = [0] * n
-    col_a = [0] * n
-    for i in range(n):
-        if g1 >= 0:
-            s = g1
-        else:
-            wi = pos >> 5
-            sh = pos & 31
-            v = words[wi] >> sh
-            if sh:
-                v |= words[wi + 1] << (32 - sh)
-            idx = v & mask15
-            s = gs[idx]
-            pos += gl[idx]
-        if s >= 256:
-            raise NotImplementedError(
-                "VP8L backward references / color-cache hits not "
-                "implemented (the in-repo encoder emits literals only)"
-            )
-        col_g[i] = s
-        if r1 >= 0:
-            col_r[i] = r1
-        else:
-            wi = pos >> 5
-            sh = pos & 31
-            v = words[wi] >> sh
-            if sh:
-                v |= words[wi + 1] << (32 - sh)
-            idx = v & mask15
-            col_r[i] = rs[idx]
-            pos += rl[idx]
-        if b1 >= 0:
-            col_b[i] = b1
-        else:
-            wi = pos >> 5
-            sh = pos & 31
-            v = words[wi] >> sh
-            if sh:
-                v |= words[wi + 1] << (32 - sh)
-            idx = v & mask15
-            col_b[i] = bs[idx]
-            pos += bl[idx]
-        if a1 >= 0:
-            col_a[i] = a1
-        else:
-            wi = pos >> 5
-            sh = pos & 31
-            v = words[wi] >> sh
-            if sh:
-                v |= words[wi + 1] << (32 - sh)
-            idx = v & mask15
-            col_a[i] = as_[idx]
-            pos += al[idx]
+    ds, dl, d1 = _tab(d_code)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+    pix = [0] * n  # 0xAARRGGBB
+    i = 0
+    try:
+        while i < n:
+            if g1 >= 0:
+                s = g1
+            else:
+                wi = pos >> 5
+                sh = pos & 31
+                v = words[wi] >> sh
+                if sh:
+                    v |= words[wi + 1] << (32 - sh)
+                idx = v & mask15
+                s = gs[idx]
+                pos += gl[idx]
+            if s < 256:  # literal: G then R, B, A
+                if r1 >= 0:
+                    rr = r1
+                else:
+                    wi = pos >> 5
+                    sh = pos & 31
+                    v = words[wi] >> sh
+                    if sh:
+                        v |= words[wi + 1] << (32 - sh)
+                    idx = v & mask15
+                    rr = rs[idx]
+                    pos += rl[idx]
+                if b1 >= 0:
+                    bb = b1
+                else:
+                    wi = pos >> 5
+                    sh = pos & 31
+                    v = words[wi] >> sh
+                    if sh:
+                        v |= words[wi + 1] << (32 - sh)
+                    idx = v & mask15
+                    bb = bs[idx]
+                    pos += bl[idx]
+                if a1 >= 0:
+                    aa = a1
+                else:
+                    wi = pos >> 5
+                    sh = pos & 31
+                    v = words[wi] >> sh
+                    if sh:
+                        v |= words[wi + 1] << (32 - sh)
+                    idx = v & mask15
+                    aa = as_[idx]
+                    pos += al[idx]
+                argb = (aa << 24) | (rr << 16) | (s << 8) | bb
+                pix[i] = argb
+                i += 1
+                if cache is not None:
+                    cache[((CACHE_MUL * argb) & 0xFFFFFFFF) >> shift] = argb
+            elif s < 280:  # LZ77 back-reference
+                code = s - 256
+                nb = 0 if code < 4 else (code - 2) >> 1
+                extra = 0
+                if nb:
+                    wi = pos >> 5
+                    sh = pos & 31
+                    v = words[wi] >> sh
+                    if sh:
+                        v |= words[wi + 1] << (32 - sh)
+                    extra = v & ((1 << nb) - 1)
+                    pos += nb
+                length = _prefix_value(code, extra)
+                if d1 >= 0:
+                    dsym = d1
+                else:
+                    wi = pos >> 5
+                    sh = pos & 31
+                    v = words[wi] >> sh
+                    if sh:
+                        v |= words[wi + 1] << (32 - sh)
+                    idx = v & mask15
+                    dsym = ds[idx]
+                    pos += dl[idx]
+                nb = 0 if dsym < 4 else (dsym - 2) >> 1
+                extra = 0
+                if nb:
+                    wi = pos >> 5
+                    sh = pos & 31
+                    v = words[wi] >> sh
+                    if sh:
+                        v |= words[wi + 1] << (32 - sh)
+                    extra = v & ((1 << nb) - 1)
+                    pos += nb
+                dist_val = _prefix_value(dsym, extra)
+                if dist_val > 120:
+                    dist = dist_val - 120
+                else:
+                    dx, dy = DIST_MAP[dist_val - 1]
+                    dist = dy * w + dx
+                    if dist < 1:
+                        dist = 1
+                if dist > i or i + length > n:
+                    raise ValueError("invalid VP8L back-reference")
+                if cache is not None:
+                    cm = CACHE_MUL
+                    for _ in range(length):
+                        p = pix[i - dist]
+                        pix[i] = p
+                        i += 1
+                        cache[((cm * p) & 0xFFFFFFFF) >> shift] = p
+                elif dist >= length:
+                    pix[i : i + length] = pix[i - dist : i - dist + length]
+                    i += length
+                elif dist == 1:
+                    pix[i : i + length] = [pix[i - 1]] * length
+                    i += length
+                else:
+                    for _ in range(length):
+                        pix[i] = pix[i - dist]
+                        i += 1
+            else:  # color-cache hit
+                if cache is None:
+                    raise ValueError("cache symbol without color cache")
+                pix[i] = cache[s - 280]
+                i += 1
+    except IndexError:
+        raise ValueError("truncated VP8L stream") from None
     br.pos = pos
-    out[:, 1] = col_g
-    out[:, 0] = col_r
-    out[:, 2] = col_b
-    out[:, 3] = col_a
+    arr = np.array(pix, dtype=np.uint32)
+    out = np.empty((n, 4), dtype=np.uint8)
+    out[:, 0] = (arr >> 16) & 255
+    out[:, 1] = (arr >> 8) & 255
+    out[:, 2] = arr & 255
+    out[:, 3] = arr >> 24
     img = out.reshape(h, w, 4)
     if alpha_hint and (img[:, :, 3] != 255).any():
         return img

@@ -421,6 +421,34 @@ def g_jpeg_progressive(sf_dir, min_db=25.0):
     return schema, rows
 
 
+def g_webp_lz77(sf_dir):
+    from gdal_spark.raster import webp
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 103:
+            continue
+        fp = footprint(okey)
+        arr = decoded_pixels(fp)
+        post = ((arr >> 5) << 5).astype(np.uint8)
+        cb = (0, 4, 8)[okey % 3]
+        upc = okey % 2 == 0
+        blz = webp.encode_lz77(post, cache_bits=cb, use_plane_codes=upc)
+        blit = webp.encode(post)
+        out = webp.decode(blz)
+        exact = out.shape == post.shape and bool((out == post).all())
+        rows.append(
+            (fp["image_id"], fp["w"], fp["h"], cb, upc, len(blz), len(blit),
+             exact, len(blz) < len(blit), exact)
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("w", I32), ("h", I32), ("cache_bits", I32),
+         ("plane_codes", BOOL), ("lz77_len", I64), ("literal_len", I64),
+         ("lossless_exact", BOOL), ("smaller", BOOL), ("ok", BOOL)]
+    )
+    return schema, rows
+
+
 def _phash_clusters(sf_dir):
     clusters: dict[int, list[str]] = {}
     for okey in order_keys(sf_dir):
@@ -1305,6 +1333,7 @@ GOLDEN_BUILDERS = {
     "raster_blend": g_raster_blend,
     "raster_psnr_gate": g_raster_psnr_gate,
     "jpeg_progressive": g_jpeg_progressive,
+    "webp_lz77_roundtrip": g_webp_lz77,
     "raster_warp_utm": g_raster_warp_utm,
     "raster_warp_lcc": g_raster_warp_lcc,
     "raster_warp_gcp": g_raster_warp_gcp,
