@@ -4630,6 +4630,16 @@ FROM customer
 """
 
 
+FGB_BBOX_ORACLE = f"""
+SELECT * FROM (
+  SELECT c_custkey AS custkey, c_name AS name,
+         CAST(c_nationkey AS BIGINT) AS nat,
+         {synth.POINT_LON_SQL} AS lon, {synth.POINT_LAT_SQL} AS lat
+  FROM customer
+) WHERE lon >= -30 AND lon <= 30 AND lat >= -20 AND lat <= 20
+"""
+
+
 def _q_shapefile_polygons(spark, sf_dir):
     """Polygon-shapefile scan: AOI rectangles round-trip through the
     spec ring layout (exterior CW / holes CCW, shape2ogr.cpp
@@ -4694,6 +4704,67 @@ def _q_geojson_roundtrip(spark, sf_dir):
         F.expr("round(ST_X(geom), 6)").alias("cx"),
         F.expr("round(ST_Y(geom), 6)").alias("cy"),
     )
+
+
+def _fgb_fixture_path(spark, sf_dir):
+    import tempfile
+
+    from gdal_spark.functions.st import register_st_functions
+    from gdal_spark.sources import flatgeobuf as FGB
+
+    register_st_functions(spark)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    path = _os.path.join(tempfile.gettempdir(), f"gdal_spark_fgb_{tag}_v1.fgb")
+    if not _os.path.exists(path):
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        df = c.select(
+            F.expr(f"ST_MakePoint({synth.POINT_LON_SQL}, "
+                   f"{synth.POINT_LAT_SQL})").alias("geom"),
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("long").alias("nat"),
+        )
+        FGB.write_fgb(df, path, geometry_type=FGB.GT_POINT)
+    return path
+
+
+def _q_fgb_roundtrip(spark, sf_dir):
+    """FlatGeobuf scan (ogr/ogrsf_frmts/flatgeobuf/
+    ogrflatgeobuflayer.cpp; format spec at flatgeobuf.org): customer
+    points write through the hand-rolled FlatBuffers builder + packed
+    Hilbert R-tree (packedrtree.h:120), then the feature-range-parallel
+    reader (contiguous size-prefixed runs planned from the leaf
+    offsets) reconstructs every double bit-exactly from the xy
+    vectors."""
+    from gdal_spark.sources import flatgeobuf as FGB
+
+    path = _fgb_fixture_path(spark, sf_dir)
+    got = FGB.read_fgb(spark, path)
+    return got.select(
+        F.col("custkey"),
+        F.col("name"),
+        F.col("nat"),
+        F.expr("ST_X(geom)").alias("lon"),
+        F.expr("ST_Y(geom)").alias("lat"),
+    )
+
+
+def _q_fgb_bbox_read(spark, sf_dir):
+    """FlatGeobuf spatially-filtered scan: the driver walks the packed
+    Hilbert R-tree (PackedRTree::streamSearch semantics) and only
+    intersecting features are ranged-read — object-storage-native
+    pruning, value-checked against a plain WHERE on the same layer."""
+    from gdal_spark.sources import flatgeobuf as FGB
+
+    path = _fgb_fixture_path(spark, sf_dir)
+    got = FGB.read_fgb(spark, path, bbox=(-30.0, -20.0, 30.0, 20.0))
+    return got.select(
+        F.col("custkey"),
+        F.col("name"),
+        F.col("nat"),
+        F.expr("ST_X(geom)").alias("lon"),
+        F.expr("ST_Y(geom)").alias("lat"),
+    ).where("lon >= -30 AND lon <= 30 AND lat >= -20 AND lat <= 20")
 
 
 def _q_gpkg_roundtrip(spark, sf_dir):
@@ -5293,6 +5364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_polygons": _q_shapefile_polygons,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "gpkg_roundtrip": _q_gpkg_roundtrip,
+        "fgb_roundtrip": _q_fgb_roundtrip,
+        "fgb_bbox_read": _q_fgb_bbox_read,
         "csv_wkt_roundtrip": _q_csv_wkt_roundtrip,
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "envi_window_read": _q_envi_window,
@@ -5405,6 +5478,8 @@ def oracle_sql() -> dict[str, str]:
         "shapefile_polygons": SHAPEFILE_POLY_ORACLE,
         "geojson_roundtrip": SHAPEFILE_POLY_ORACLE,
         "gpkg_roundtrip": SHAPEFILE_ORACLE,
+        "fgb_roundtrip": SHAPEFILE_ORACLE,
+        "fgb_bbox_read": FGB_BBOX_ORACLE,
         "csv_wkt_roundtrip": CSV_WKT_ORACLE,
         "aaigrid_roundtrip": AAIGRID_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
