@@ -1675,6 +1675,39 @@ def _q_ogr_sql_text(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), outs)
 
 
+def _q_ogr_sql_union_text(spark, sf_dir):
+    """UNION ALL in the OGR SQL text front-end (ogr/ogr_swq.h:486-487
+    PushUnionAll; split loop gcore/gdaldataset.cpp:7560-7580): each
+    top-level SELECT executes independently (so ORDER BY/LIMIT bind
+    per branch, as the reference's statement split implies) and rows
+    concatenate positionally under the first SELECT's schema."""
+    from gdal_spark.sql import execute_ogr_sql
+
+    tables = {"orders": spark.read.parquet(f"{sf_dir}/orders.parquet")}
+    stmt = (
+        "SELECT MIN(o_orderkey) AS a, COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice < 100000 "
+        "UNION ALL SELECT MAX(o_orderkey) AS a, "
+        "COUNT(DISTINCT o_orderpriority) AS n FROM orders "
+        "UNION ALL SELECT o_orderkey AS a, o_custkey AS n FROM orders "
+        "ORDER BY o_orderkey LIMIT 5"
+    )
+    return execute_ogr_sql(spark, stmt, tables, fids={"orders": "o_orderkey"})
+
+
+OGR_SQL_UNION_ORACLE = """
+SELECT CAST(MIN(o_orderkey) AS BIGINT) AS a, COUNT(*) AS n FROM orders
+WHERE o_totalprice < 100000
+UNION ALL
+SELECT CAST(MAX(o_orderkey) AS BIGINT), COUNT(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT * FROM (
+  SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT) FROM orders
+  ORDER BY o_orderkey LIMIT 5
+)
+"""
+
+
 OGR_SQL_TEXT_ORACLE = """
 WITH lfirst AS (
   SELECT l_orderkey, l_partkey,
@@ -5317,6 +5350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_update": _q_layer_update,
         "layer_symdifference": _q_layer_symdifference,
         "ogr_sql_text": _q_ogr_sql_text,
+        "ogr_sql_union_text": _q_ogr_sql_union_text,
         "st_zm_functions": _q_st_zm,
         "st_curve_linearize": _q_st_curves,
         "st_spatialite_misc": _q_st_spatialite_misc,
@@ -5415,6 +5449,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_info": RASTER_INFO_ORACLE,
         "ogr_info": OGR_INFO_ORACLE,
         "ogr_sql_text": OGR_SQL_TEXT_ORACLE,
+        "ogr_sql_union_text": OGR_SQL_UNION_ORACLE,
         "st_zm_functions": ST_ZM_ORACLE,
         "st_curve_linearize": ST_CURVES_ORACLE,
         "st_spatialite_misc": ST_SPATIALITE_MISC_ORACLE,

@@ -202,8 +202,43 @@ class _P:
 _CLAUSE_STOPS = ("JOIN", "LEFT", "WHERE", "ORDER", "LIMIT", "OFFSET")
 
 
+def split_union_all(toks: list[Tok]) -> list[list[Tok]]:
+    """Split a token stream on top-level UNION ALL boundaries — the
+    reference splits the statement text the same way before feeding
+    each SELECT to swq (`ogr/ogr_swq.h:486-487` ``PushUnionAll``,
+    split loop `gcore/gdaldataset.cpp:7560-7580`). Plain UNION
+    (dedup) is not OGR SQL and raises."""
+    segs: list[list[Tok]] = [[]]
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "op" and t.val == "(":
+            depth += 1
+        elif t.kind == "op" and t.val == ")":
+            depth -= 1
+        elif depth == 0 and t.isid("UNION"):
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            if nxt is None or not nxt.isid("ALL"):
+                raise OgrSqlError(
+                    "UNION without ALL is not supported in OGR SQL"
+                )
+            segs.append([])
+            i += 2
+            continue
+        segs[-1].append(t)
+        i += 1
+    if any(not s for s in segs):
+        raise OgrSqlError("empty SELECT in UNION ALL chain")
+    return segs
+
+
 def parse(sql: str) -> Query:
-    p = _P(tokenize(sql))
+    return _parse_toks(tokenize(sql))
+
+
+def _parse_toks(toks: list[Tok]) -> Query:
+    p = _P(toks)
     p.expect_kw("SELECT")
     distinct = p.accept_kw("DISTINCT")
     items = _parse_select_list(p)
@@ -540,11 +575,35 @@ def execute_ogr_sql(
     matching the layers' insertion order); ``geoms`` maps table name →
     WKB geometry column (default: a column literally named ``geom``
     when present). ``like_as_ilike`` restores the pre-GDAL-3.1
-    LIKE-is-ILIKE behavior (``OGR_SQL_LIKE_AS_ILIKE=YES``)."""
+    LIKE-is-ILIKE behavior (``OGR_SQL_LIKE_AS_ILIKE=YES``).
+
+    Top-level ``UNION ALL`` chains execute each SELECT and concatenate
+    positionally with the first statement's schema, matching the
+    reference's split-and-concatenate (`gcore/gdaldataset.cpp:7560`)."""
+    segs = split_union_all(tokenize(sql))
+    out = _execute_one(spark, segs[0], tables, fids, geoms, like_as_ilike)
+    for seg in segs[1:]:
+        nxt = _execute_one(spark, seg, tables, fids, geoms, like_as_ilike)
+        if len(nxt.columns) != len(out.columns):
+            raise OgrSqlError(
+                "UNION ALL branches must produce the same column count"
+            )
+        out = out.union(nxt)
+    return out
+
+
+def _execute_one(
+    spark: SparkSession,
+    toks: list,
+    tables: dict[str, DataFrame],
+    fids: dict[str, str] | None,
+    geoms: dict[str, str] | None,
+    like_as_ilike: bool,
+) -> DataFrame:
     from gdal_spark.functions.st import register_st_functions
     from gdal_spark.operators.ogr_join import first_match_left_join  # noqa: F401
 
-    q = parse(sql)
+    q = _parse_toks(toks)
     fids = fids or {}
     geoms = geoms or {}
 

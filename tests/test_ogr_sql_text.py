@@ -181,3 +181,67 @@ def test_hstore_get_value(spark):
     rows = out.collect()
     assert [r.va for r in rows] == ["x", "y"]
     assert [r.vb for r in rows] == ["2", None]
+
+
+def test_union_all_two_selects(spark, layers):
+    """gcore/gdaldataset.cpp:7560 splits on top-level UNION ALL and
+    concatenates positionally under the first SELECT's schema."""
+    df = execute_ogr_sql(
+        spark,
+        "SELECT eas_id, name FROM poly WHERE eas_id < 165 "
+        "UNION ALL SELECT eas_id, prfedea FROM poly WHERE eas_id > 178",
+        layers,
+    )
+    rows = sorted((r[0], r[1]) for r in df.collect())
+    assert rows == [(158, "seventh"), (179, "35043423")]
+    assert df.columns == ["eas_id", "name"]  # first branch names win
+
+
+def test_union_all_three_chain_with_orderby_limit(spark, layers):
+    df = execute_ogr_sql(
+        spark,
+        "SELECT eas_id FROM poly ORDER BY eas_id LIMIT 1 "
+        "UNION ALL SELECT eas_id FROM poly ORDER BY eas_id DESC LIMIT 1 "
+        "UNION ALL SELECT COUNT(*) FROM poly",
+        layers,
+    )
+    assert sorted(r[0] for r in df.collect()) == [7, 158, 179]
+
+
+def test_union_all_aggregates_both_sides(spark, layers):
+    df = execute_ogr_sql(
+        spark,
+        "SELECT MIN(eas_id), MAX(eas_id) FROM poly "
+        "UNION ALL SELECT COUNT(*), COUNT(DISTINCT name) FROM poly",
+        layers,
+    )
+    assert sorted(tuple(r) for r in df.collect()) == [(7, 7), (158, 179)]
+
+
+def test_union_without_all_rejected(spark, layers):
+    with pytest.raises(OgrSqlError, match="UNION without ALL"):
+        execute_ogr_sql(
+            spark,
+            "SELECT eas_id FROM poly UNION SELECT eas_id FROM poly",
+            layers,
+        )
+
+
+def test_union_all_column_count_mismatch(spark, layers):
+    with pytest.raises(OgrSqlError, match="column count"):
+        execute_ogr_sql(
+            spark,
+            "SELECT eas_id FROM poly UNION ALL SELECT eas_id, name FROM poly",
+            layers,
+        )
+
+
+def test_union_all_inside_in_list_not_split(spark, layers):
+    # parenthesized subexpressions must not trigger the top-level split
+    df = execute_ogr_sql(
+        spark,
+        "SELECT eas_id FROM poly WHERE eas_id IN (158, 179) "
+        "UNION ALL SELECT eas_id FROM poly WHERE name = 'third'",
+        layers,
+    )
+    assert sorted(r[0] for r in df.collect()) == [158, 171, 179]
