@@ -1133,6 +1133,29 @@ def _q_pmtiles_roundtrip(spark, sf_dir):
     )
 
 
+def _q_mbtiles_roundtrip(spark, sf_dir):
+    """MBTiles 1.3 container round trip (frmts/mbtiles/mbtilesdataset
+    .cpp, the spec tiles/metadata tables): the mvt_tiles pyramid
+    written into one SQLite container (terminal single-file hop, the
+    reference's own constraint) and re-read; output contract and
+    closed-form DuckDB oracle are identical to mvt_tiles, so the
+    container hop must preserve every tile bit. Closes the one r4 sink
+    with pytest-only evidence (VERDICT r04 item 5)."""
+    import tempfile
+
+    from gdal_spark.raster import mbtiles as MBT
+    from gdal_spark.sources import mvt
+
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False)
+    tiles = mvt.build_mvt_tiles(aoi, zoom=4, tag_cols=("category",))
+    path = _os.path.join(tempfile.mkdtemp(prefix="mbtiles_"), "aoi.mbtiles")
+    MBT.write_mbtiles(tiles, path, fmt="pbf")
+    back = MBT.read_mbtiles(spark, path)
+    return mvt.tiles_to_features(back, tag_cols=("category",)).select(
+        "z", "tx", "ty", "fid", "category", "qx0", "qy0", "qx1", "qy1"
+    )
+
+
 def _q_wrapdateline(spark, sf_dir):
     """ogr2ogr -wrapdateline (OGRGeometryFactory::transformWithOptions
     WRAPDATELINE, ogr/ogrgeometryfactory.cpp): antimeridian-crossing
@@ -5356,6 +5379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_spatialite_misc": _q_st_spatialite_misc,
         "mvt_tiles": _q_mvt_tiles,
         "pmtiles_roundtrip": _q_pmtiles_roundtrip,
+        "mbtiles_roundtrip": _q_mbtiles_roundtrip,
         "vector_wrapdateline": _q_wrapdateline,
         "ogr_rollup": _q_ogr_rollup,
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
@@ -5455,6 +5479,7 @@ def oracle_sql() -> dict[str, str]:
         "st_spatialite_misc": ST_SPATIALITE_MISC_ORACLE,
         "mvt_tiles": _mvt_oracle(),
         "pmtiles_roundtrip": _mvt_oracle(),
+        "mbtiles_roundtrip": _mvt_oracle(),
         "vector_wrapdateline": WRAPDATELINE_ORACLE,
         "ogr_rollup": OGR_ROLLUP_ORACLE,
         "geoparquet_roundtrip": GEOPARQUET_ORACLE,
