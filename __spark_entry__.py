@@ -1553,6 +1553,43 @@ FROM generate_series(2, 5) s1(t),
 """
 
 
+def _nc4_fixture() -> str:
+    """The same closed-form cube as ``_nc3_fixture`` written as a
+    netCDF-4-style HDF5 container (chunked + deflate datasets) through
+    the in-repo writer — so classic and HDF5 readers are pinned to ONE
+    DuckDB oracle. The reader itself is additionally pinned against
+    the reference autotest's real libnetcdf files (GDAL checksum 4672
+    for byte_chunked_not_multiple.nc etc.) in tests/test_hdf5.py."""
+    import tempfile
+
+    from gdal_spark.sources.hdf5 import write_h5
+
+    p = _os.path.join(tempfile.gettempdir(), "gdal_spark_nc4_v1.nc")
+    if not _os.path.exists(p):
+        t, y, x = _np.meshgrid(*[_np.arange(s) for s in _NC3_SHAPE], indexing="ij")
+        temp = ((t * 5 + y * 2 + x) % 89).astype(_np.float64)
+        elev = ((y[0] * 3 + x[0]) % 53).astype(_np.int32)
+        write_h5(
+            p,
+            {"temp": (temp, (2, 16, 20)), "elev": (elev, (16, 20))},
+            deflate=6,
+        )
+    return p
+
+
+def _q_netcdf4_window(spark, sf_dir):
+    """netCDF-4 (HDF5 container) window read (frmts/hdf5/
+    hdf5dataset.cpp, frmts/netcdf/ NC4 path): superblock/object-header
+    graph parsed once driver-side, chunk B-tree manifest pruned
+    against the window BEFORE any data I/O, executors ranged-read +
+    inflate only intersecting chunks (deflate+chunked layout, the
+    libnetcdf default). Same closed-form oracle as netcdf_window —
+    the two container formats must yield identical rows."""
+    from gdal_spark.sources import netcdf as NC
+
+    return NC.netcdf_window(spark, _nc4_fixture(), "temp", _NC3_WIN)
+
+
 def _q_netcdf_axis_stats(spark, sf_dir):
     """Per-time-step statistics over the netCDF record variable
     (GDALMDArray::GetStatistics per slice): per-slab NumPy partials
@@ -5387,6 +5424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_v3_window": _q_zarr_v3_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
+        "netcdf4_window": _q_netcdf4_window,
         "netcdf_axis_stats": _q_netcdf_axis_stats,
         "mdim_translate": _q_mdim_translate,
         "grid_invdistnn": _q_grid_invdistnn,
@@ -5487,6 +5525,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_v3_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,
+        "netcdf4_window": NETCDF_WINDOW_ORACLE,
         "netcdf_axis_stats": NETCDF_AXIS_ORACLE,
         "mdim_translate": MDIM_TRANSLATE_ORACLE,
         "grid_idw": _grid_idw_oracle(),

@@ -499,7 +499,26 @@ def netcdf_window(
     """N-D window read → long-form rows (d0, d1, ..., value); only the
     window's outer-dim slab ranges are ever read, inner dims are
     NumPy-sliced before the bounded per-slab explode (the same
-    long-form contract as ``zarr_hypercube_window``)."""
+    long-form contract as ``zarr_hypercube_window``). ``window`` is
+    (start, count) per dimension.
+
+    Format-transparent like the reference driver: netCDF-4 (HDF5
+    container) files route to the chunk-manifest reader in
+    ``sources/hdf5.py`` with the identical output contract."""
+    with open(path, "rb") as fh:
+        if fh.read(4) == b"\x89HDF":
+            from gdal_spark.sources.hdf5 import read_h5_window_distributed
+
+            rank = len(window)
+            df = read_h5_window_distributed(
+                spark, path, var,
+                [(s, s + n) for s, n in window],
+                dim_names=[f"d{i}" for i in range(rank)],
+            )
+            return df.select(
+                *[F.col(f"d{i}").cast("int").alias(f"d{i}") for i in range(rank)],
+                "value",
+            )
     header = read_netcdf_header(path)
     rank = len(header["vars"][var]["shape"])
     slabs = read_netcdf_slabs(spark, path, var, window)
