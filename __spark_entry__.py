@@ -4076,6 +4076,65 @@ def _q_webp_lz77(spark, sf_dir):
     return webp_lz77_gate(imgs)
 
 
+def _q_grid_shift_points(spark, sf_dir):
+    """NTv2-style horizontal grid shift in the transformer chain
+    (ogr/ogrct.cpp grid path; frmts/raw/ntv2dataset.cpp format —
+    parser pinned on the reference .gsb fixtures in
+    tests/test_gridshift.py): customer points scaled into the grid
+    extent, shifted by bilinear interpolation over a broadcast shift
+    grid whose node values form an exactly-linear surface, so the
+    DuckDB oracle is closed-form."""
+    import numpy as np
+
+    from gdal_spark.functions.gridshift import GridShift, NTv2SubGrid
+
+    lat_s = np.array([[3.6, 7.2, 10.8], [7.2, 10.8, 14.4], [10.8, 14.4, 18.0]])
+    lon_w = np.full((3, 3), -36.0)
+    grid = GridShift(
+        [NTv2SubGrid("TOY", "NONE", 50.0, 52.0, 0.0, 2.0, 1.0, 1.0, lat_s, lon_w)]
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.expr(f"CAST(2.0 AS DOUBLE) * (({synth.POINT_LON_SQL}) + 180.0) / 360.0").alias("lon"),
+        F.expr(f"CAST(50.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) * (({synth.POINT_LAT_SQL}) + 90.0) / 180.0").alias("lat"),
+    )
+
+    def shift(it):
+        import pandas as pd
+
+        for pdf in it:
+            lon2, lat2 = grid.forward(
+                pdf["lon"].to_numpy(), pdf["lat"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "custkey": pdf["custkey"],
+                    "lon_shifted": np.round(lon2, 9),
+                    "lat_shifted": np.round(lat2, 9),
+                }
+            )
+
+    return pts.mapInPandas(
+        shift, schema="custkey long, lon_shifted double, lat_shifted double"
+    )
+
+
+GRID_SHIFT_ORACLE = f"""
+WITH pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         CAST(2.0 AS DOUBLE) * (({synth.POINT_LON_SQL}) + 180.0) / 360.0 AS lon,
+         CAST(50.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) * (({synth.POINT_LAT_SQL}) + 90.0) / 180.0 AS lat
+  FROM customer
+)
+SELECT custkey,
+       round(lon + CAST(36.0 AS DOUBLE) / 3600.0, 9) AS lon_shifted,
+       round(lat + (CAST(3.6 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + (lat - 50.0) + lon)) / 3600.0, 9) AS lat_shifted
+FROM pts
+"""
+
+
 def _q_warp_utm(spark, sf_dir):
     """gdalwarp to per-image UTM grid (alg/gdaltransformer.cpp:3087
     chain; golden-checksum oracle recomputes single-process)."""
@@ -5425,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
         "netcdf4_window": _q_netcdf4_window,
+        "grid_shift_points": _q_grid_shift_points,
         "netcdf_axis_stats": _q_netcdf_axis_stats,
         "mdim_translate": _q_mdim_translate,
         "grid_invdistnn": _q_grid_invdistnn,
@@ -5526,6 +5586,7 @@ def oracle_sql() -> dict[str, str]:
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,
         "netcdf4_window": NETCDF_WINDOW_ORACLE,
+        "grid_shift_points": GRID_SHIFT_ORACLE,
         "netcdf_axis_stats": NETCDF_AXIS_ORACLE,
         "mdim_translate": MDIM_TRANSLATE_ORACLE,
         "grid_idw": _grid_idw_oracle(),
