@@ -4076,6 +4076,59 @@ def _q_webp_lz77(spark, sf_dir):
     return webp_lz77_gate(imgs)
 
 
+def _q_st_polygonize(spark, sf_dir):
+    """ST_Polygonize (OGRGeometry::Polygonize, ogr/ogr_geometry.h:602;
+    GEOS Polygonizer): each AOI rectangle's boundary is exploded into
+    noded segments plus a vertical mid-splitter; per-group planar face
+    extraction must return exactly two faces per AOI, each half the
+    rectangle area. Closed-form DuckDB oracle from the nation-table
+    AOI rule."""
+    import numpy as np
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.operators.polygonize_lines import st_polygonize
+
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                x0, y0, x1, y1 = r.lon_min, r.lat_min, r.lon_max, r.lat_max
+                xm = (x0 + x1) / 2.0
+                segs = [
+                    [[x0, y0], [xm, y0]], [[xm, y0], [x1, y0]],
+                    [[x1, y0], [x1, y1]], [[x1, y1], [xm, y1]],
+                    [[xm, y1], [x0, y1]], [[x0, y1], [x0, y0]],
+                    [[xm, y0], [xm, y1]],
+                ]
+                for s in segs:
+                    rows.append(
+                        (int(r.poly_id),
+                         G.wkb_linestring(np.array(s, dtype=np.float64)))
+                    )
+            yield pd.DataFrame(rows, columns=["poly_id", "geom"])
+
+    lines = aoi.mapInPandas(gen, schema="poly_id long, geom binary")
+    out = st_polygonize(lines, "poly_id")
+    return out.groupBy("poly_id").agg(
+        F.count("*").alias("n_faces"),
+        F.round(F.sum("area"), 9).alias("total_area"),
+        F.round(F.min("area"), 9).alias("min_area"),
+    )
+
+
+ST_POLYGONIZE_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id, CAST(2 AS BIGINT) AS n_faces,
+       round((lon_max - lon_min) * (lat_max - lat_min), 9) AS total_area,
+       round((lon_max - lon_min) * (lat_max - lat_min) / 2.0, 9) AS min_area
+FROM aoi
+"""
+
+
 def _q_grid_shift_points(spark, sf_dir):
     """NTv2-style horizontal grid shift in the transformer chain
     (ogr/ogrct.cpp grid path; frmts/raw/ntv2dataset.cpp format —
@@ -5485,6 +5538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_window": _q_netcdf_window,
         "netcdf4_window": _q_netcdf4_window,
         "grid_shift_points": _q_grid_shift_points,
+        "st_polygonize": _q_st_polygonize,
         "netcdf_axis_stats": _q_netcdf_axis_stats,
         "mdim_translate": _q_mdim_translate,
         "grid_invdistnn": _q_grid_invdistnn,
@@ -5587,6 +5641,7 @@ def oracle_sql() -> dict[str, str]:
         "netcdf_window": NETCDF_WINDOW_ORACLE,
         "netcdf4_window": NETCDF_WINDOW_ORACLE,
         "grid_shift_points": GRID_SHIFT_ORACLE,
+        "st_polygonize": ST_POLYGONIZE_ORACLE,
         "netcdf_axis_stats": NETCDF_AXIS_ORACLE,
         "mdim_translate": MDIM_TRANSLATE_ORACLE,
         "grid_idw": _grid_idw_oracle(),
