@@ -597,10 +597,9 @@ def _run_prog_scan(
         put((int(Zs[ci][bidx, 0]) >> al) & 1, 1)
 
     def ac_first(ci: int, bidx: int) -> None:
-        row = Zs[ci][bidx]
+        band = Zs[ci][bidx][ss : se + 1].tolist()
         r = 0
-        for k in range(ss, se + 1):
-            v = int(row[k])
+        for k, v in enumerate(band, start=ss):
             t = abs(v) >> al  # magnitude shift, per jcphuff
             if t == 0:
                 r += 1
@@ -619,8 +618,7 @@ def _run_prog_scan(
                 flush_eobrun()
 
     def ac_refine(ci: int, bidx: int) -> None:
-        row = Zs[ci][bidx]
-        band = [int(row[k]) for k in range(ss, se + 1)]
+        band = Zs[ci][bidx][ss : se + 1].tolist()
         absv = [abs(v) >> al for v in band]
         eobpos = -1
         for j, t in enumerate(absv):
@@ -782,23 +780,37 @@ def encode_progressive(
     if dri:
         out.append(b"\xff\xdd" + struct.pack(">HH", 4, dri))
 
-    run_args = (Zs, grids)
     for comp_idx, ss, se, ah, al in scans:
-        # pass 1: symbol frequencies for this scan
+        # single walk: record the symbol stream + raw-bit groups, count
+        # frequencies as we go, then REPLAY for emission (the block
+        # logic runs once per scan, not twice)
         freqs: dict[tuple, np.ndarray] = {}
+        stream: list[tuple] = []  # (key, sym) | (None, (v, n)) | boundary
 
         def sym1(key, s):
             a = freqs.get(key)
             if a is None:
                 a = freqs[key] = np.zeros(256, dtype=np.int64)
             a[s] += 1
+            stream.append((key, s))
+
+        def put1(v, n):
+            stream.append((None, v, n))
+
+        def bnd1():
+            stream.append(None)
 
         _run_prog_scan(
             Zs, grids, comp_idx, ss, se, ah, al, mcux, nbx_c, bw_c, bh_c,
-            dri, sym1, lambda v, n: None, lambda: None,
+            dri, sym1, put1, bnd1,
         )
         tables = {k: _gen_optimal_table(f) for k, f in freqs.items()}
-        enc = {k: _enc_table(b16[1:17], v) for k, (b16, v) in tables.items()}
+        enc = {
+            k: (c.tolist(), ln.tolist())
+            for k, (c, ln) in (
+                (k2, _enc_table(b16[1:17], v)) for k2, (b16, v) in tables.items()
+            )
+        }
         for (kind, tc), (b16, v) in sorted(tables.items()):
             tcbyte = (0x00 if kind == "dc" else 0x10) | tc
             out.append(
@@ -814,35 +826,33 @@ def encode_progressive(
         sos += struct.pack(">BBB", ss, se, (ah << 4) | al)
         out.append(b"\xff\xda" + sos)
 
-        # pass 2: emission (identical symbol stream, now with codes)
+        # replay
         segs: list[bytes] = []
         bits_l: list[int] = []
         len_l: list[int] = []
-
-        def sym2(key, s):
-            c, ln = enc[key]
-            bits_l.append(int(c[s]))
-            len_l.append(int(ln[s]))
-
-        def put2(v, n):
-            bits_l.append(v)
-            len_l.append(n)
-
-        def bnd2():
-            segs.append(
-                _pack_bits(
-                    np.asarray(bits_l, dtype=np.int64),
-                    np.asarray(len_l, dtype=np.int64),
+        for ev in stream:
+            if ev is None:
+                segs.append(
+                    _pack_bits(
+                        np.asarray(bits_l, dtype=np.int64),
+                        np.asarray(len_l, dtype=np.int64),
+                    )
                 )
+                bits_l = []
+                len_l = []
+            elif ev[0] is None:
+                bits_l.append(ev[1])
+                len_l.append(ev[2])
+            else:
+                c, ln = enc[ev[0]]
+                bits_l.append(c[ev[1]])
+                len_l.append(ln[ev[1]])
+        segs.append(
+            _pack_bits(
+                np.asarray(bits_l, dtype=np.int64),
+                np.asarray(len_l, dtype=np.int64),
             )
-            bits_l.clear()
-            len_l.clear()
-
-        _run_prog_scan(
-            Zs, grids, comp_idx, ss, se, ah, al, mcux, nbx_c, bw_c, bh_c,
-            dri, sym2, put2, bnd2,
         )
-        bnd2()
         for si, sdata in enumerate(segs):
             out.append(sdata)
             if si < len(segs) - 1:
@@ -1247,14 +1257,17 @@ class _BitReader:
     __slots__ = ("win", "win16", "i", "end")
 
     def __init__(self, data: bytes):
-        self.win, self.win16 = _bit_windows(data + b"\xff" * 64)
+        win, win16 = _bit_windows(data + b"\xff" * 64)
+        # native-int lists: per-symbol indexing is ~5x numpy scalars
+        self.win = win.tolist()
+        self.win16 = win16.tolist()
         self.i = 0
         self.end = len(data) * 8
 
-    def huff(self, lut: np.ndarray) -> int:
+    def huff(self, lut) -> int:
         if self.i >= self.end:
             raise ValueError("truncated JPEG scan")
-        e = int(lut[self.win16[self.i]])
+        e = lut[self.win16[self.i]]
         if e == 0:
             raise ValueError("invalid huffman code")
         self.i += e >> 8
@@ -1265,7 +1278,7 @@ class _BitReader:
             return 0
         if self.i >= self.end:
             raise ValueError("truncated JPEG scan")
-        v = (int(self.win[self.i]) >> (32 - n)) & ((1 << n) - 1)
+        v = (self.win[self.i] >> (32 - n)) & ((1 << n) - 1)
         self.i += n
         return v
 
@@ -1326,7 +1339,7 @@ def _prog_block_ac_refine(br, aclut, blk, ss, se, al, eobrun):
             # advance over r zero-history coefficients, emitting
             # correction bits for every nonzero-history one passed
             while k <= se:
-                c = int(blk[k])
+                c = blk[k]
                 if c != 0:
                     if br.bits(1) and (c & p1) == 0:
                         blk[k] = c + (p1 if c >= 0 else m1)
@@ -1340,7 +1353,7 @@ def _prog_block_ac_refine(br, aclut, blk, ss, se, al, eobrun):
             k += 1
     if eobrun > 0:
         while k <= se:
-            c = int(blk[k])
+            c = blk[k]
             if c != 0:
                 if br.bits(1) and (c & p1) == 0:
                     blk[k] = c + (p1 if c >= 0 else m1)
@@ -1364,8 +1377,10 @@ def _decode_progressive(comps, h_img, w_img, qtabs, scans, raw_components):
     mcux = -(-w_img // (8 * hmax))
     mcuy = -(-h_img // (8 * vmax))
     nbx_comp = [mcux * c[1] for c in comps]
-    coef = [
-        np.zeros((mcuy * cv * mcux * ch, 64), dtype=np.int32)
+    # plain-int rows while scanning (native ops beat numpy scalar
+    # writes ~5x); converted to the int32 arrays _finish_decode wants
+    coef_l = [
+        [[0] * 64 for _ in range(mcuy * cv * mcux * ch)]
         for (_, ch, cv, _) in comps
     ]
     # single-component (non-interleaved) scans cover ceil(comp_dim/8)
@@ -1374,10 +1389,23 @@ def _decode_progressive(comps, h_img, w_img, qtabs, scans, raw_components):
     bw_comp = [cdiv(cdiv(w_img * ch, hmax), 8) for (_, ch, _, _) in comps]
     bh_comp = [cdiv(cdiv(h_img * cv, vmax), 8) for (_, _, cv, _) in comps]
 
+    lut_memo: dict[int, list] = {}
+
+    def _as_list(lut):
+        if lut is None:
+            return None
+        hit = lut_memo.get(id(lut))
+        if hit is None:
+            hit = lut_memo[id(lut)] = lut.tolist()
+        return hit
+
     for scan in scans:
         ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
         dri = scan["dri"]
-        sc = scan["comps"]
+        sc = [
+            (ci, _as_list(dclut), _as_list(aclut))
+            for ci, dclut, aclut in scan["comps"]
+        ]
         ncomp_scan = len(sc)
         if ss > 0 and ncomp_scan != 1:
             raise ValueError("interleaved AC scan is invalid in progressive")
@@ -1410,22 +1438,22 @@ def _decode_progressive(comps, h_img, w_img, qtabs, scans, raw_components):
                         my, mx = divmod(unit, mcux)
                         for ci2, dclut2, ch, cv, dy, dx in plan:
                             bidx = (my * cv + dy) * nbx_comp[ci2] + mx * ch + dx
-                            blk = coef[ci2][bidx]
+                            blk = coef_l[ci2][bidx]
                             if ah == 0:
                                 _prog_block_dc_first(
                                     br, dclut2, preds, ci2, blk, al
                                 )
                             elif br.bits(1):
-                                blk[0] = int(blk[0]) | (1 << al)
+                                blk[0] |= 1 << al
                         unit += 1
                 elif ss == 0:  # single-component DC scan
                     while unit < end:
                         row, col = divmod(unit, bw)
-                        blk = coef[ci][row * nbx + col]
+                        blk = coef_l[ci][row * nbx + col]
                         if ah == 0:
                             _prog_block_dc_first(br, dclut, preds, ci, blk, al)
                         elif br.bits(1):
-                            blk[0] = int(blk[0]) | (1 << al)
+                            blk[0] |= 1 << al
                         unit += 1
                 else:  # AC scan
                     fn = (
@@ -1433,12 +1461,13 @@ def _decode_progressive(comps, h_img, w_img, qtabs, scans, raw_components):
                     )
                     while unit < end:
                         row, col = divmod(unit, bw)
-                        blk = coef[ci][row * nbx + col]
+                        blk = coef_l[ci][row * nbx + col]
                         eobrun = fn(br, aclut, blk, ss, se, al, eobrun)
                         unit += 1
             except IndexError:
                 raise ValueError("truncated JPEG scan") from None
             unit = end
+    coef = [np.asarray(c, dtype=np.int32) for c in coef_l]
     return _finish_decode(
         coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components
     )
