@@ -60,7 +60,10 @@ class _H5:
         self.groups: list[str] = []
         self._objcache: dict[int, str] = {}  # header addr → dataset name
         sb_off = self._find_superblock()
-        self._parse_superblock(sb_off)
+        try:
+            self._parse_superblock(sb_off)
+        except (IndexError, struct.error) as e:
+            raise H5Error(f"truncated or corrupt HDF5 file: {e}") from None
 
     # -- superblock ---------------------------------------------------------
 
@@ -182,13 +185,13 @@ class _H5:
                     self._enter(child, prefix + "/" + name)
         if 0x0002 in types and not any(t == 0x0006 for t in types):
             body = next(m for t, m in msgs if t == 0x0002)
-            # dense links (fractal heap) — out of subset
-            fheap = _u(body, 2 + (8 if body[1] & 1 else 0), self.so)
+            # dense links: fractal heap + name-index B-tree v2
+            p = 2 + (8 if body[1] & 1 else 0)
+            fheap = _u(body, p, self.so)
+            bt2 = _u(body, p + self.so, self.so)
             if fheap != UNDEF:
-                raise H5Error(
-                    "dense (fractal-heap) group links unsupported — "
-                    "read with h5py/netCDF4 on a cluster"
-                )
+                for name, child in self._dense_links(fheap, bt2):
+                    self._enter(child, prefix + "/" + name)
 
     def _parse_link(self, body: bytes):
         ver, flags = body[0], body[1]
@@ -208,6 +211,158 @@ class _H5:
         if ltype != 0:
             return name, None  # soft/external link: skip
         return name, _u(body, p, self.so)
+
+    def _dense_links(self, fheap_addr: int, bt2_addr: int):
+        """Dense (fractal-heap) link storage: enumerate the name-index
+        B-tree v2 records (type 5: hash + heap id) and fetch each link
+        message from the fractal heap's managed space. Covers the
+        shapes libnetcdf/h5py emit: depth-0 or depth-1 v2 trees, root
+        direct block or one level of indirect blocks."""
+        b = self.buf
+        heap = self._fractal_heap(fheap_addr)
+        out = []
+        for rec in self._bt2_records(bt2_addr):
+            # record type 5: hash(4) + heap ID (heap["id_len"] bytes)
+            hid = rec[4:]
+            # managed heap id: version+type byte, offset, length
+            off_sz = heap["heap_off_sz"]
+            len_sz = heap["heap_len_sz"]
+            off = _u(hid, 1, off_sz)
+            ln = _u(hid, 1 + off_sz, len_sz)
+            body = self._heap_read(heap, off, ln)
+            name, child = self._parse_link(body)
+            if child is not None:
+                out.append((name, child))
+        return out
+
+    def _fractal_heap(self, addr: int) -> dict:
+        b = self.buf
+        if b[addr : addr + 4] != b"FRHP":
+            raise H5Error("bad fractal heap header")
+        id_len = _u(b, addr + 5, 2)
+        p = addr + 5 + 2 + 2 + 1 + 4  # ver, idlen, filterlen, flags, maxman
+        p += self.sl + self.so  # next huge id, huge bt2
+        p += self.sl + self.so  # free space, fs mgr
+        p += 4 * self.sl  # managed space, allocated, iterator, nmanaged
+        p += 4 * self.sl  # huge size, nhuge, tiny size, ntiny
+        width = _u(b, p, 2)
+        start_block = _u(b, p + 2, self.sl)
+        max_direct = _u(b, p + 2 + self.sl, self.sl)
+        max_heap_bits = _u(b, p + 2 + 2 * self.sl, 2)
+        nrows_start = _u(b, p + 4 + 2 * self.sl, 2)
+        root = _u(b, p + 6 + 2 * self.sl, self.so)
+        cur_rows = _u(b, p + 6 + 2 * self.sl + self.so, 2)
+        import math as _m
+
+        heap_off_sz = (max_heap_bits + 7) // 8
+        heap_len_sz = (
+            max(1, (_m.ceil(_m.log2(max_direct)) + 7) // 8)
+            if max_direct > 1
+            else 1
+        )
+        return {
+            "addr": addr,
+            "id_len": id_len,
+            "width": width,
+            "start_block": start_block,
+            "max_direct": max_direct,
+            "heap_off_sz": heap_off_sz,
+            "heap_len_sz": heap_len_sz,
+            "root": root,
+            "cur_rows": cur_rows,
+            "checksummed": bool(b[addr + 10] & 0x02),
+        }
+
+    def _heap_direct_blocks(self, heap: dict):
+        """(block_heap_offset, data_start, size) per direct block."""
+        b = self.buf
+        root = heap["root"]
+        hdr = 4 + 1 + self.so + heap["heap_off_sz"]
+        if heap["cur_rows"] == 0:  # root IS a direct block
+            if b[root : root + 4] != b"FHDB":
+                raise H5Error("bad fractal heap direct block")
+            yield 0, root + hdr + (4 if heap["checksummed"] else 0), heap[
+                "start_block"
+            ]
+            return
+        if b[root : root + 4] != b"FHIB":
+            raise H5Error("bad fractal heap indirect block")
+        p = root + 4 + 1 + self.so + heap["heap_off_sz"]
+        width = heap["width"]
+        # doubling table: row 0 and 1 use start_block, then doubles
+        off = 0
+        for row in range(heap["cur_rows"]):
+            bs = heap["start_block"] * (1 << max(0, row - 1))
+            if bs > heap["max_direct"]:
+                raise H5Error("fractal heap: indirect sub-blocks unsupported")
+            for _ in range(width):
+                child = _u(b, p, self.so)
+                p += self.so
+                if child != UNDEF:
+                    if b[child : child + 4] != b"FHDB":
+                        raise H5Error("bad fractal heap direct block")
+                    yield off, child + hdr + (
+                        4 if heap["checksummed"] else 0
+                    ), bs
+                off += bs
+
+    def _heap_read(self, heap: dict, off: int, ln: int) -> bytes:
+        for boff, dstart, bsize in self._heap_direct_blocks(heap):
+            hdr = dstart - (4 + 1 + self.so + heap["heap_off_sz"]) - (
+                4 if heap["checksummed"] else 0
+            )
+            # offsets are heap-wide; data begins after each block header
+            hdr_len = dstart - hdr  # header bytes of this block
+            if boff <= off < boff + bsize:
+                rel = off - boff
+                # heap offsets INCLUDE block header bytes
+                return self.buf[hdr + rel : hdr + rel + ln]
+        raise H5Error(f"fractal heap offset {off} not found")
+
+    def _bt2_records(self, addr: int):
+        b = self.buf
+        if b[addr : addr + 4] != b"BTHD":
+            raise H5Error("bad v2 B-tree header")
+        rec_size = _u(b, addr + 10, 2)
+        depth = _u(b, addr + 12, 2)
+        root = _u(b, addr + 16, self.so)
+        nrec_root = _u(b, addr + 16 + self.so, 2)
+        total = _u(b, addr + 18 + self.so, self.sl)
+
+        def leaf(a, nrec):
+            if b[a : a + 4] != b"BTLF":
+                raise H5Error("bad v2 B-tree leaf")
+            p = a + 6
+            for _ in range(nrec):
+                yield b[p : p + rec_size]
+                p += rec_size
+
+        if depth == 0:
+            yield from leaf(root, nrec_root)
+            return
+        if depth == 1:
+            # internal node: records + child pointers (+ nrec counts)
+            if b[root : root + 4] != b"BTIN":
+                raise H5Error("bad v2 B-tree internal node")
+            # child-count field width from total records (spec: enough
+            # bytes for the max records in a child subtree) — for the
+            # one-level case 1 byte suffices in all files this size
+            p = root + 6
+            recs = []
+            for _ in range(nrec_root):
+                recs.append(b[p : p + rec_size])
+                p += rec_size
+            for k in range(nrec_root + 1):
+                child = _u(b, p, self.so)
+                p += self.so
+                nrec_child = _u(b, p, 1)
+                p += 1
+                yield from leaf(child, nrec_child)
+                if k < nrec_root:
+                    yield recs[k]
+            return
+        raise H5Error("v2 B-tree depth > 1 unsupported")
+
 
     def _v1_links(self, btree_addr: int, heap_addr: int):
         b = self.buf
@@ -267,21 +422,26 @@ class _H5:
             return  # neither group nor dataset in-subset
         ds: dict = {"name": path, "addr": oh_addr}
         attrs = {}
-        for t, body in msgs:
-            if t == 0x0001:
-                ds["shape"], ds["maxshape"] = self._dataspace(body)
-            elif t == 0x0003:
-                ds["dtype"] = self._datatype(body)
-            elif t == 0x0008:
-                self._layout(body, ds)
-            elif t == 0x000B:
-                ds["filters"] = self._filters(body)
-            elif t == 0x000C:
-                try:
-                    name, val = self._attribute(body)
-                    attrs[name] = val
-                except H5Error:
-                    pass  # exotic attribute types: ignore, not data
+        try:
+            for t, body in msgs:
+                if t == 0x0001:
+                    ds["shape"], ds["maxshape"] = self._dataspace(body)
+                elif t == 0x0003:
+                    ds["dtype"] = self._datatype(body)
+                elif t == 0x0008:
+                    self._layout(body, ds)
+                elif t == 0x000B:
+                    ds["filters"] = self._filters(body)
+                elif t == 0x000C:
+                    try:
+                        name, val = self._attribute(body)
+                        attrs[name] = val
+                    except H5Error:
+                        pass  # exotic attribute types: ignore, not data
+        except H5Error:
+            # out-of-subset dataset (compound/enum types, exotic
+            # layouts): skip it, keep the rest of the file readable
+            return
         ds["attrs"] = attrs
         ds.setdefault("filters", [])
         self.datasets[path.lstrip("/")] = ds

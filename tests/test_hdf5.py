@@ -148,8 +148,8 @@ def test_sweep_parse_all_nc4_files():
                 failed += 1  # intentionally-broken fixtures
             else:
                 raise
-    assert parsed >= 25  # 27 of 34 at time of writing
-    assert failed <= 9
+    assert parsed >= 33  # 33 of 34 (only the truncated fixture fails)
+    assert failed <= 1
 
 
 # ---------------------------------------------------------------------------
@@ -222,3 +222,43 @@ def test_netcdf_window_transparent_dispatch(spark, tmp_path):
     assert len(got) == 2 * 3 * 4
     for (d0, d1, d2), v in got.items():
         assert v == cube[d0, d1, d2]
+
+
+@needs_ref
+def test_alldatatypes_dense_group_values():
+    """alldatatypes.nc stores its links in a fractal heap (dense
+    group). Expected values published in
+    autotest/gdrivers/netcdf_multidim.py
+    test_netcdf_multidim_var_alldatatypes."""
+    h = H5File(f"{REF}/alldatatypes.nc")
+    expected = [
+        ("ubyte_var", "<u1", (255, 254)),
+        ("byte_var", "<i1", (-128, -127)),
+        ("ushort_var", "<u2", (65534, 65533)),
+        ("short_var", "<i2", (-32768, -32767)),
+        ("uint_var", "<u4", (4294967294, 4294967293)),
+        ("int_var", "<i4", (-2147483648, -2147483647)),
+        ("uint64_var", "<u8", (18446744073709551613, 18446744073709551612)),
+        ("int64_var", "<i8", (-9223372036854775808, -9223372036854775807)),
+        ("float_var", "<f4", (1.25, 2.25)),
+        ("double_var", "<f8", (1.25125, 2.25125)),
+    ]
+    inv = h.inventory()
+    for name, dt, vals in expected:
+        assert name in inv, name
+        assert inv[name]["dtype"] == dt, name
+        got = tuple(h.read(name).ravel().tolist())
+        assert got == vals, (name, got)
+
+
+@needs_ref
+def test_dense_group_sweep():
+    """All four dense-link files from the r4 raise-list now parse."""
+    for name in [
+        "alldatatypes.nc",
+        "fake_EMIT_L2A_with_good_wavelengths.nc",
+        "nc_mixed_raster_vector.nc",
+        "sen3_sral_mwr_fake_standard_measurement.nc",
+    ]:
+        inv = H5File(f"{REF}/{name}").inventory()
+        assert len(inv) > 0, name
