@@ -3821,6 +3821,7 @@ GOLDEN_QUERIES = [
     "raster_psnr_gate",
     "jpeg_progressive",
     "webp_lz77_roundtrip",
+    "webp_lossy_vp8",
     "raster_warp_utm",
     "raster_warp_lcc",
     "raster_warp_gcp",
@@ -4186,6 +4187,17 @@ SELECT custkey,
        round(lat + (CAST(3.6 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + (lat - 50.0) + lon)) / 3600.0, 9) AS lat_shifted
 FROM pts
 """
+
+
+def _q_webp_lossy(spark, sf_dir):
+    """Lossy VP8 WebP decode+encode through the real codec library
+    (closes the last wild-image format gap): PSNR >= 40 dB per row on
+    smoothed content, quality cycling 85/95. okey % 107 keeps every
+    size class."""
+    from gdal_spark.raster.composite import lossy_vp8_gate
+
+    imgs = synth.images(spark, sf_dir, where="okey % 107 = 0")
+    return lossy_vp8_gate(imgs)
 
 
 def _q_warp_utm(spark, sf_dir):
@@ -5470,6 +5482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_psnr_gate": _q_psnr_gate,
         "jpeg_progressive": _q_jpeg_progressive,
         "webp_lz77_roundtrip": _q_webp_lz77,
+        "webp_lossy_vp8": _q_webp_lossy,
         "raster_warp_utm": _q_warp_utm,
         "raster_warp_lcc": _q_warp_lcc,
         "raster_cutline": _q_raster_cutline,

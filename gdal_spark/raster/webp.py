@@ -25,8 +25,14 @@ Scope:
   plane codes) + color cache — the stream features real-world
   lossless WebP relies on (round-4 verdict item 2). Transforms
   (predictor/color/subtract-green/palette), meta prefix images and
-  lossy VP8 still raise ``NotImplementedError`` with an explicit
-  message; swapping in Pillow/libwebp on a real cluster lifts that.
+  lossy VP8 fall back to the capability-probed libwebp binding
+  (``native/webp_lib.py`` — present in this container and on any
+  cluster node; the exact library ``webpdataset.cpp`` wraps), which
+  also serves as an EXTERNAL ORACLE: the real decoder reproduces the
+  in-repo encoder's streams byte-exactly (tests/test_webp_lib.py),
+  empirically pinning the distance plane-code table and cache hash.
+  Without the library those features raise the documented
+  NotImplementedError.
 
 Design for Spark: the encoder is vectorized whole-image — channel
 histograms, canonical code construction, per-pixel symbol→(bits,len)
@@ -69,10 +75,9 @@ DIST_ALPHABET = 40
 # libwebp's plane_to_code_lut addresses (y 0..7, x -7..8, causal cells
 # only) ordered by squared Euclidean distance, ties broken by larger y
 # then positive x — verified entry-for-entry against the spec's
-# published list for the first 92 codes (the common wild-file range);
-# no libwebp exists in-container to diff the remainder, so the in-repo
-# LZ77 writer shares this table symmetrically and the round-trip gate
-# pins both sides to it.
+# published list for the first 92 codes AND empirically against the
+# real libwebp decoder, which reproduces our plane-code streams
+# byte-exactly (tests/test_webp_lib.py).
 DIST_MAP = tuple(
     sorted(
         (
@@ -725,6 +730,23 @@ def encode_lz77(
 # ---------------------------------------------------------------------------
 
 
+def _decode_via_libwebp(buf: bytes, reason: str | None = None):
+    """Wild-file fallback through the capability-probed libwebp
+    binding (``native/webp_lib.py``); raises the documented
+    NotImplementedError when the library is absent."""
+    from gdal_spark.native.webp_lib import decode_rgba, get_libwebp
+
+    if get_libwebp() is None:
+        raise NotImplementedError(
+            (reason or "lossy VP8 / extended WebP decoding")
+            + " — and libwebp is not available on this host"
+        )
+    img = decode_rgba(bytes(buf))
+    if (img[:, :, 3] != 255).any():
+        return img
+    return np.ascontiguousarray(img[:, :, :3])
+
+
 def _read_code(br: _BitReader, alphabet: int) -> _PrefixCode:
     if br.read(1):  # simple
         num_symbols = br.read(1) + 1
@@ -787,10 +809,9 @@ def decode(buf: bytes) -> np.ndarray:
             payload = b[off + 8 : off + 8 + ln]
             break
         if tag in (b"VP8 ", b"VP8X"):
-            raise NotImplementedError(
-                "lossy VP8 / extended WebP decoding requires libwebp — "
-                "only VP8L lossless is implemented in-container"
-            )
+            # lossy VP8 / extended container: the cluster codec library
+            # (capability-probed; frmts/webp/webpdataset.cpp:1210 path)
+            return _decode_via_libwebp(b)
         off += 8 + ln + (ln & 1)
     if payload is None:
         raise ValueError("no VP8L chunk found")
@@ -804,10 +825,12 @@ def decode(buf: bytes) -> np.ndarray:
     if version != 0:
         raise ValueError(f"unsupported VP8L version {version}")
     if br.read(1):
-        raise NotImplementedError(
+        # VP8L transforms (predictor/color/subtract-green/palette):
+        # outside the pure-NumPy subset — fall back to the library
+        return _decode_via_libwebp(
+            b,
             "VP8L transforms (predictor/color/subtract-green/palette) "
-            "not implemented — this decoder covers the literal subset "
-            "the in-repo encoder emits; use libwebp for general files"
+            "not implemented in the pure-NumPy subset",
         )
     cache_bits = 0
     if br.read(1):
@@ -815,7 +838,9 @@ def decode(buf: bytes) -> np.ndarray:
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"invalid color-cache bits {cache_bits}")
     if br.read(1):
-        raise NotImplementedError("VP8L meta prefix image not implemented")
+        return _decode_via_libwebp(
+            b, "VP8L meta prefix image not implemented in the pure-NumPy subset"
+        )
     cache_size = (1 << cache_bits) if cache_bits else 0
     g_code = _read_code(br, GREEN_ALPHABET + cache_size)
     r_code = _read_code(br, 256)

@@ -67,7 +67,10 @@ def test_decode_dispatch():
     assert wrt.shape == a.shape + (3,)
     assert all(np.array_equal(wrt[:, :, i], a) for i in range(3))
     assert C.decode_image(C.encode_image(a, "jpeg")).shape == a.shape  # real T.81
-    with pytest.raises(NotImplementedError):
+    # garbage VP8 chunk: NotImplementedError without libwebp,
+    # ValueError from the library (lossy VP8 IS supported when the
+    # capability probe finds libwebp.so)
+    with pytest.raises((NotImplementedError, ValueError)):
         C.decode_image(b"RIFF....WEBPVP8 real webp not supported")
 
 

@@ -187,9 +187,11 @@ def test_codec_dispatch_and_lossless_invariant():
 
 
 def test_unsupported_features_raise():
-    # VP8 (lossy) chunk tag must be refused loudly, not misparsed
+    # a garbage VP8 (lossy) chunk must be refused loudly, not
+    # misparsed: NotImplementedError without libwebp, ValueError from
+    # the library (it rejects the empty stream)
     fake = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((NotImplementedError, ValueError)):
         webp.decode(fake)
     with pytest.raises(ValueError):
         webp.decode(b"RIFX" + b"\x00" * 20)

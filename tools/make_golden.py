@@ -449,6 +449,32 @@ def g_webp_lz77(sf_dir):
     return schema, rows
 
 
+def g_webp_lossy(sf_dir, min_db=40.0):
+    from gdal_spark.native.webp_lib import encode_rgb
+    from gdal_spark.raster import webp as W
+    from gdal_spark.raster.composite import _box_smooth
+
+    rows = []
+    for okey in order_keys(sf_dir):
+        if okey % 107:
+            continue
+        fp = footprint(okey)
+        arr = _box_smooth(decoded_pixels(fp))
+        q = 85 if okey % 2 else 95
+        blob = encode_rgb(arr, float(q))
+        out = W.decode(blob)
+        p = round(codec.psnr(arr, out), 2)
+        rows.append(
+            (fp["image_id"], fp["w"], fp["h"], q, len(blob), p,
+             bool(p >= min_db))
+        )
+    schema = pa.schema(
+        [("image_id", STR), ("w", I32), ("h", I32), ("quality", I32),
+         ("vp8_len", I64), ("psnr_db", F64), ("ok", BOOL)]
+    )
+    return schema, rows
+
+
 def _phash_clusters(sf_dir):
     clusters: dict[int, list[str]] = {}
     for okey in order_keys(sf_dir):
@@ -1334,6 +1360,7 @@ GOLDEN_BUILDERS = {
     "raster_psnr_gate": g_raster_psnr_gate,
     "jpeg_progressive": g_jpeg_progressive,
     "webp_lz77_roundtrip": g_webp_lz77,
+    "webp_lossy_vp8": g_webp_lossy,
     "raster_warp_utm": g_raster_warp_utm,
     "raster_warp_lcc": g_raster_warp_lcc,
     "raster_warp_gcp": g_raster_warp_gcp,
