@@ -4130,6 +4130,64 @@ FROM aoi
 """
 
 
+def _q_st_cdt(spark, sf_dir):
+    """ST_ConstrainedDelaunayTriangles
+    (OGRGeometry::ConstrainedDelaunayTriangulation,
+    ogr/ogr_geometry.h:605; GEOS ConstrainedDelaunayTriangulator):
+    each AOI rectangle carries a centered half-size hole; the CDT of a
+    polygon with n boundary vertices and h holes has exactly
+    n + 2h - 2 triangles (here 8 + 2 - 2 = 8) whose areas sum to the
+    interior area (3/4 of the bbox) — both closed-form in DuckDB."""
+    import numpy as np
+
+    from gdal_spark.functions import geometry as G
+    from gdal_spark.operators.cdt import polygon_cdt
+
+    aoi = synth.aoi(spark, sf_dir, with_wkb=False)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                x0, y0, x1, y1 = r.lon_min, r.lat_min, r.lon_max, r.lat_max
+                hx0, hx1 = x0 + (x1 - x0) / 4.0, x1 - (x1 - x0) / 4.0
+                hy0, hy1 = y0 + (y1 - y0) / 4.0, y1 - (y1 - y0) / 4.0
+                outer = np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                )
+                hole = np.array(
+                    [[hx0, hy0], [hx0, hy1], [hx1, hy1], [hx1, hy0],
+                     [hx0, hy0]]
+                )
+                g = G.parse_wkb(G.wkb_polygon([outer, hole]))
+                tris = polygon_cdt(g)
+                area = float(
+                    sum(abs(G.ring_signed_area(t)) for t in tris)
+                )
+                rows.append((int(r.poly_id), len(tris), area))
+            yield pd.DataFrame(
+                rows, columns=["poly_id", "n_tris", "total_area"]
+            )
+
+    out = aoi.mapInPandas(
+        gen, schema="poly_id long, n_tris long, total_area double"
+    )
+    return out.select(
+        "poly_id", "n_tris", F.round("total_area", 9).alias("total_area")
+    )
+
+
+ST_CDT_ORACLE = f"""
+WITH {AOI_CTE}
+SELECT poly_id, CAST(8 AS BIGINT) AS n_tris,
+       round((lon_max - lon_min) * (lat_max - lat_min) * 0.75, 9)
+         AS total_area
+FROM aoi
+"""
+
+
 def _q_grid_shift_points(spark, sf_dir):
     """NTv2-style horizontal grid shift in the transformer chain
     (ogr/ogrct.cpp grid path; frmts/raw/ntv2dataset.cpp format —
@@ -5552,6 +5610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf4_window": _q_netcdf4_window,
         "grid_shift_points": _q_grid_shift_points,
         "st_polygonize": _q_st_polygonize,
+        "st_constrained_delaunay": _q_st_cdt,
         "netcdf_axis_stats": _q_netcdf_axis_stats,
         "mdim_translate": _q_mdim_translate,
         "grid_invdistnn": _q_grid_invdistnn,
@@ -5655,6 +5714,7 @@ def oracle_sql() -> dict[str, str]:
         "netcdf4_window": NETCDF_WINDOW_ORACLE,
         "grid_shift_points": GRID_SHIFT_ORACLE,
         "st_polygonize": ST_POLYGONIZE_ORACLE,
+        "st_constrained_delaunay": ST_CDT_ORACLE,
         "netcdf_axis_stats": NETCDF_AXIS_ORACLE,
         "mdim_translate": MDIM_TRANSLATE_ORACLE,
         "grid_idw": _grid_idw_oracle(),

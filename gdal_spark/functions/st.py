@@ -792,9 +792,19 @@ _REGISTRY = {
 
 def _late_registrations():
     """Registrations that import from operators (avoid cycles)."""
+    from gdal_spark.operators.cdt import st_constrained_delaunay
     from gdal_spark.operators.vector_ops import st_wrapdateline
 
-    return {"ST_WrapDateLine": st_wrapdateline}
+    @pandas_udf(BinaryType())
+    def st_cdt_udf(wkb: pd.Series) -> pd.Series:
+        return wkb.map(
+            lambda b: None if b is None else st_constrained_delaunay(bytes(b))
+        )
+
+    return {
+        "ST_WrapDateLine": st_wrapdateline,
+        "ST_ConstrainedDelaunayTriangles": st_cdt_udf,
+    }
 
 
 def register_st_functions(spark: SparkSession) -> None:
