@@ -3935,6 +3935,119 @@ FROM orders WHERE o_orderkey % 50 = 0
 """
 
 
+def _q_image_exif(spark, sf_dir):
+    """EXIF metadata extraction + APPLY_ORIENTATION semantics
+    (frmts/jpeg/jpgdataset.cpp:343 ReadEXIFMetadata,
+    gcore/gdalexif.cpp EXIFExtractMetadata/EXIFPrintData,
+    jpgdataset.cpp:3190 APPLY_ORIENTATION): every jpeg-format image
+    row gets an APP1 Exif segment whose tag values derive closed-form
+    from okey and the footprint lon/lat; the operator under test is
+    the PARSE back out of the tagged bytes (marker scan + both-endian
+    TIFF IFD walk + GDAL string formatting) and the orientation-aware
+    size. GPS rationals are micro-degree/10^6 so the decimal recompose
+    is exact IEEE division in both engines. Parser pinned externally
+    on the reference autotest's albania.jpg and exif_orientation/F1-F8
+    published values (tests/test_exif.py)."""
+    from gdal_spark.raster import exif as E
+
+    imgs = synth.images(spark, sf_dir, where="okey % 15 = 1")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                okey = int(r.image_id[3:])
+                den = 1 + okey % 997
+                lat_num = int(abs(r.lat) * 1000000 + 0.5)
+                lon_num = int(abs(r.lon) * 1000000 + 0.5)
+                md = {
+                    "EXIF_Make": f"Camera {okey % 7}",
+                    "EXIF_Orientation": 1 + okey % 8,
+                    "EXIF_DateTime": "2024:%02d:%02d 12:00:00"
+                    % (1 + okey % 12, 1 + okey % 28),
+                    "EXIF_ExposureTime": (1, den),
+                    "EXIF_GPSLatitudeRef": "S" if r.lat < 0 else "N",
+                    "EXIF_GPSLatitude": [(lat_num, 1000000), (0, 1), (0, 1)],
+                    "EXIF_GPSLongitudeRef": "W" if r.lon < 0 else "E",
+                    "EXIF_GPSLongitude": [(lon_num, 1000000), (0, 1), (0, 1)],
+                }
+                tagged = E.insert_exif(bytes(r.bytes), md)
+                # --- operator under test: parse back from raw bytes ---
+                s = E.parse_exif(tagged)
+                raw = E.parse_exif_raw(tagged)
+                num, d = raw["EXIF_ExposureTime"][1][0]
+                orient = int(s["EXIF_Orientation"])
+                ow, oh = E.oriented_size(int(r.w), int(r.h), orient)
+                rows.append(
+                    (
+                        r.image_id,
+                        orient,
+                        s["EXIF_Make"],
+                        s["EXIF_DateTime"],
+                        num / d,
+                        E.gps_decimal(raw, "lat"),
+                        E.gps_decimal(raw, "lon"),
+                        ow,
+                        oh,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "orientation", "make", "datetime_tag",
+                    "exposure_s", "gps_lat", "gps_lon",
+                    "oriented_w", "oriented_h",
+                ],
+            )
+
+    return imgs.mapInPandas(
+        gen,
+        schema=(
+            "image_id string, orientation int, make string,"
+            " datetime_tag string, exposure_s double, gps_lat double,"
+            " gps_lon double, oriented_w int, oriented_h int"
+        ),
+    )
+
+
+IMAGE_EXIF_ORACLE = f"""
+WITH ex AS (
+  SELECT printf('img%012d', o_orderkey) AS image_id,
+         o_orderkey AS okey,
+         {F_LON} AS lon, {F_LAT} AS lat
+  FROM orders WHERE o_orderkey % 15 = 1
+)
+SELECT image_id,
+       CAST(1 + okey % 8 AS INT) AS orientation,
+       'Camera ' || CAST(okey % 7 AS VARCHAR) AS make,
+       printf('2024:%02d:%02d 12:00:00',
+              CAST(1 + okey % 12 AS INT),
+              CAST(1 + okey % 28 AS INT)) AS datetime_tag,
+       CAST(1 AS DOUBLE) / (1 + okey % 997) AS exposure_s,
+       (CASE WHEN lat < 0 THEN -1 ELSE 1 END)
+         * (CAST(FLOOR(ABS(lat) * 1000000 + 0.5) AS BIGINT) / 1000000.0)
+         AS gps_lat,
+       (CASE WHEN lon < 0 THEN -1 ELSE 1 END)
+         * (CAST(FLOOR(ABS(lon) * 1000000 + 0.5) AS BIGINT) / 1000000.0)
+         AS gps_lon,
+       CAST(CASE WHEN 1 + okey % 8 >= 5
+            THEN CASE okey % 4 WHEN 0 THEN 128 WHEN 1 THEN 64
+                 WHEN 2 THEN 512 ELSE 256 END
+            ELSE CASE okey % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                 WHEN 2 THEN 256 ELSE 512 END
+            END AS INT) AS oriented_w,
+       CAST(CASE WHEN 1 + okey % 8 >= 5
+            THEN CASE okey % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                 WHEN 2 THEN 256 ELSE 512 END
+            ELSE CASE okey % 4 WHEN 0 THEN 128 WHEN 1 THEN 64
+                 WHEN 2 THEN 512 ELSE 256 END
+            END AS INT) AS oriented_h
+FROM ex
+"""
+
+
 def _q_ogr_info(spark, sf_dir):
     """ogrinfo -so -al analogue (apps/ogrinfo_lib.cpp): one-row layer
     report — GetFeatureCount + GetExtent(force) + per-field NULL and
@@ -5526,6 +5639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- golden-oracled raster/pixel queries ---
         "raster_checksums": _q_raster_checksums,
         "raster_info": _q_raster_info,
+        "image_exif": _q_image_exif,
         "ogr_info": _q_ogr_info,
         "raster_translate": _q_raster_translate,
         "raster_resample_kernels": _q_resample_kernels,
@@ -5695,6 +5809,7 @@ def oracle_sql() -> dict[str, str]:
         "layer_update": LAYER_UPDATE_ORACLE,
         "layer_symdifference": LAYER_SYMDIFF_ORACLE,
         "raster_info": RASTER_INFO_ORACLE,
+        "image_exif": IMAGE_EXIF_ORACLE,
         "ogr_info": OGR_INFO_ORACLE,
         "ogr_sql_text": OGR_SQL_TEXT_ORACLE,
         "ogr_sql_union_text": OGR_SQL_UNION_ORACLE,
