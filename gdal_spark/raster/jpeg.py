@@ -956,13 +956,22 @@ def _ac_records(win: np.ndarray, win16: np.ndarray, lut: np.ndarray) -> array:
     return out
 
 
-def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
-    """Decode baseline JFIF bytes → uint8 (h, w) or (h, w, 3).
+def decode(
+    buf: bytes, raw_components: bool = False, cmyk_to_rgb: bool = True
+) -> np.ndarray:
+    """Decode baseline JFIF bytes → uint8 (h, w) or (h, w, 3|4).
 
     ``raw_components=True`` skips the YCbCr→RGB inversion and returns
     the decoded component planes as-is — required for JPEG-in-TIFF
     payloads tagged PHOTOMETRIC_RGB, whose three components are
-    untransformed R,G,B."""
+    untransformed R,G,B.
+
+    4-component (CMYK/YCCK) files follow the reference's JPEG driver
+    (frmts/jpeg/jpgdataset.cpp:3582-3615 + 1808-1840): the Adobe APP14
+    transform byte picks CMYK (0) or YCCK (2, YCbCr-inverted then
+    complemented, libjpeg ``ycck_cmyk_convert``); with ``cmyk_to_rgb``
+    (the GDAL_JPEG_TO_RGB=YES default) the result collapses to RGB via
+    ``R = C*K/255`` integer math, else the 4 CMYK bands return as-is."""
     buf = bytes(buf)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -972,6 +981,7 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
     h_img = w_img = None
     dri = 0
     scan_comps = None
+    adobe_transform = None  # APP14 color-transform byte (None = no APP14)
     pos = 2
     scan_start = None
     progressive = False
@@ -1022,6 +1032,8 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
                 o += 17 + nv
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
@@ -1069,7 +1081,8 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
         raise ValueError("missing SOF/SOS")
     if progressive:
         return _decode_progressive(
-            comps, h_img, w_img, qtabs, prog_scans, raw_components
+            comps, h_img, w_img, qtabs, prog_scans, raw_components,
+            adobe_transform=adobe_transform, cmyk_to_rgb=cmyk_to_rgb,
         )
     segs = base_segs
 
@@ -1161,7 +1174,8 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
                 raise ValueError("truncated JPEG scan")
             mcu_idx = end_mcu
         return _finish_decode(
-            coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components
+            coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components,
+            adobe_transform=adobe_transform, cmyk_to_rgb=cmyk_to_rgb,
         )
 
     # flat coefficient accumulators (bulk numpy scatter afterwards beats
@@ -1240,7 +1254,10 @@ def decode(buf: bytes, raw_components: bool = False) -> np.ndarray:
         flat[np.asarray(out_pos[ci], dtype=np.int64)] = np.asarray(
             out_val[ci], dtype=np.int32
         )
-    return _finish_decode(coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components)
+    return _finish_decode(
+        coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components,
+        adobe_transform=adobe_transform, cmyk_to_rgb=cmyk_to_rgb,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1362,7 +1379,10 @@ def _prog_block_ac_refine(br, aclut, blk, ss, se, al, eobrun):
     return eobrun
 
 
-def _decode_progressive(comps, h_img, w_img, qtabs, scans, raw_components):
+def _decode_progressive(
+    comps, h_img, w_img, qtabs, scans, raw_components,
+    adobe_transform=None, cmyk_to_rgb=True,
+):
     """Accumulate coefficients over all scans, then share the baseline
     finish (dequant → IDCT → upsample → color).
 
@@ -1469,7 +1489,8 @@ def _decode_progressive(comps, h_img, w_img, qtabs, scans, raw_components):
             unit = end
     coef = [np.asarray(c, dtype=np.int32) for c in coef_l]
     return _finish_decode(
-        coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components
+        coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components,
+        adobe_transform=adobe_transform, cmyk_to_rgb=cmyk_to_rgb,
     )
 
 
@@ -1487,7 +1508,10 @@ def _mm8_seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return out
 
 
-def _finish_decode(coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components):
+def _finish_decode(
+    coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components,
+    adobe_transform=None, cmyk_to_rgb=True,
+):
     """Coefficients → pixels: dequantize, IDCT, upsample, color
     transform (shared by the native and fallback entropy walks; the
     IDCT + color stages themselves also go native when available)."""
@@ -1552,4 +1576,26 @@ def _finish_decode(coef, comps, qtabs, mcux, mcuy, h_img, w_img, raw_components)
         return np.stack(
             [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in full], axis=-1
         )
+    if len(full) == 4:
+        # CMYK / YCCK per the Adobe APP14 transform byte
+        # (jpgdataset.cpp:3582-3615; libjpeg jdcolor ycck_cmyk_convert)
+        if adobe_transform == 2:  # YCCK: invert YCbCr, complement
+            y, cb, cr = full[0], full[1], full[2]
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            c = 255.0 - np.clip(np.round(r), 0, 255)
+            m = 255.0 - np.clip(np.round(g), 0, 255)
+            ye = 255.0 - np.clip(np.round(b), 0, 255)
+            k = np.clip(np.round(full[3]), 0, 255)
+        else:  # transform 0 / absent: stored CMYK (Adobe-inverted ink)
+            c, m, ye, k = (np.clip(np.round(p), 0, 255) for p in full)
+        cmyk = np.stack([c, m, ye, k], axis=-1).astype(np.uint8)
+        if not cmyk_to_rgb:  # GDAL_JPEG_TO_RGB=NO: expose the 4 bands
+            return cmyk
+        # GDAL's RGB collapse (jpgdataset.cpp:1808-1840): R = C*K/255
+        i32 = cmyk.astype(np.int32)
+        return (
+            (i32[..., :3] * i32[..., 3:4]) // 255
+        ).astype(np.uint8)
     return ycbcr_to_rgb(full[0], full[1], full[2])

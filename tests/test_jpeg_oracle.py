@@ -167,3 +167,105 @@ def test_our_decoder_reads_real_libjpeg_baseline(shim):
         ours = jpeg.decode(buf)
         theirs = _lj_decode(shim, buf)
         _close(theirs, ours, name, chroma_subsampled=True)
+
+
+# ---------------------------------------------------------------------------
+# CMYK / YCCK (frmts/jpeg/jpgdataset.cpp:3582-3615 + 1808-1840)
+
+_CMYK_FIXTURE = "/root/reference/autotest/gdrivers/data/jpeg/rgb_ntf_cmyk.jpg"
+
+
+def _lj_encode_cmyk(lib, arr: np.ndarray, quality: int, ycck: bool) -> bytes:
+    """4-component encode; mode 2 writes YCCK (Adobe transform 2)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    ln = ctypes.c_ulong()
+    rc = lib.jshim_encode(
+        arr.ctypes.data_as(ctypes.c_char_p), w, h, 4, quality,
+        2 if ycck else 0,
+        ctypes.byref(out), ctypes.byref(ln),
+    )
+    assert rc == 0
+    try:
+        return ctypes.string_at(out, ln.value)
+    finally:
+        lib.jshim_free(out)
+
+
+def _cmyk_smooth():
+    yy, xx = np.mgrid[0:64, 0:96]
+    return np.stack(
+        [yy * 255 // 64, xx * 255 // 96, (yy + xx) * 255 // 160,
+         255 - yy * 200 // 64],
+        -1,
+    ).astype(np.uint8)
+
+
+def test_cmyk_collapse_matches_gdal_checksums(shim):
+    """GDAL's autotest pins band checksums 20385/20865/19441 for
+    rgb_ntf_cmyk.jpg read as RGB (autotest/gdrivers/jpeg.py::
+    test_jpeg_8).  Applying our R=C*K/255 collapse to the REAL
+    libjpeg's CMYK output must reproduce them exactly — pinning the
+    collapse math itself; our own decode then differs only by IDCT
+    rounding."""
+    import os as _os
+
+    from gdal_spark.raster.checksum import checksum_bands
+
+    if not _os.path.exists(_CMYK_FIXTURE):
+        pytest.skip("reference autotest data not present")
+    data = open(_CMYK_FIXTURE, "rb").read()
+    theirs = _lj_decode(shim, data)
+    assert theirs.shape == (50, 50, 4)
+    i32 = theirs.astype(np.int32)
+    rgb = ((i32[..., :3] * i32[..., 3:4]) // 255).astype(np.uint8)
+    assert checksum_bands(rgb) == [20385, 20865, 19441]
+    # CMYK-as-is view pinned too (autotest test_jpeg_9, first 2 bands)
+    cs4 = checksum_bands(theirs)
+    assert cs4[0] == 21187 and cs4[1] == 21054
+    # our full path: same collapse on planes within IDCT rounding
+    ours = jpeg.decode(data)
+    assert ours.shape == (50, 50, 3)
+    d = np.abs(ours.astype(int) - rgb.astype(int))
+    assert d.max() <= 2 and d.mean() < 0.1
+    ours4 = jpeg.decode(data, cmyk_to_rgb=False)
+    assert ours4.shape == (50, 50, 4)
+    assert np.abs(ours4.astype(int) - theirs.astype(int)).max() <= 1
+
+
+def test_our_decoder_reads_libjpeg_cmyk(shim):
+    """Adobe transform 0: stored CMYK planes pass through."""
+    arr = _cmyk_smooth()
+    buf = _lj_encode_cmyk(shim, arr, 92, ycck=False)
+    i = buf.find(b"Adobe")
+    assert i >= 0 and buf[i + 11] == 0
+    ours = jpeg.decode(buf, cmyk_to_rgb=False)
+    theirs = _lj_decode(shim, buf)
+    assert ours.shape == theirs.shape == arr.shape
+    d = np.abs(ours.astype(int) - theirs.astype(int))
+    assert d.max() <= 2 and d.mean() < 0.1
+
+
+def test_our_decoder_reads_libjpeg_ycck(shim):
+    """Adobe transform 2: YCbCr-inverted-then-complemented planes
+    (libjpeg ycck_cmyk_convert) with K untouched; smooth content keeps
+    the replicate-vs-fancy chroma upsampling difference to a few
+    codes."""
+    arr = _cmyk_smooth()
+    buf = _lj_encode_cmyk(shim, arr, 92, ycck=True)
+    i = buf.find(b"Adobe")
+    assert i >= 0 and buf[i + 11] == 2
+    ours = jpeg.decode(buf, cmyk_to_rgb=False)
+    theirs = _lj_decode(shim, buf)
+    assert ours.shape == theirs.shape == arr.shape
+    d = np.abs(ours.astype(int) - theirs.astype(int))
+    assert d.max() <= 8 and d.mean() < 1.2
+    # K plane is never chroma-subsampled: exact to IDCT rounding
+    assert d[..., 3].max() <= 1
+    # and the RGB collapse agrees with collapsing libjpeg's planes
+    t32 = theirs.astype(np.int32)
+    rgb_ref = ((t32[..., :3] * t32[..., 3:4]) // 255).astype(np.uint8)
+    rgb_ours = jpeg.decode(buf)
+    dd = np.abs(rgb_ours.astype(int) - rgb_ref.astype(int))
+    assert dd.max() <= 8 and dd.mean() < 1.2

@@ -74,8 +74,16 @@ int jshim_encode(const unsigned char *pix, int w, int h, int ncomp,
     cinfo.image_width = w;
     cinfo.image_height = h;
     cinfo.input_components = ncomp;
-    cinfo.in_color_space = ncomp == 3 ? JCS_RGB : JCS_GRAYSCALE;
+    cinfo.in_color_space = ncomp == 4   ? JCS_CMYK
+                           : ncomp == 3 ? JCS_RGB
+                                        : JCS_GRAYSCALE;
     jpeg_set_defaults(&cinfo);
+    /* progressive==2: 4-comp input written as YCCK (Adobe APP14
+     * transform 2) — the wild Photoshop-CMYK variant */
+    if (ncomp == 4 && progressive == 2) {
+        jpeg_set_colorspace(&cinfo, JCS_YCCK);
+        progressive = 0;
+    }
     jpeg_set_quality(&cinfo, quality, TRUE);
     if (progressive)
         jpeg_simple_progression(&cinfo);
