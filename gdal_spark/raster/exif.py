@@ -294,6 +294,74 @@ def gps_decimal(raw: dict, which: str = "lat") -> float | None:
     return deg
 
 
+def _iter_segments(jpeg: bytes):
+    """Yield (marker, payload) for every header segment before SOS."""
+    if len(jpeg) < 4 or jpeg[0:2] != b"\xff\xd8":
+        return
+    off = 2
+    while off + 4 <= len(jpeg):
+        if jpeg[off] != 0xFF:
+            break
+        marker = jpeg[off + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            off += 2
+            continue
+        if marker == 0xDA:
+            break
+        (seglen,) = struct.unpack_from(">H", jpeg, off + 2)
+        yield marker, jpeg[off + 4:off + 2 + seglen]
+        off += 2 + seglen
+
+
+_XMP_SIG = b"http://ns.adobe.com/xap/1.0/\x00"
+
+
+def parse_xmp(jpeg: bytes) -> str | None:
+    """XMP packet from the APP1 chunk GDAL surfaces as the ``xml:XMP``
+    metadata domain (jpgdataset.cpp:450 ReadXMPMetadata; XMP spec
+    part 3 §2.1.3: APP1 + null-terminated namespace signature)."""
+    for marker, seg in _iter_segments(jpeg):
+        if marker == 0xE1 and seg.startswith(_XMP_SIG):
+            return seg[len(_XMP_SIG):].decode("utf-8", "replace")
+    return None
+
+
+def parse_icc_profile(jpeg: bytes) -> bytes | None:
+    """Concatenated ICC profile from APP2 ``ICC_PROFILE\\0`` chunks
+    (jpgdataset.cpp:1358 ReadICCProfile — GDAL base64s this into
+    ``SOURCE_ICC_PROFILE`` of the COLOR_PROFILE domain): each chunk
+    carries (id, max_id) bytes; reassemble in id order, reject
+    inconsistent max ids / duplicates / gaps like the reference."""
+    chunks: dict[int, bytes] = {}
+    max_id = None
+    for marker, seg in _iter_segments(jpeg):
+        if marker != 0xE2 or not seg.startswith(b"ICC_PROFILE\x00"):
+            continue
+        if len(seg) < 14:
+            return None
+        cid, cmax = seg[12], seg[13]
+        if max_id is None:
+            max_id = cmax
+        if cmax != max_id or cid == 0 or cid > max_id or cid in chunks:
+            return None  # inconsistent chunk set, like the reference
+        chunks[cid] = seg[14:]
+    if max_id is None or len(chunks) != max_id:
+        return None
+    return b"".join(chunks[i] for i in range(1, max_id + 1))
+
+
+def build_icc_app2(profile: bytes, chunk_size: int = 65519 - 14) -> list[bytes]:
+    """Split a profile into spec-shaped APP2 segments (marker bytes
+    included) for the write side."""
+    n = max(1, -(-len(profile) // chunk_size))
+    segs = []
+    for i in range(n):
+        part = profile[i * chunk_size:(i + 1) * chunk_size]
+        payload = b"ICC_PROFILE\x00" + bytes([i + 1, n]) + part
+        segs.append(b"\xff\xe2" + struct.pack(">H", len(payload) + 2) + payload)
+    return segs
+
+
 # ---------------------------------------------------------------------------
 # orientation (EXIF 2.3 §4.6.4.A; jpgdataset.cpp APPLY_ORIENTATION)
 

@@ -143,3 +143,50 @@ def test_oriented_size_and_involutions():
     assert np.array_equal(
         E.apply_exif_orientation(E.apply_exif_orientation(arr, 6), 8), arr
     )
+
+
+def test_corrupt_exif_vophead():
+    """autotest/gdrivers/jpeg.py::test_jpeg_6: vophead.jpg carries a
+    corrupt EXIF directory (entry count 65499) that must be skipped,
+    leaving exactly {'EXIF_Software': 'IrfanView'} — the reference's
+    unlikely-entry-count guard (gcore/gdalexif.cpp:529)."""
+    md = E.parse_exif(_ref("vophead.jpg"))
+    assert md == {"EXIF_Software": "IrfanView"}
+
+
+def test_xmp_fixture():
+    """ReadXMPMetadata (jpgdataset.cpp:450): the xml:XMP domain of
+    byte_with_xmp.jpg is a valid xpacket."""
+    x = E.parse_xmp(_ref("byte_with_xmp.jpg"))
+    assert x is not None and x.startswith("<?xpacket begin=")
+    assert "<x:xmpmeta" in x and x.rstrip().endswith("?>")
+    # files without XMP return None
+    assert E.parse_xmp(_ref("albania.jpg")) is None
+
+
+def test_icc_profile_fixture():
+    """ReadICCProfile (jpgdataset.cpp:1358): APP2 ICC_PROFILE chunks
+    of arcgis_geodataxform_gcp.jpg reassemble into a profile whose
+    ICC header size field matches the byte count."""
+    import struct
+
+    p = E.parse_icc_profile(_ref("arcgis_geodataxform_gcp.jpg"))
+    assert p is not None
+    (declared,) = struct.unpack_from(">I", p, 0)
+    assert declared == len(p) == 544
+    assert p[4:8] == b"lcms"  # CMM signature
+    assert E.parse_icc_profile(_ref("albania.jpg")) is None
+
+
+def test_icc_chunk_roundtrip_and_guards():
+    prof = bytes(range(256)) * 300  # forces a 2-chunk split
+    segs = E.build_icc_app2(prof)
+    assert len(segs) == 2
+    fake = b"\xff\xd8" + b"".join(segs) + b"\xff\xd9"
+    assert E.parse_icc_profile(fake) == prof
+    # missing chunk → None (the reference discards incomplete sets)
+    fake_missing = b"\xff\xd8" + segs[0] + b"\xff\xd9"
+    assert E.parse_icc_profile(fake_missing) is None
+    # duplicate chunk id → None
+    fake_dup = b"\xff\xd8" + segs[0] + segs[0] + b"\xff\xd9"
+    assert E.parse_icc_profile(fake_dup) is None
