@@ -290,27 +290,45 @@ def sniff_info(buf: bytes) -> tuple[str, int, int, int]:
                 return "jpeg", w, h, b[i + 9]
             i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
         raise ValueError("JPEG stream without SOF marker")
-    if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and b[12:16] == b"VP8L":
-        v = int.from_bytes(b[21:25], "little")  # 14-bit w-1, h-1, alpha
-        return "webp", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1, (
-            4 if (v >> 28) & 1 else 3
-        )
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        tag = b[12:16]
+        if tag == b"VP8L":
+            v = int.from_bytes(b[21:25], "little")  # 14-bit w-1, h-1, alpha
+            return "webp", (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1, (
+                4 if (v >> 28) & 1 else 3
+            )
+        if tag == b"VP8 ":  # lossy key frame (RFC 6386 §9.1)
+            if b[23:26] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 stream without start code")
+            w = int.from_bytes(b[26:28], "little") & 0x3FFF
+            h = int.from_bytes(b[28:30], "little") & 0x3FFF
+            return "webp", w, h, 3
+        if tag == b"VP8X":  # extended container: canvas size + flags
+            flags = b[20]
+            w = int.from_bytes(b[24:27], "little") + 1
+            h = int.from_bytes(b[27:30], "little") + 1
+            return "webp", w, h, 4 if flags & 0x10 else 3
     if b[:2] in (b"II", b"MM") and b[2:4] in (b"*\x00", b"\x00*", b"+\x00", b"\x00+"):
         en = "<" if b[:2] == b"II" else ">"
         magic = struct.unpack(en + "H", b[2:4])[0]
-        if magic == 43:
-            raise NotImplementedError("BigTIFF sniff unsupported")
-        off = struct.unpack(en + "I", b[4:8])[0]
-        n = struct.unpack(en + "H", b[off : off + 2])[0]
+        big = magic == 43
+        if big:  # BigTIFF: 8-byte offsets, 20-byte IFD entries
+            off = struct.unpack(en + "Q", b[8:16])[0]
+            n = struct.unpack(en + "Q", b[off : off + 8])[0]
+            hdr, step, voff = 8, 20, 12
+        else:
+            off = struct.unpack(en + "I", b[4:8])[0]
+            n = struct.unpack(en + "H", b[off : off + 2])[0]
+            hdr, step, voff = 2, 12, 8
         tags = {}
-        for k in range(n):
-            e = off + 2 + 12 * k
+        for k in range(int(n)):
+            e = off + hdr + step * k
             tag, typ = struct.unpack(en + "HH", b[e : e + 4])
-            if tag in (256, 257, 277) and typ in (3, 4):
-                # only SHORT/LONG-typed dims are meaningful; skip others
-                fmtc = {3: "H", 4: "I"}[typ]
+            if tag in (256, 257, 277) and typ in (3, 4, 16):
+                # only SHORT/LONG/LONG8-typed dims are meaningful
+                fmtc = {3: "H", 4: "I", 16: "Q"}[typ]
                 tags[tag] = struct.unpack(
-                    en + fmtc, b[e + 8 : e + 8 + struct.calcsize(fmtc)]
+                    en + fmtc, b[e + voff : e + voff + struct.calcsize(fmtc)]
                 )[0]
         if 256 not in tags or 257 not in tags:
             raise ValueError(

@@ -70,3 +70,41 @@ def test_layer_summary(spark):
     )
     assert (r.null_category, r.distinct_category) == (0, 2)
     assert (r.null_population, r.distinct_population) == (1, 1)
+
+
+_WEBP_REF = "/root/reference/autotest/gdrivers/data/webp"
+_GCORE_REF = "/root/reference/autotest/gcore/data"
+
+
+def _ref_bytes(path):
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("reference autotest data not present")
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def test_sniff_lossy_vp8_and_vp8x():
+    """Wild-web WebP variants: lossy VP8 key-frame header (RFC 6386
+    §9.1) and VP8X canvas size + alpha flag."""
+    d = _ref_bytes(f"{_WEBP_REF}/rgbsmall.webp")
+    assert codec.sniff_info(d) == ("webp", 50, 50, 3)
+    d = _ref_bytes(f"{_WEBP_REF}/rgbsmall_with_xmp.webp")  # VP8X wrap
+    assert codec.sniff_info(d) == ("webp", 50, 50, 3)
+
+
+@pytest.mark.parametrize(
+    "name,w,h",
+    [
+        ("bigtiff_one_block_long8.tif", 1, 1),
+        ("bigtiff_one_block_be_long8.tif", 1, 1),
+        ("bigtiff_four_strip_be_short.tif", 1, 4),
+    ],
+)
+def test_sniff_bigtiff(name, w, h):
+    """BigTIFF (magic 43): 8-byte offsets, 20-byte entries, LONG8 dims
+    — against the reference's own gcore fixtures, both endians."""
+    d = _ref_bytes(f"{_GCORE_REF}/{name}")
+    drv, sw, sh, sb = codec.sniff_info(d)
+    assert (drv, sw, sh) == ("tiff", w, h)

@@ -21,6 +21,7 @@ XMP_MATRIX = [
     ("tiff", "gtiff/byte_with_xmp.tif", True),
     ("tiff", "byte.tif", False),
     ("jpeg", "jpeg/byte_with_xmp.jpg", True),
+    ("jpeg", "jpeg/byte_with_xmp_before_soc.jpg", True),
     ("jpeg", "jpeg/rgbsmall_rgb.jpg", False),
     ("png", "png/byte_with_xmp.png", True),
     ("png", "png/test.png", False),
