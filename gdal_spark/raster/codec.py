@@ -231,6 +231,15 @@ def encode_image(arr: np.ndarray, fmt: str, compress_level: int = 6) -> bytes:
         from gdal_spark.raster import simple_formats
 
         return simple_formats.pnm_encode(arr)
+    if fmt == "gif":
+        # CreateCopy parity (frmts/gif): a single gray/palette band —
+        # gray bytes become indices into an identity gray ramp
+        from gdal_spark.raster import gif
+
+        if arr.ndim != 2:
+            raise ValueError("gif encode expects a single (palette/gray) band")
+        ramp = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        return gif.encode(arr, ramp)
     raise NotImplementedError(f"codec {fmt!r} not available in this container")
 
 
@@ -254,10 +263,14 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from gdal_spark.raster import simple_formats
 
         return simple_formats.pnm_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from gdal_spark.raster import gif
+
+        return gif.decode(b)
     if b[:8] == FAKE_MAGIC:
         return fake_lossy_decode(b)
     raise NotImplementedError(
-        f"payload is not PNG/JPEG/WebP-VP8L/GeoTIFF/fake-lossy (fmt hint {fmt!r})"
+        f"payload is not PNG/JPEG/WebP/GIF/GeoTIFF/fake-lossy (fmt hint {fmt!r})"
     )
 
 
@@ -335,6 +348,9 @@ def sniff_info(buf: bytes) -> tuple[str, int, int, int]:
                 "TIFF header missing ImageWidth/ImageLength size tags"
             )
         return "tiff", tags[256], tags[257], tags.get(277, 1)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", b, 6)
+        return "gif", w, h, 1  # one palette-indexed band, like the driver
     if b[:2] in (b"P5", b"P6") and b[2:3].isspace():
         toks, pos = [], 2
         while len(toks) < 3:

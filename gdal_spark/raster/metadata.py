@@ -264,6 +264,10 @@ def image_xmp(buf: bytes, fmt: str) -> str | None:
         return webp_xmp(bytes(buf))
     if f in ("tif", "tiff", "gtiff", "cog"):
         return tiff_xmp(bytes(buf))
+    if f == "gif":
+        from gdal_spark.raster.gif import gif_xmp
+
+        return gif_xmp(bytes(buf))
     return None
 
 

@@ -27,6 +27,8 @@ XMP_MATRIX = [
     ("png", "png/test.png", False),
     ("webp", "webp/rgbsmall_with_xmp.webp", True),
     ("webp", "webp/rgbsmall.webp", False),
+    ("gif", "gif/byte_with_xmp.gif", True),
+    ("gif", "gif/fakebig.gif", False),
 ]
 
 
