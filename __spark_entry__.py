@@ -5278,6 +5278,75 @@ FROM (
 GROUP BY o_orderkey
 """
 
+def _q_gif_roundtrip(spark, sf_dir):
+    """GIF 87a/89a codec (frmts/gif/, giflib path; decode pinned on
+    the autotest's bug407.gif checksum 57921 in tests/test_gif.py):
+    per sampled order a closed-form 24×32 index grid v=(5r+11c+okey)%16
+    with palette red[i]=(i*37)%256 encodes (interlaced when okey%2=1,
+    transparent index okey%16) and decodes back inside Arrow batches;
+    stats over the decoded indices AND the palette-expanded red plane
+    prove LZW, interlace, palette, and transparency all survived. The
+    oracle regenerates both formulas in SQL."""
+    import pandas as _pd
+
+    from gdal_spark.raster import gif as GIF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 100").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(24), _np.arange(32), indexing="ij")
+        pal = _np.stack(
+            [(_np.arange(16) * 37) % 256,
+             (_np.arange(16) * 59) % 256,
+             (_np.arange(16) * 83) % 256], axis=1
+        ).astype(_np.uint8)
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                idx = ((5 * r + 11 * c + okey) % 16).astype(_np.uint8)
+                buf = GIF.encode(
+                    idx, pal, transparent=okey % 16,
+                    interlace=bool(okey % 2),
+                )
+                g = GIF.decode_indices(buf)
+                rgba = GIF.decode(buf)
+                outs.append((
+                    okey, int(g.index.min()), int(g.index.max()),
+                    float(g.index.sum()), int(g.transparent),
+                    float(rgba[..., 0].astype(_np.int64).sum()),
+                    float((rgba[..., 3] == 0).sum()),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "vmin", "vmax", "vsum",
+                               "transp", "red_sum", "n_transparent"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, vmin long, vmax long, vsum double,"
+                " transp long, red_sum double, n_transparent double"),
+    )
+
+
+GIF_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax,
+       CAST(sum(v) AS DOUBLE) AS vsum,
+       CAST(o_orderkey % 16 AS BIGINT) AS transp,
+       CAST(sum((v * 37) % 256) AS DOUBLE) AS red_sum,
+       CAST(sum(CASE WHEN v = o_orderkey % 16 THEN 1 ELSE 0 END)
+            AS DOUBLE) AS n_transparent
+FROM (
+  SELECT o_orderkey, (5*r + 11*c + o_orderkey) % 16 AS v
+  FROM orders, generate_series(0, 23) s1(r), generate_series(0, 31) s2(c)
+  WHERE o_orderkey % 200 = 100
+)
+GROUP BY o_orderkey
+"""
+
+
 _ENVI_SHAPE = (3, 40, 50)
 _ENVI_WIN = (1, 4, 28, 7, 43)  # band, row0, row1, col0, col1
 
@@ -5764,6 +5833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_bbox_read": _q_fgb_bbox_read,
         "csv_wkt_roundtrip": _q_csv_wkt_roundtrip,
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
+        "gif_roundtrip": _q_gif_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -5885,6 +5955,7 @@ def oracle_sql() -> dict[str, str]:
         "fgb_bbox_read": FGB_BBOX_ORACLE,
         "csv_wkt_roundtrip": CSV_WKT_ORACLE,
         "aaigrid_roundtrip": AAIGRID_ORACLE,
+        "gif_roundtrip": GIF_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
