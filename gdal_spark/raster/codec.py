@@ -80,33 +80,12 @@ def _paeth(a, b, c):
     return b if pb <= pc else c
 
 
-def png_decode(buf: bytes) -> np.ndarray:
-    if buf[:8] != PNG_SIG:
-        raise ValueError("not a PNG")
-    off = 8
-    w = h = bit_depth = color_type = None
-    idat = []
-    while off < len(buf):
-        (ln,) = struct.unpack_from(">I", buf, off)
-        tag = buf[off + 4 : off + 8]
-        data = buf[off + 8 : off + 8 + ln]
-        off += 12 + ln
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", data)
-            if bit_depth != 8 or interlace != 0:
-                raise ValueError("only 8-bit non-interlaced PNG supported")
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    bpp = channels
-    # reshape the filtered stream once: column 0 = filter type/row
-    mat = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(
-        h, 1 + stride
-    )
+def _png_unfilter(mat: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one filtered (sub-)image: ``mat`` is (rows,
+    1+stride) with the filter byte in column 0; ``bpp`` is the filter
+    pixel width in BYTES (PNG §9: max(1, channels*depth/8))."""
+    h, stride = mat.shape[0], mat.shape[1] - 1
+    w = stride // bpp
     fts = mat[:, 0]
     lines = mat[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -169,9 +148,136 @@ def png_decode(buf: bytes) -> np.ndarray:
             row += 1
         else:
             raise ValueError(f"bad PNG filter {ft}")
-    if channels == 1:
-        return out.reshape(h, w)
-    return out.reshape(h, w, channels)
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per PNG §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _bytes_to_samples(rows: np.ndarray, w: int, channels: int, depth: int):
+    """(rows, stride_bytes) uint8 → (rows, w, channels) samples."""
+    n = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(n, w, channels)
+    if depth == 16:
+        arr = rows[:, : w * channels * 2].reshape(n, -1).copy()
+        u16 = arr.view(">u2").astype(np.uint16)
+        return u16.reshape(n, w, channels)
+    # 1/2/4-bit packed, MSB first (PNG §7.2); channels is always 1 here
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    vals = bits.reshape(n, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.uint16).astype(
+        np.uint8
+    ).reshape(n, w, 1)
+
+
+def png_decode_full(buf: bytes):
+    """Full-spec PNG decode → (samples, info): every bit depth
+    (1/2/4/8/16), every color type (gray, RGB, palette, gray+alpha,
+    RGBA), Adam7 interlace, tRNS — the wild-web matrix the reference
+    reads via libpng (frmts/png/pngdataset.cpp). ``samples`` keeps the
+    stored values (palette indices stay indices — GDAL's 1-band +
+    colortable view); ``info`` carries palette/trns/depth/color_type.
+    Pinned on the autotest's uint16_interlaced.png checksum 4672 and
+    the stefan_full_rgba twin-fixture cross-check."""
+    if bytes(buf[:8]) != PNG_SIG:
+        raise ValueError("not a PNG")
+    buf = bytes(buf)
+    off = 8
+    w = h = depth = color_type = interlace = None
+    palette = None
+    trns = None
+    idat = []
+    while off < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, off)
+        tag = buf[off + 4 : off + 8]
+        data = buf[off + 8 : off + 8 + ln]
+        off += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("bad PNG compression/filter method")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).copy()
+        elif tag == b"tRNS":
+            trns = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, channels * depth // 8)
+
+    def stride_of(width):
+        return (width * channels * depth + 7) // 8
+
+    raw = zlib.decompress(b"".join(idat))
+    samples = np.zeros(
+        (h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8
+    )
+    if interlace == 0:
+        stride = stride_of(w)
+        mat = np.frombuffer(
+            raw, dtype=np.uint8, count=h * (1 + stride)
+        ).reshape(h, 1 + stride)
+        samples[:] = _bytes_to_samples(_png_unfilter(mat, bpp), w, channels, depth)
+    elif interlace == 1:
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = stride_of(pw)
+            need = ph * (1 + stride)
+            mat = np.frombuffer(
+                raw, dtype=np.uint8, count=need, offset=pos
+            ).reshape(ph, 1 + stride)
+            pos += need
+            sub = _bytes_to_samples(_png_unfilter(mat, bpp), pw, channels, depth)
+            samples[y0::dy, x0::dx] = sub
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    info = {
+        "depth": depth,
+        "color_type": color_type,
+        "palette": palette,
+        "trns": trns,
+        "w": w,
+        "h": h,
+    }
+    return samples, info
+
+
+def png_decode(buf: bytes) -> np.ndarray:
+    """Pixel view: palette expands to RGB(A via tRNS); gray/RGB come
+    back in their stored dtype; single-channel squeezes to (h, w)."""
+    samples, info = png_decode_full(buf)
+    ct = info["color_type"]
+    if ct == 3:
+        pal = info["palette"]
+        if pal is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = samples[..., 0]
+        rgb = pal[idx]
+        if info["trns"]:
+            alpha = np.full(256, 255, dtype=np.uint8)
+            t = np.frombuffer(info["trns"], dtype=np.uint8)
+            alpha[: len(t)] = t
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if samples.shape[2] == 1:
+        return samples[..., 0]
+    return samples
 
 
 # ---------------------------------------------------------------------------
