@@ -53,7 +53,10 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 
 
 def png_encode(arr: np.ndarray, compress_level: int = 6) -> bytes:
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    depth = 16 if arr.dtype == np.uint16 else 8
+    arr = np.ascontiguousarray(
+        arr, dtype=np.uint16 if depth == 16 else np.uint8
+    )
     if arr.ndim == 2:
         color_type, channels = 0, 1
     elif arr.ndim == 3 and arr.shape[2] == 3:
@@ -63,10 +66,13 @@ def png_encode(arr: np.ndarray, compress_level: int = 6) -> bytes:
     else:
         raise ValueError(f"unsupported array shape {arr.shape}")
     h, w = arr.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = arr.reshape(h, w * channels)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    if depth == 16:  # network byte order samples (PNG §7.1)
+        raw = arr.reshape(h, w * channels).astype(">u2").view(np.uint8)
+    else:
+        raw = arr.reshape(h, w * channels)
     # filter byte 0 per scanline
-    scan = np.zeros((h, 1 + w * channels), dtype=np.uint8)
+    scan = np.zeros((h, 1 + raw.shape[1]), dtype=np.uint8)
     scan[:, 1:] = raw
     idat = zlib.compress(scan.tobytes(), compress_level)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
@@ -373,6 +379,10 @@ def decode_image(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from gdal_spark.raster import gif
 
         return gif.decode(b)
+    if b[:2] == b"BM" and len(b) > 18:
+        from gdal_spark.raster import bmp
+
+        return bmp.decode(b)
     if b[:8] == FAKE_MAGIC:
         return fake_lossy_decode(b)
     raise NotImplementedError(
@@ -457,6 +467,10 @@ def sniff_info(buf: bytes) -> tuple[str, int, int, int]:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", b, 6)
         return "gif", w, h, 1  # one palette-indexed band, like the driver
+    if b[:2] == b"BM" and len(b) >= 30:
+        w, h = struct.unpack_from("<ii", b, 18)
+        (bits,) = struct.unpack_from("<H", b, 28)
+        return "bmp", w, abs(h), (1 if bits <= 8 else bits // 8)
     if b[:2] in (b"P5", b"P6") and b[2:3].isspace():
         toks, pos = [], 2
         while len(toks) < 3:
