@@ -5347,6 +5347,64 @@ GROUP BY o_orderkey
 """
 
 
+def _q_bmp_roundtrip(spark, sf_dir):
+    """BMP codec (frmts/bmp/bmpdataset.cpp; decode pinned on all six
+    published autotest checksums in tests/test_bmp.py): per sampled
+    order a closed-form 20×28 index grid v=(7r+13c+okey)%256 with
+    palette green[i]=(i*53)%256 writes an 8-bit palette BMP and reads
+    it back inside Arrow batches; index stats plus the palette-expanded
+    green plane regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import bmp as BMP
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 50").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(20), _np.arange(28), indexing="ij")
+        pal = _np.stack(
+            [(_np.arange(256) * 29) % 256,
+             (_np.arange(256) * 53) % 256,
+             (_np.arange(256) * 71) % 256], axis=1
+        ).astype(_np.uint8)
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                idx = ((7 * r + 13 * c + okey) % 256).astype(_np.uint8)
+                g = BMP.decode_full(BMP.encode(idx, pal))
+                rgb = g.palette[g.index]
+                outs.append((
+                    okey, int(g.index.min()), int(g.index.max()),
+                    float(g.index.sum()),
+                    float(rgb[..., 1].astype(_np.int64).sum()),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "vmin", "vmax", "vsum", "green_sum"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, vmin long, vmax long, vsum double,"
+                " green_sum double"),
+    )
+
+
+BMP_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax,
+       CAST(sum(v) AS DOUBLE) AS vsum,
+       CAST(sum((v * 53) % 256) AS DOUBLE) AS green_sum
+FROM (
+  SELECT o_orderkey, (7*r + 13*c + o_orderkey) % 256 AS v
+  FROM orders, generate_series(0, 19) s1(r), generate_series(0, 27) s2(c)
+  WHERE o_orderkey % 200 = 50
+)
+GROUP BY o_orderkey
+"""
+
+
 _ENVI_SHAPE = (3, 40, 50)
 _ENVI_WIN = (1, 4, 28, 7, 43)  # band, row0, row1, col0, col1
 
@@ -5834,6 +5892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_wkt_roundtrip": _q_csv_wkt_roundtrip,
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "gif_roundtrip": _q_gif_roundtrip,
+        "bmp_roundtrip": _q_bmp_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -5956,6 +6015,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_wkt_roundtrip": CSV_WKT_ORACLE,
         "aaigrid_roundtrip": AAIGRID_ORACLE,
         "gif_roundtrip": GIF_ORACLE,
+        "bmp_roundtrip": BMP_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,

@@ -67,18 +67,28 @@ def translate(
     bands: list[int] | None = None,
     resampling: str = "near",
     out_fmt: str = "png",
+    apply_orientation: bool = False,
 ) -> DataFrame:
     """gdal_translate as a DataFrame op: -srcwin / -outsize / -scale /
     -b band select / -r resampling, re-encoding to ``out_fmt``.
+    ``apply_orientation`` mirrors the JPEG driver's APPLY_ORIENTATION
+    open option (frmts/jpeg/jpgdataset.cpp:3190): EXIF-rotated inputs
+    are normalized to orientation 1 before any windowing.
     Returns image_id, bytes, w, h, fmt (+ passthrough caption)."""
     _ensure_batch(images)
     schema = "image_id string, bytes binary, w int, h int, fmt string, caption string"
 
     def run(it):
+        from gdal_spark.raster import exif as _exif
+
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
                 arr = codec.decode_image(r.bytes, r.fmt)
+                if apply_orientation and r.fmt in ("jpeg", "jpg"):
+                    md = _exif.parse_exif(bytes(r.bytes))
+                    o = int(md.get("EXIF_Orientation", "1"))
+                    arr = _exif.apply_exif_orientation(arr, o)
                 if srcwin:
                     x, y, ww, hh = srcwin
                     arr = arr[y : y + hh, x : x + ww]

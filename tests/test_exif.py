@@ -190,3 +190,30 @@ def test_icc_chunk_roundtrip_and_guards():
     # duplicate chunk id → None
     fake_dup = b"\xff\xd8" + segs[0] + segs[0] + b"\xff\xd9"
     assert E.parse_icc_profile(fake_dup) is None
+
+
+def test_translate_apply_orientation(spark):
+    """translate(apply_orientation=True) mirrors APPLY_ORIENTATION:
+    the autotest F-fixtures all normalize to the same 3x5 'F'."""
+    import pandas as pd
+
+    from gdal_spark.raster.pipeline import translate
+
+    rows = []
+    for o in range(1, 9):
+        rows.append(("F%d" % o, _ref(f"exif_orientation/F{o}.jpg"),
+                     3, 5, "jpeg", None))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "image_id", "bytes", "w", "h", "fmt", "caption"]),
+        schema="image_id string, bytes binary, w int, h int,"
+               " fmt string, caption string",
+    )
+    out = translate(df, out_fmt="png", apply_orientation=True).collect()
+    assert len(out) == 8
+    want = [1, 1, 1, 1, 0, 0, 1, 1, 0, 1, 0, 0, 1, 0, 0]
+    for r in out:
+        assert (r.w, r.h) == (3, 5), r.image_id
+        a = codec.decode_image(bytes(r.bytes), "png")
+        band = a[..., 0] if a.ndim == 3 else a
+        assert [1 if v else 0 for v in band.flatten()] == want, r.image_id
