@@ -453,8 +453,12 @@ def sniff_info(buf: bytes) -> tuple[str, int, int, int]:
         for k in range(int(n)):
             e = off + hdr + step * k
             tag, typ = struct.unpack(en + "HH", b[e : e + 4])
-            if tag in (256, 257, 277) and typ in (3, 4, 16):
-                # only SHORT/LONG/LONG8-typed dims are meaningful
+            # SHORT/LONG always; LONG8 only where the 8-byte value
+            # field exists (BigTIFF) — in classic TIFF it would read
+            # past the 4-byte offset slot into the next entry
+            if tag in (256, 257, 277) and (
+                typ in (3, 4) or (big and typ == 16)
+            ):
                 fmtc = {3: "H", 4: "I", 16: "Q"}[typ]
                 tags[tag] = struct.unpack(
                     en + fmtc, b[e + voff : e + voff + struct.calcsize(fmtc)]

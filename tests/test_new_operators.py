@@ -809,7 +809,7 @@ def test_sniff_tiff_robustness():
     with pytest.raises(ValueError, match="size tags"):
         codec.sniff_info(buf2)
 
-    # BigTIFF magic 43
-    big = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16) + b"\0" * 16
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
+    # BigTIFF magic 43 now parses (r5): empty IFD → missing size tags
+    big = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16) + struct.pack("<Q", 0)
+    with pytest.raises(ValueError, match="size tags"):
         codec.sniff_info(big)
