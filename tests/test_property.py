@@ -118,3 +118,88 @@ def test_mvt_linestring_commands_roundtrip(pts):
         mvt.encode_geometry([arr], mvt.LINESTRING), mvt.LINESTRING
     )
     assert np.array_equal(back[0], arr)
+
+
+# ---------------------------------------------------------------------------
+# round-5 codecs: GIF LZW, BMP RLE-free paths, EXIF build/parse
+
+
+@given(
+    st.integers(2, 40), st.integers(2, 40), st.integers(1, 8),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_lzw_roundtrip(w, h, nbits_pal, seed):
+    """Any index grid over any palette size survives GIF encode →
+    decode exactly (LZW width growth, dictionary reset, interlace
+    off)."""
+    from gdal_spark.raster import gif
+
+    rng = np.random.default_rng(seed)
+    n = 1 << max(1, min(nbits_pal, 8))
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    g = gif.decode_indices(gif.encode(idx, pal))
+    assert np.array_equal(g.index, idx)
+    assert np.array_equal(g.palette[:n], pal)
+
+
+@given(st.integers(1, 50), st.integers(1, 50), st.integers(0, 2**32 - 1),
+       st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed, rgb):
+    from gdal_spark.raster import bmp
+
+    rng = np.random.default_rng(seed)
+    if rgb:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(bmp.decode(bmp.encode(arr)), arr)
+    else:
+        idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        g = bmp.decode_full(bmp.encode(idx))
+        assert np.array_equal(g.index, idx)
+
+
+@given(
+    st.integers(1, 8),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0, max_size=40,
+    ),
+    st.integers(1, 10**6), st.integers(1, 10**6),
+)
+@settings(max_examples=30, deadline=None)
+def test_exif_build_parse_property(orientation, make, num, den):
+    """Arbitrary ASCII/short/rational tags survive the APP1 build →
+    parse loop with GDAL string formatting."""
+    from gdal_spark.raster import exif as E
+
+    md = {
+        "EXIF_Make": make,
+        "EXIF_Orientation": orientation,
+        "EXIF_ExposureTime": (num, den),
+    }
+    jpeg = b"\xff\xd8" + E.build_exif_app1(md) + b"\xff\xd9"
+    out = E.parse_exif(jpeg)
+    assert out["EXIF_Orientation"] == str(orientation)
+    # EXIFPrintData strips trailing spaces/NULs from ASCII
+    assert out["EXIF_Make"] == make.rstrip(" ")
+    assert out["EXIF_ExposureTime"] == "(%g)" % (num / den)
+    raw = E.parse_exif_raw(jpeg)
+    assert raw["EXIF_ExposureTime"][1][0] == (num, den)
+
+
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1),
+       st.sampled_from([1, 2, 4]))
+@settings(max_examples=25, deadline=None)
+def test_png_low_depth_property(w, h, seed, depth):
+    """Hand-packed low-depth PNGs decode to the exact sample grid for
+    every width (row-end bit padding)."""
+    from tests.test_png_full import _build_png
+
+    from gdal_spark.raster import codec
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << depth, (h, w))
+    a = codec.png_decode(_build_png(w, h, depth, 0, vals))
+    assert np.array_equal(a, vals.astype(np.uint8))
