@@ -5405,6 +5405,73 @@ GROUP BY o_orderkey
 """
 
 
+def _q_tiff_codec_matrix(spark, sf_dir):
+    """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
+    codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
+    tif_webp.c, tif_lzw.c writer with early-change; both directions
+    pinned against the system libtiff in tests/test_tiff_codecs.py and
+    on the autotest byte_ZSTD/byte_LZMA fixtures at checksum 4672):
+    per sampled order a closed-form 24x32 RGB grid encodes as a tiled
+    GeoTIFF with the compression chosen by
+    okey%5, decodes back inside Arrow batches, and per-channel stats
+    plus the compression code actually read from the IFD regenerate
+    closed-form in DuckDB.  All four codecs are lossless, so the
+    roundtrip is exact."""
+    import pandas as _pd
+
+    from gdal_spark.raster import tiff as TIFF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 150").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    comps = ["lzma", "zstd", "webp", "deflate", "lzw"]
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(24), _np.arange(32), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                rgb = _np.stack([
+                    (3 * r + 5 * c + okey) % 256,
+                    (r * c + okey) % 256,
+                    (7 * r + c + 2 * okey) % 256,
+                ], axis=-1).astype(_np.uint8)
+                buf = TIFF.encode_geotiff(
+                    rgb, block=(16, 16), compression=comps[okey % 5])
+                arr, info = TIFF.decode_full(buf)
+                outs.append((
+                    okey, int(info["compression"]),
+                    float(arr[..., 0].astype(_np.int64).sum()),
+                    float(arr[..., 1].astype(_np.int64).sum()),
+                    int(arr[..., 2].min()), int(arr[..., 2].max()),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "comp_code", "red_sum", "green_sum",
+                               "blue_min", "blue_max"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, comp_code long, red_sum double,"
+                " green_sum double, blue_min long, blue_max long"),
+    )
+
+
+TIFF_CODEC_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(CASE o_orderkey % 5 WHEN 0 THEN 34925 WHEN 1 THEN 50000
+            WHEN 2 THEN 50001 WHEN 3 THEN 8 ELSE 5 END AS BIGINT) AS comp_code,
+       CAST(sum((3*r + 5*c + o_orderkey) % 256) AS DOUBLE) AS red_sum,
+       CAST(sum((r*c + o_orderkey) % 256) AS DOUBLE) AS green_sum,
+       CAST(min((7*r + c + 2*o_orderkey) % 256) AS BIGINT) AS blue_min,
+       CAST(max((7*r + c + 2*o_orderkey) % 256) AS BIGINT) AS blue_max
+FROM orders, generate_series(0, 23) s1(r), generate_series(0, 31) s2(c)
+WHERE o_orderkey % 200 = 150
+GROUP BY o_orderkey
+"""
+
+
 _ENVI_SHAPE = (3, 40, 50)
 _ENVI_WIN = (1, 4, 28, 7, 43)  # band, row0, row1, col0, col1
 
@@ -5893,6 +5960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aaigrid_roundtrip": _q_aaigrid_roundtrip,
         "gif_roundtrip": _q_gif_roundtrip,
         "bmp_roundtrip": _q_bmp_roundtrip,
+        "tiff_codec_matrix": _q_tiff_codec_matrix,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6016,6 +6084,7 @@ def oracle_sql() -> dict[str, str]:
         "aaigrid_roundtrip": AAIGRID_ORACLE,
         "gif_roundtrip": GIF_ORACLE,
         "bmp_roundtrip": BMP_ORACLE,
+        "tiff_codec_matrix": TIFF_CODEC_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,

@@ -10,7 +10,11 @@ that the reference's own autotest suite pins with published checksums
 * strip and tile organisation, contiguous and separate
   (``PlanarConfiguration`` 1/2) planes, partial edge blocks;
 * compressions NONE(1), LZW(5, with early-change), Deflate(8/32946),
-  PackBits(32773);
+  PackBits(32773), JPEG(7, new-style with ``JPEGTables`` merge),
+  LZMA(34925, xz container per libtiff ``tif_lzma.c``), ZSTD(50000,
+  capability-probed libzstd per ``tif_zstd.c``) and WebP-in-TIFF
+  (50001, each block a complete WebP file per ``tif_webp.c``, decoded
+  by the in-repo VP8L codec);
 * predictors 1 (none), 2 (horizontal differencing, all integer widths)
   and 3 (floating-point byte-plane differencing) per
   ``frmts/libertiff/libertiffdataset.cpp`` / libtiff ``tif_predict.c``;
@@ -22,7 +26,7 @@ that the reference's own autotest suite pins with published checksums
   code, ``GDAL_NODATA`` ascii tag (42113).
 
 The encoder writes classic or BigTIFF (strips or tiles, NONE/Deflate/
-PackBits + predictor 2), and :func:`encode_cog` writes a
+PackBits/LZMA/ZSTD/WebP + predictor 2), and :func:`encode_cog` writes a
 Cloud-Optimized-GeoTIFF-structured file: all IFDs (full resolution +
 2x-average internal overviews, ``gcore/overview.cpp:1199``) at the head
 of the file, tile payloads after every header byte, overview payloads
@@ -33,13 +37,17 @@ Everything is tested against GDAL-produced binary fixtures with
 GDAL-published expected checksums (see ``tests/test_tiff.py``) — an
 oracle fully independent of this repo's kernels.
 
-Compressions the container genuinely cannot host (JPEG-in-TIFF, ZSTD,
-LZMA, LERC, JXL, WebP-in-TIFF) raise ``NotImplementedError`` naming the
-cluster-side library, per this repo's stub policy.
+Compressions the container genuinely cannot host (LERC, JXL, the CCITT
+fax family) raise ``NotImplementedError`` naming the cluster-side
+library, per this repo's stub policy.  Both directions of every hosted
+codec are pinned against the system libtiff via ctypes in
+``tests/test_tiff_codecs.py`` (libtiff here is built with LZMA, ZSTD
+and WEBP configured — the same oracle GDAL's own autotest trusts).
 """
 
 from __future__ import annotations
 
+import lzma
 import struct
 import zlib
 
@@ -55,9 +63,7 @@ _TYPES = {
 
 _COMP_NAMES = {
     2: "CCITT RLE", 3: "CCITT G3", 4: "CCITT G4", 6: "old-JPEG",
-    34712: "JPEG2000", 34925: "LZMA (use lzma wheel on the cluster)",
-    50000: "ZSTD (use zstandard on the cluster)",
-    50001: "WebP-in-TIFF", 50002: "JXL", 34887: "LERC",
+    34712: "JPEG2000", 50002: "JXL", 34887: "LERC",
     32809: "ThunderScan", 32771: "CCITT RLEW", 34661: "JBIG",
     777: "NeXT",
 }
@@ -228,6 +234,26 @@ def _jpeg_block(data: bytes, jpegtables: bytes | None, photometric: int,
     return out.tobytes()
 
 
+def _webp_block(data: bytes, rows: int, bw: int, ch: int) -> bytes:
+    """Compression 50001 (WebP-in-TIFF, ``tif_webp.c``): each strip /
+    tile is a complete WebP file sized to the block; spp must be 3
+    (RGB) or 4 (RGBA), 8-bit.  Decodes through the in-repo VP8L codec
+    (library fallback for lossy VP8 blocks), crops any padding."""
+    from gdal_spark.raster import webp as _webp
+
+    if ch not in (3, 4):
+        raise NotImplementedError("WebP-in-TIFF requires 3 or 4 samples/pixel")
+    arr = _webp.decode(data)
+    if arr.shape[2] < ch:  # opaque RGBA block stored as RGB
+        arr = np.concatenate(
+            [arr, np.full(arr.shape[:2] + (1,), 255, np.uint8)], axis=2
+        )
+    out = np.zeros((rows, bw, ch), dtype=np.uint8)
+    ys, xs = min(rows, arr.shape[0]), min(bw, arr.shape[1])
+    out[:ys, :xs, :] = arr[:ys, :xs, :ch]
+    return out.tobytes()
+
+
 def _decompress(data: bytes, comp: int, out_len: int) -> bytes:
     if comp == 1:
         raw = data
@@ -237,6 +263,14 @@ def _decompress(data: bytes, comp: int, out_len: int) -> bytes:
         raw = _lzw(data, out_len)
     elif comp == 32773:
         raw = _packbits(data, out_len)
+    elif comp == 34925:
+        # libtiff tif_lzma.c writes an xz stream (LZMA2, CHECK_NONE);
+        # lzma.decompress auto-detects xz vs legacy .lzma containers.
+        raw = lzma.decompress(data)
+    elif comp == 50000:
+        from gdal_spark.native import zstd_lib
+
+        raw = zstd_lib.decompress(data, out_len)
     else:
         name = _COMP_NAMES.get(comp, str(comp))
         raise NotImplementedError(f"TIFF compression {name} not supported in-container")
@@ -386,6 +420,8 @@ def decode_full(buf: bytes, ifd_index: int = 0):
                     raw = _jpeg_block(
                         buf[o : o + c], jt_b, int(tags.get(262, 1)), rows, bw, ch
                     )
+                elif comp == 50001:
+                    raw = _webp_block(buf[o : o + c], rows, bw, ch)
                 else:
                     raw = _decompress(buf[o : o + c], comp, need)
                 block = np.frombuffer(raw, dtype=dt).reshape(rows, bw, ch)
@@ -432,6 +468,12 @@ class _IfdSpec:
         self.bw, self.bh = block
         self.level = level
         self.payloads = []
+        if compression == "webp":
+            # tif_webp.c constraints: 8-bit, 3/4 samples, no predictor
+            if self.dt.itemsize != 1 or self.spp not in (3, 4):
+                raise ValueError("webp compression requires uint8 RGB/RGBA")
+            if predictor != 1:
+                raise ValueError("webp compression does not support predictors")
         nbx = (self.w + self.bw - 1) // self.bw
         nby = (self.h + self.bh - 1) // self.bh
         self.nbx, self.nby = nbx, nby
@@ -453,10 +495,84 @@ class _IfdSpec:
                     self.payloads.append(raw)
                 elif compression == "packbits":
                     self.payloads.append(_packbits_encode(raw))
+                elif compression == "lzw":
+                    self.payloads.append(_lzw_encode(raw))
+                elif compression == "lzma":
+                    # libtiff tif_lzma.c container: xz stream, CHECK_NONE
+                    self.payloads.append(
+                        lzma.compress(raw, format=lzma.FORMAT_XZ,
+                                      check=lzma.CHECK_NONE, preset=6)
+                    )
+                elif compression == "zstd":
+                    from gdal_spark.native import zstd_lib
+
+                    self.payloads.append(zstd_lib.compress(raw, 9))
+                elif compression == "webp":
+                    from gdal_spark.raster import webp as _webp
+
+                    self.payloads.append(
+                        _webp.encode_lz77(tile.astype(np.uint8))
+                    )
                 else:
                     raise NotImplementedError(f"encoder compression {compression!r}")
-        self.compression = {"none": 1, "deflate": 8, "packbits": 32773}[compression]
+        self.compression = {
+            "none": 1, "deflate": 8, "packbits": 32773, "lzw": 5,
+            "lzma": 34925, "zstd": 50000, "webp": 50001,
+        }[compression]
         self.predictor = predictor
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW writer (MSB-first, early-change) — mirror of
+    ``libtiff tif_lzw.c``'s encoder: CLEAR(256)/EOI(257), first code
+    258, width bumps one code early, table reset at code 4094."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {}
+
+    def reset():
+        table.clear()
+        for i in range(256):
+            table[bytes([i])] = i
+        return 258, 9
+
+    next_code, width = reset()
+    put(CLEAR, width)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        # early change: width bumps when the NEXT code to emit would
+        # not fit — one code earlier than plain LZW
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(CLEAR, width)
+            next_code, width = reset()
+        cur = bytes([b])
+    if cur:
+        put(table[cur], width)
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _packbits_encode(data: bytes) -> bytes:

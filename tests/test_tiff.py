@@ -190,12 +190,27 @@ def test_byte_tif_georeferencing():
 
 @needs_ref
 def test_unsupported_compressions_raise_loudly():
-    for name in ["gtiff/byte_ZSTD.tif", "gtiff/byte_LZMA.tif", "gtiff/byte_LERC.tif"]:
+    for name in ["gtiff/byte_LERC.tif"]:
         if not os.path.exists(os.path.join(DATA, name)):
             continue
         with pytest.raises(NotImplementedError) as ei:
             tiff.decode(_load(name))
         assert "cluster" in str(ei.value) or "not supported" in str(ei.value)
+
+
+@needs_ref
+def test_lzma_zstd_autotest_fixtures_decode():
+    # autotest/gcore/tiff_read.py pins byte-content parity with byte.tif
+    # (checksum 4672) for every recompressed byte_*.tif variant
+    from gdal_spark.raster.checksum import checksum_band
+
+    for name, code in [("gtiff/byte_ZSTD.tif", 50000),
+                       ("gtiff/byte_LZMA.tif", 34925)]:
+        if not os.path.exists(os.path.join(DATA, name)):
+            continue
+        arr, info = tiff.decode_full(_load(name))
+        assert info["compression"] == code
+        assert checksum_band(arr) == 4672
 
 
 # ---------------------------------------------------------------------------
