@@ -5405,6 +5405,64 @@ GROUP BY o_orderkey
 """
 
 
+def _q_tga_roundtrip(spark, sf_dir):
+    """TGA codec (frmts/tga/tgadataset.cpp; decode pinned on all ten
+    published autotest checksums + footer metadata strings in
+    tests/test_tga.py): per sampled order a closed-form 26x30 RGB grid
+    encodes as TGA (RLE when okey%2=1, uncompressed otherwise) and
+    decodes back inside Arrow batches; per-channel stats regenerate
+    closed-form in DuckDB.  Both paths are lossless."""
+    import pandas as _pd
+
+    from gdal_spark.raster import tga as TGA
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 25").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(26), _np.arange(30), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                rgb = _np.stack([
+                    (2 * r + 9 * c + okey) % 256,
+                    (5 * r + c + 3 * okey) % 256,
+                    (r + r * c + okey) % 256,
+                ], axis=-1).astype(_np.uint8)
+                g = TGA.decode_full(TGA.encode(rgb, rle=bool(okey % 2)))
+                outs.append((
+                    okey, int(g["bands"]),
+                    float(g["pixels"][..., 0].astype(_np.int64).sum()),
+                    float(g["pixels"][..., 1].astype(_np.int64).sum()),
+                    int(g["pixels"][..., 2].min()),
+                    int(g["pixels"][..., 2].max()),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "bands", "red_sum", "green_sum",
+                               "blue_min", "blue_max"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, bands long, red_sum double, green_sum double,"
+                " blue_min long, blue_max long"),
+    )
+
+
+TGA_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(3 AS BIGINT) AS bands,
+       CAST(sum((2*r + 9*c + o_orderkey) % 256) AS DOUBLE) AS red_sum,
+       CAST(sum((5*r + c + 3*o_orderkey) % 256) AS DOUBLE) AS green_sum,
+       CAST(min((r + r*c + o_orderkey) % 256) AS BIGINT) AS blue_min,
+       CAST(max((r + r*c + o_orderkey) % 256) AS BIGINT) AS blue_max
+FROM orders, generate_series(0, 25) s1(r), generate_series(0, 29) s2(c)
+WHERE o_orderkey % 200 = 25
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -5961,6 +6019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_roundtrip": _q_gif_roundtrip,
         "bmp_roundtrip": _q_bmp_roundtrip,
         "tiff_codec_matrix": _q_tiff_codec_matrix,
+        "tga_roundtrip": _q_tga_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6085,6 +6144,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_roundtrip": GIF_ORACLE,
         "bmp_roundtrip": BMP_ORACLE,
         "tiff_codec_matrix": TIFF_CODEC_ORACLE,
+        "tga_roundtrip": TGA_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
