@@ -1464,6 +1464,35 @@ def _zarr3d_v3_fixture() -> str:
     return p
 
 
+def _zarr3d_zstd_fixture() -> str:
+    """Same closed-form cube, Zarr v2 with the numcodecs **zstd**
+    compressor (the modern Zarr default; chunks compressed by the
+    capability-probed libzstd, native/zstd_lib.py)."""
+    import tempfile
+
+    from gdal_spark.sources import zarr as Z
+
+    p = _os.path.join(tempfile.gettempdir(), "gdal_spark_zarr3d_zstd_1")
+    if not _os.path.exists(_os.path.join(p, ".zarray")):
+        t, y, x = _np.meshgrid(
+            *[_np.arange(s) for s in _ZARR3D_SHAPE], indexing="ij"
+        )
+        arr = ((t * 7 + y * 3 + x) % 101).astype(_np.float64)
+        Z.write_zarr_nd(p, arr, _ZARR3D_CHUNKS, compressor="zstd", level=3)
+    return p
+
+
+def _q_zarr_zstd_window(spark, sf_dir):
+    """Zarr v2 + zstd-compressed chunks (numcodecs Zstd = one standard
+    zstd frame per chunk; frmts/zarr decodes via libzstd — here the
+    capability-probed native/zstd_lib.py): identical window, pruning
+    and long-form contract as the zlib/gzip queries, same closed-form
+    oracle — so all three compressor paths pin to the same values."""
+    from gdal_spark.sources import zarr as Z
+
+    return Z.zarr_hypercube_window(spark, _zarr3d_zstd_fixture(), _ZARR3D_WIN)
+
+
 def _q_zarr_v3_window(spark, sf_dir):
     """Zarr v3 window read (frmts/zarr reads v2 AND v3; v3 core spec:
     zarr.json array node, regular chunk grid, default c/-separated
@@ -5971,6 +6000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": _q_geoparquet_roundtrip,
         "zarr_3d_window": _q_zarr_3d_window,
         "zarr_v3_window": _q_zarr_v3_window,
+        "zarr_zstd_window": _q_zarr_zstd_window,
         "zarr_axis_stats": _q_zarr_axis_stats,
         "netcdf_window": _q_netcdf_window,
         "netcdf4_window": _q_netcdf4_window,
@@ -6080,6 +6110,7 @@ def oracle_sql() -> dict[str, str]:
         "geoparquet_roundtrip": GEOPARQUET_ORACLE,
         "zarr_3d_window": ZARR_3D_ORACLE,
         "zarr_v3_window": ZARR_3D_ORACLE,
+        "zarr_zstd_window": ZARR_3D_ORACLE,
         "zarr_axis_stats": ZARR_AXIS_ORACLE,
         "netcdf_window": NETCDF_WINDOW_ORACLE,
         "netcdf4_window": NETCDF_WINDOW_ORACLE,

@@ -16,8 +16,13 @@ Format notes (public Zarr v2 spec):
   index per dimension).
 - Edge chunks are stored FULL-SIZE (padded with fill_value).
 
-Scope: 2-D arrays, C order, zlib or uncompressed, any NumPy numeric
-dtype. Blosc/LZ4 compressors raise loudly (not in this container).
+Scope: any NumPy numeric dtype, C or F chunk order, compressors
+null / zlib / gzip / **zstd** (capability-probed libzstd,
+``native/zstd_lib.py`` — the modern Zarr default) / **lz4**
+(numcodecs 4-byte-size-prefix frame through liblz4,
+``native/lz4_lib.py``).  Blosc raises loudly naming the c-blosc
+library (its block/split container is only safely decoded by the
+real library).
 
 Scale design: ``read_zarr_chunks`` parallelizes over chunk files via
 ``spark.read.format("binaryFile")`` (each chunk decodes independently
@@ -42,6 +47,75 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_BLOSC_MSG = (
+    "compressor 'blosc' needs the c-blosc cluster library — its "
+    "block/split container is not safely re-implementable without it"
+)
+
+
+def _comp_meta(compressor: str | None, level: int):
+    """compressor name → .zarray compressor JSON value."""
+    if compressor is None:
+        return None
+    if compressor == "zlib":
+        return {"id": "zlib", "level": level}
+    if compressor == "gzip":
+        return {"id": "gzip", "level": level}
+    if compressor == "zstd":
+        return {"id": "zstd", "level": level}
+    if compressor == "lz4":
+        return {"id": "lz4", "acceleration": 1}
+    raise NotImplementedError(f"writer compressor {compressor!r}")
+
+
+def _encode_chunk(raw: bytes, compressor: str | None, level: int) -> bytes:
+    if compressor is None:
+        return raw
+    if compressor == "zlib":
+        return zlib.compress(raw, level)
+    if compressor == "gzip":
+        import gzip as _gzip
+
+        return _gzip.compress(raw, level)
+    if compressor == "zstd":
+        from gdal_spark.native import zstd_lib
+
+        return zstd_lib.compress(raw, level)
+    if compressor == "lz4":
+        from gdal_spark.native import lz4_lib
+
+        return lz4_lib.compress_frame(raw)
+    raise NotImplementedError(f"writer compressor {compressor!r}")
+
+
+def _decode_chunk(raw: bytes, comp_id: str | None, nbytes: int) -> bytes:
+    """One chunk file's bytes → uncompressed buffer of `nbytes`."""
+    if comp_id is None:
+        return raw
+    if comp_id == "zlib":
+        return zlib.decompress(raw)
+    if comp_id == "gzip":
+        import gzip as _gzip
+
+        return _gzip.decompress(raw)
+    if comp_id == "zstd":
+        from gdal_spark.native import zstd_lib
+
+        return zstd_lib.decompress(raw, nbytes)
+    if comp_id == "lz4":
+        from gdal_spark.native import lz4_lib
+
+        return lz4_lib.decompress_frame(raw)
+    if comp_id == "blosc":
+        raise NotImplementedError(_BLOSC_MSG)
+    raise NotImplementedError(
+        f"compressor {comp_id!r} needs its codec library"
+    )
+
+
+_KNOWN_COMP = (None, "zlib", "gzip", "zstd", "lz4")
+
+
 def write_zarr(
     path: str,
     arr: np.ndarray,
@@ -63,9 +137,7 @@ def write_zarr(
         "chunks": [cy, cx],
         "dtype": arr.dtype.str,
         "order": "C",
-        "compressor": (
-            {"id": "zlib", "level": level} if compressor == "zlib" else None
-        ),
+        "compressor": _comp_meta(compressor, level),
         "fill_value": fill_value,
         "filters": None,
     }
@@ -77,9 +149,7 @@ def write_zarr(
             block = np.full((cy, cx), fill_value, dtype=arr.dtype)
             part = arr[i * cy : min((i + 1) * cy, h), j * cx : min((j + 1) * cx, w)]
             block[: part.shape[0], : part.shape[1]] = part
-            raw = block.tobytes(order="C")
-            if compressor == "zlib":
-                raw = zlib.compress(raw, level)
+            raw = _encode_chunk(block.tobytes(order="C"), compressor, level)
             with open(os.path.join(path, f"{i}.{j}"), "wb") as f:
                 f.write(raw)
 
@@ -87,13 +157,16 @@ def write_zarr(
 def read_zarray_meta(path: str) -> dict:
     with open(os.path.join(path, ".zarray")) as f:
         meta = json.load(f)
-    if len(meta["shape"]) != 2 or meta.get("order", "C") != "C":
-        raise NotImplementedError("only 2-D C-order Zarr v2 arrays supported")
+    if len(meta["shape"]) != 2:
+        raise NotImplementedError("only 2-D arrays in this reader")
+    if meta.get("order", "C") not in ("C", "F"):
+        raise ValueError(f"bad order {meta.get('order')!r}")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
+    if comp is not None and comp.get("id") not in _KNOWN_COMP:
+        if comp.get("id") == "blosc":
+            raise NotImplementedError(_BLOSC_MSG)
         raise NotImplementedError(
-            f"compressor {comp.get('id')!r} needs its codec library — "
-            "only zlib/uncompressed are available in-container"
+            f"compressor {comp.get('id')!r} needs its codec library"
         )
     return meta
 
@@ -111,7 +184,8 @@ def read_zarr_chunks(
     H, W = meta["shape"]
     CY, CX = meta["chunks"]
     dtype = np.dtype(meta["dtype"])
-    compressed = meta.get("compressor") is not None
+    comp_id = (meta.get("compressor") or {}).get("id")
+    order = meta.get("order", "C")
 
     ny, nx = -(-H // CY), -(-W // CX)
     if window is not None:
@@ -138,10 +212,10 @@ def read_zarr_chunks(
             for r in pdf.itertuples():
                 name = os.path.basename(r.path)
                 i, j = (int(v) for v in name.split("."))
-                raw = bytes(r.content)
-                if compressed:
-                    raw = zlib.decompress(raw)
-                block = np.frombuffer(raw, dtype=dtype).reshape(CY, CX)
+                raw = _decode_chunk(
+                    bytes(r.content), comp_id, CY * CX * dtype.itemsize)
+                block = np.frombuffer(raw, dtype=dtype).reshape(
+                    (CY, CX), order=order)
                 h = min(CY, H - i * CY)
                 w = min(CX, W - j * CX)
                 rows.append(
@@ -188,9 +262,7 @@ def write_zarr_nd(
         "chunks": list(int(c) for c in chunks),
         "dtype": arr.dtype.str,
         "order": "C",
-        "compressor": (
-            {"id": "zlib", "level": level} if compressor == "zlib" else None
-        ),
+        "compressor": _comp_meta(compressor, level),
         "fill_value": fill_value,
         "filters": None,
     }
@@ -207,9 +279,7 @@ def write_zarr_nd(
         )
         part = arr[sel]
         block[tuple(slice(0, p) for p in part.shape)] = part
-        raw = block.tobytes(order="C")
-        if compressor == "zlib":
-            raw = zlib.compress(raw, level)
+        raw = _encode_chunk(block.tobytes(order="C"), compressor, level)
         with open(os.path.join(path, ".".join(str(i) for i in idx)), "wb") as f:
             f.write(raw)
 
@@ -217,13 +287,14 @@ def write_zarr_nd(
 def read_zarray_meta_nd(path: str) -> dict:
     with open(os.path.join(path, ".zarray")) as f:
         meta = json.load(f)
-    if meta.get("order", "C") != "C":
-        raise NotImplementedError("only C-order Zarr v2 arrays supported")
+    if meta.get("order", "C") not in ("C", "F"):
+        raise ValueError(f"bad order {meta.get('order')!r}")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
+    if comp is not None and comp.get("id") not in _KNOWN_COMP:
+        if comp.get("id") == "blosc":
+            raise NotImplementedError(_BLOSC_MSG)
         raise NotImplementedError(
-            f"compressor {comp.get('id')!r} needs its codec library — "
-            "only zlib/uncompressed are available in-container"
+            f"compressor {comp.get('id')!r} needs its codec library"
         )
     return meta
 
@@ -256,6 +327,11 @@ def write_zarr_v3(
     codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
     if codec == "gzip":
         codecs.append({"name": "gzip", "configuration": {"level": level}})
+    elif codec == "zstd":
+        codecs.append({"name": "zstd",
+                       "configuration": {"level": level, "checksum": False}})
+    elif codec is not None:
+        raise NotImplementedError(f"v3 writer codec {codec!r}")
     meta = {
         "zarr_format": 3,
         "node_type": "array",
@@ -287,6 +363,10 @@ def write_zarr_v3(
         raw = block.astype(le, copy=False).tobytes(order="C")
         if codec == "gzip":
             raw = _gzip.compress(raw, level)
+        elif codec == "zstd":
+            from gdal_spark.native import zstd_lib
+
+            raw = zstd_lib.compress(raw, level)
         d = os.path.join(path, "c", *[str(i) for i in idx[:-1]])
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, str(idx[-1])), "wb") as f:
@@ -302,11 +382,11 @@ def read_zarr_meta_v3(path: str) -> dict:
     names = [c["name"] for c in m.get("codecs", [])]
     if names and names[0] != "bytes":
         raise NotImplementedError("v3 codec chain must start with 'bytes'")
-    extra = [n for n in names[1:] if n != "gzip"]
+    extra = [n for n in names[1:] if n not in ("gzip", "zstd")]
     if extra:
         raise NotImplementedError(
-            f"v3 codecs {extra} need their codec libraries — only "
-            "bytes/gzip are available in-container"
+            f"v3 codecs {extra} need their codec libraries — "
+            "bytes/gzip/zstd are available in-container"
         )
     endian = "<"
     for c in m.get("codecs", []):
@@ -323,7 +403,10 @@ def read_zarr_meta_v3(path: str) -> dict:
         "shape": m["shape"],
         "chunks": m["chunk_grid"]["configuration"]["chunk_shape"],
         "dtype": dtype,
-        "compressor": {"id": "gzip"} if "gzip" in names else None,
+        "compressor": (
+            {"id": "gzip"} if "gzip" in names
+            else {"id": "zstd"} if "zstd" in names else None
+        ),
         "v3": True,
         "sep": sep,
     }
@@ -360,6 +443,7 @@ def read_zarr_chunks_nd(
     csz = [int(c) for c in meta["chunks"]]
     dtype = np.dtype(meta["dtype"])
     comp_id = (meta.get("compressor") or {}).get("id")
+    order = meta.get("order", "C")
     ngrid = [-(-s // c) for s, c in zip(shape, csz)]
     if window is not None:
         if len(window) != len(shape):
@@ -385,8 +469,6 @@ def read_zarr_chunks_nd(
     rank = len(shape)
 
     def decode(it):
-        import gzip as _gzip
-
         for pdf in it:
             rows = []
             for r in pdf.itertuples():
@@ -395,12 +477,10 @@ def read_zarr_chunks_nd(
                     idx = [int(v) for v in parts]
                 else:
                     idx = [int(v) for v in os.path.basename(r.path).split(".")]
-                raw = bytes(r.content)
-                if comp_id == "gzip":
-                    raw = _gzip.decompress(raw)
-                elif comp_id == "zlib":
-                    raw = zlib.decompress(raw)
-                block = np.frombuffer(raw, dtype=dtype).reshape(csz)
+                nbytes = int(np.prod(csz)) * dtype.itemsize
+                raw = _decode_chunk(bytes(r.content), comp_id, nbytes)
+                block = np.frombuffer(raw, dtype=dtype).reshape(
+                    csz, order=order)
                 dims = [
                     min(c, s - i * c) for i, c, s in zip(idx, csz, shape)
                 ]
