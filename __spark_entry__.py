@@ -5492,6 +5492,75 @@ GROUP BY o_orderkey
 """
 
 
+def _q_dted_roundtrip(spark, sf_dir):
+    """DTED codec (frmts/dted/dted_api.c + dted_create.c; decode pinned
+    on the published autotest checksums 49187/305/56006/56369, the
+    n43.tif GeoTIFF twin, and the partial/sparse/inverted-coordinate
+    fixtures in tests/test_dted.py): per sampled order a closed-form
+    121x121 level-0 elevation grid (negatives exercise the
+    signed-magnitude records) writes as a DTED cell anchored at a
+    key-derived lon/lat corner and reads back inside Arrow batches;
+    elevation stats and the area-convention geotransform origin
+    regenerate closed-form in DuckDB.  The codec is lossless int16,
+    so the roundtrip is exact."""
+    import pandas as _pd
+
+    from gdal_spark.raster import dted as DTED
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 77").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(121), _np.arange(121), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((7 * r + 11 * c + okey) % 4000) - 500).astype(
+                    _np.int16)
+                lon = -float(okey % 180)
+                lat = float(okey % 80) - 40.0
+                arr, info = DTED.read_dted(
+                    DTED.write_dted(elev, ll_lon=lon, ll_lat=lat),
+                    verify_checksum=True)
+                gt = info["geotransform"]
+                outs.append((
+                    okey,
+                    float(arr.astype(_np.int64).sum()),
+                    int(arr.min()), int(arr.max()),
+                    float(gt[0]), float(gt[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "elev_sum", "elev_min", "elev_max",
+                               "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, elev_sum double, elev_min long, elev_max long,"
+                " origin_x double, origin_y double"),
+    )
+
+
+DTED_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((7*r + 11*c + o_orderkey) % 4000 - 500) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((7*r + 11*c + o_orderkey) % 4000 - 500) AS BIGINT)
+           AS elev_min,
+       CAST(max((7*r + 11*c + o_orderkey) % 4000 - 500) AS BIGINT)
+           AS elev_max,
+       CAST(-(o_orderkey % 180) AS DOUBLE)
+           - 0.5 * (CAST(300 AS DOUBLE) / 36000.0) AS origin_x,
+       (CAST(o_orderkey % 80 AS DOUBLE) - 40.0)
+           - 0.5 * (CAST(300 AS DOUBLE) / 36000.0)
+           + 121 * (CAST(300 AS DOUBLE) / 36000.0) AS origin_y
+FROM orders, generate_series(0, 120) s1(r), generate_series(0, 120) s2(c)
+WHERE o_orderkey % 200 = 77
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6050,6 +6119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_roundtrip": _q_bmp_roundtrip,
         "tiff_codec_matrix": _q_tiff_codec_matrix,
         "tga_roundtrip": _q_tga_roundtrip,
+        "dted_roundtrip": _q_dted_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6176,6 +6246,7 @@ def oracle_sql() -> dict[str, str]:
         "bmp_roundtrip": BMP_ORACLE,
         "tiff_codec_matrix": TIFF_CODEC_ORACLE,
         "tga_roundtrip": TGA_ORACLE,
+        "dted_roundtrip": DTED_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
