@@ -5561,6 +5561,82 @@ GROUP BY o_orderkey
 """
 
 
+def _q_terrain_grid_roundtrip(spark, sf_dir):
+    """Terrain-grid interchange formats (frmts/gsg/gsbgdataset.cpp,
+    gsagdataset.cpp, gs7bgdataset.cpp Surfer 6 binary/ASCII + Surfer 7;
+    frmts/raw/btdataset.cpp VTP binary terrain; decode pinned on the
+    autotest gsg fixtures at checksum 4672 and the float32.tif BT
+    round trip in tests/test_terrain.py — the SRTMHGT sibling is
+    pinned there too at 60918 but its fixed 1201x1201 cell is too
+    large for a closed-form oracle): per sampled order a 30x40 int16
+    elevation grid round-trips through the format chosen by okey%4;
+    stats and the recovered geotransform origin regenerate
+    closed-form in DuckDB.  All four paths are lossless for
+    integer-valued grids."""
+    import pandas as _pd
+
+    from gdal_spark.raster import terrain as TERRAIN
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 33").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    pairs = [
+        (TERRAIN.write_gsbg, TERRAIN.read_gsbg, "gsbg"),
+        (TERRAIN.write_gsag, TERRAIN.read_gsag, "gsag"),
+        (TERRAIN.write_gs7bg, TERRAIN.read_gs7bg, "gs7bg"),
+        (TERRAIN.write_bt, TERRAIN.read_bt, "bt"),
+    ]
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(30), _np.arange(40), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((3 * r + 13 * c + okey) % 2000) - 300).astype(
+                    _np.int16)
+                gt = (float(okey % 100), 2.0, 0.0,
+                      float(okey % 50), 0.0, -1.5)
+                writer, reader, fmt = pairs[okey % 4]
+                arr, info = reader(writer(elev, gt))
+                g = info["geotransform"]
+                outs.append((
+                    okey, fmt,
+                    float(_np.asarray(arr, _np.float64).sum()),
+                    int(arr.min()), int(arr.max()),
+                    float(g[0]), float(g[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "fmt", "elev_sum", "elev_min",
+                               "elev_max", "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, fmt string, elev_sum double, elev_min long,"
+                " elev_max long, origin_x double, origin_y double"),
+    )
+
+
+TERRAIN_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CASE CAST(o_orderkey % 4 AS INTEGER)
+            WHEN 0 THEN 'gsbg' WHEN 1 THEN 'gsag'
+            WHEN 2 THEN 'gs7bg' ELSE 'bt' END AS fmt,
+       CAST(sum((3*r + 13*c + o_orderkey) % 2000 - 300) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((3*r + 13*c + o_orderkey) % 2000 - 300) AS BIGINT)
+           AS elev_min,
+       CAST(max((3*r + 13*c + o_orderkey) % 2000 - 300) AS BIGINT)
+           AS elev_max,
+       CAST(o_orderkey % 100 AS DOUBLE) AS origin_x,
+       CAST(o_orderkey % 50 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 29) s1(r), generate_series(0, 39) s2(c)
+WHERE o_orderkey % 200 = 33
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6120,6 +6196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_codec_matrix": _q_tiff_codec_matrix,
         "tga_roundtrip": _q_tga_roundtrip,
         "dted_roundtrip": _q_dted_roundtrip,
+        "terrain_grid_roundtrip": _q_terrain_grid_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6247,6 +6324,7 @@ def oracle_sql() -> dict[str, str]:
         "tiff_codec_matrix": TIFF_CODEC_ORACLE,
         "tga_roundtrip": TGA_ORACLE,
         "dted_roundtrip": DTED_ORACLE,
+        "terrain_grid_roundtrip": TERRAIN_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
