@@ -5637,6 +5637,69 @@ GROUP BY o_orderkey
 """
 
 
+def _q_usgsdem_roundtrip(spark, sf_dir):
+    """USGS DEM reader (frmts/usgsdem/usgsdemdataset.cpp; decode pinned
+    on all eight published autotest checksums — 1583/53864/61424/
+    39443/10659/56679/61078/14172 — plus five published geotransforms
+    across the four A-record layouts in tests/test_usgsdem.py): per
+    sampled order a 25x20 int16 elevation grid writes as a new-format
+    geographic cell (B-record profiles, 1024-byte records) and reads
+    back inside Arrow batches; stats and the node-registered
+    geotransform origin regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import usgsdem as USGSDEM
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 121").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(25), _np.arange(20), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((5 * r + 17 * c + okey) % 3000) - 400).astype(
+                    _np.int16)
+                lon = -float(okey % 90)
+                lat = float(okey % 60) - 30.0
+                arr, info = USGSDEM.read_usgsdem(
+                    USGSDEM.write_usgsdem(elev, sw_lon=lon, sw_lat=lat))
+                gt = info["geotransform"]
+                outs.append((
+                    okey,
+                    float(arr.astype(_np.int64).sum()),
+                    int(arr.min()), int(arr.max()),
+                    float(gt[0]), float(gt[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "elev_sum", "elev_min", "elev_max",
+                               "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, elev_sum double, elev_min long, elev_max long,"
+                " origin_x double, origin_y double"),
+    )
+
+
+USGSDEM_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((5*r + 17*c + o_orderkey) % 3000 - 400) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((5*r + 17*c + o_orderkey) % 3000 - 400) AS BIGINT)
+           AS elev_min,
+       CAST(max((5*r + 17*c + o_orderkey) % 3000 - 400) AS BIGINT)
+           AS elev_max,
+       CAST(-(o_orderkey % 90) AS DOUBLE) - 0.5 AS origin_x,
+       (CAST(o_orderkey % 60 AS DOUBLE) - 30.0) + 24.0 + 0.5 AS origin_y
+FROM orders, generate_series(0, 24) s1(r), generate_series(0, 19) s2(c)
+WHERE o_orderkey % 200 = 121
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6197,6 +6260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tga_roundtrip": _q_tga_roundtrip,
         "dted_roundtrip": _q_dted_roundtrip,
         "terrain_grid_roundtrip": _q_terrain_grid_roundtrip,
+        "usgsdem_roundtrip": _q_usgsdem_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6325,6 +6389,7 @@ def oracle_sql() -> dict[str, str]:
         "tga_roundtrip": TGA_ORACLE,
         "dted_roundtrip": DTED_ORACLE,
         "terrain_grid_roundtrip": TERRAIN_ORACLE,
+        "usgsdem_roundtrip": USGSDEM_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
