@@ -5700,6 +5700,70 @@ GROUP BY o_orderkey
 """
 
 
+def _q_ehdr_roundtrip(spark, sf_dir):
+    """EHdr ESRI .hdr raw codec (frmts/raw/ehdrdataset.cpp; decode
+    pinned on the autotest checksums 27/8202/2042/4672, size-inferred
+    NBITS, msbfirst, signed promotion via negative NODATA, sub-byte
+    packing in tests/test_ehdr.py): per sampled order a closed-form
+    3-band 22x18 int16 cube round-trips through BIL data + .hdr text
+    inside Arrow batches; per-band stats and the center-registered
+    geotransform origin regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import ehdr as EHDR
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 188").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(22), _np.arange(18), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                cube = _np.stack([
+                    ((2 * r + 7 * c + okey) % 1000) - 100,
+                    ((9 * r + c + 2 * okey) % 1000) - 100,
+                    ((r * c + 3 * okey) % 1000) - 100,
+                ], axis=-1).astype(_np.int16)
+                gt = (float(okey % 1000), 30.0, 0.0,
+                      float(okey % 500), 0.0, -30.0)
+                data, hdr = EHDR.write_ehdr(cube, gt, nodata=-9999.0)
+                arr, info = EHDR.read_ehdr(data, hdr)
+                g = info["geotransform"]
+                outs.append((
+                    okey,
+                    float(arr[:, :, 0].astype(_np.int64).sum()),
+                    float(arr[:, :, 1].astype(_np.int64).sum()),
+                    int(arr[:, :, 2].min()), int(arr[:, :, 2].max()),
+                    float(g[0]), float(g[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "b1_sum", "b2_sum", "b3_min",
+                               "b3_max", "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, b1_sum double, b2_sum double, b3_min long,"
+                " b3_max long, origin_x double, origin_y double"),
+    )
+
+
+EHDR_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((2*r + 7*c + o_orderkey) % 1000 - 100) AS DOUBLE) AS b1_sum,
+       CAST(sum((9*r + c + 2*o_orderkey) % 1000 - 100) AS DOUBLE) AS b2_sum,
+       CAST(min((r*c + 3*o_orderkey) % 1000 - 100) AS BIGINT) AS b3_min,
+       CAST(max((r*c + 3*o_orderkey) % 1000 - 100) AS BIGINT) AS b3_max,
+       CAST(o_orderkey % 1000 AS DOUBLE) AS origin_x,
+       CAST(o_orderkey % 500 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 21) s1(r), generate_series(0, 17) s2(c)
+WHERE o_orderkey % 200 = 188
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6261,6 +6325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dted_roundtrip": _q_dted_roundtrip,
         "terrain_grid_roundtrip": _q_terrain_grid_roundtrip,
         "usgsdem_roundtrip": _q_usgsdem_roundtrip,
+        "ehdr_roundtrip": _q_ehdr_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6390,6 +6455,7 @@ def oracle_sql() -> dict[str, str]:
         "dted_roundtrip": DTED_ORACLE,
         "terrain_grid_roundtrip": TERRAIN_ORACLE,
         "usgsdem_roundtrip": USGSDEM_ORACLE,
+        "ehdr_roundtrip": EHDR_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
