@@ -5764,6 +5764,74 @@ GROUP BY o_orderkey
 """
 
 
+def _q_gpx_roundtrip(spark, sf_dir):
+    """GPX 1.1 source/sink (ogr/ogrsf_frmts/gpx/; parse pinned on the
+    autotest's published field/geometry/metadata values — incl. the
+    stale-link-flag metadata quirk — and the writer byte-for-byte on
+    ogr_gpx_8_ref.txt in tests/test_gpx.py): per sampled order a
+    closed-form track of 12 points writes as a GPX document and
+    parses back through the track_points layer inside Arrow batches;
+    coordinate/elevation stats regenerate closed-form in DuckDB.
+    Coordinates are integer-valued, so the text round trip is
+    exact."""
+    import pandas as _pd
+
+    from gdal_spark.sources import gpx as GPX
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 64").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                feats = []
+                for i in range(12):
+                    lon = (okey + 3 * i) % 360 - 180
+                    lat = (okey + 7 * i) % 180 - 90
+                    ele = (okey + 11 * i) % 5000
+                    feats.append({
+                        "wkt": f"POINT ({lon} {lat})", "ele": float(ele),
+                        "track_fid": 0, "track_seg_id": i // 6,
+                    })
+                doc = GPX.write_gpx("track_points", feats)
+                back = GPX.parse_gpx(doc.encode(), "track_points")
+                lons = [float(f["wkt"].split("(")[1].split()[0])
+                        for f in back]
+                lats = [float(f["wkt"].split()[2].rstrip(")"))
+                        for f in back]
+                outs.append((
+                    okey, len(back),
+                    float(sum(f["ele"] for f in back)),
+                    float(sum(lons)), float(sum(lats)),
+                    int(max(f["track_seg_id"] for f in back)),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "n_points", "ele_sum", "lon_sum",
+                               "lat_sum", "max_seg"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, n_points long, ele_sum double, lon_sum double,"
+                " lat_sum double, max_seg long"),
+    )
+
+
+GPX_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(12 AS BIGINT) AS n_points,
+       CAST(sum((o_orderkey + 11*i) % 5000) AS DOUBLE) AS ele_sum,
+       CAST(sum((o_orderkey + 3*i) % 360 - 180) AS DOUBLE) AS lon_sum,
+       CAST(sum((o_orderkey + 7*i) % 180 - 90) AS DOUBLE) AS lat_sum,
+       CAST(1 AS BIGINT) AS max_seg
+FROM orders, generate_series(0, 11) s(i)
+WHERE o_orderkey % 200 = 64
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6326,6 +6394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_grid_roundtrip": _q_terrain_grid_roundtrip,
         "usgsdem_roundtrip": _q_usgsdem_roundtrip,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
+        "gpx_roundtrip": _q_gpx_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6456,6 +6525,7 @@ def oracle_sql() -> dict[str, str]:
         "terrain_grid_roundtrip": TERRAIN_ORACLE,
         "usgsdem_roundtrip": USGSDEM_ORACLE,
         "ehdr_roundtrip": EHDR_ORACLE,
+        "gpx_roundtrip": GPX_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
