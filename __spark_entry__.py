@@ -5832,6 +5832,92 @@ GROUP BY o_orderkey
 """
 
 
+def _q_rmf_roundtrip(spark, sf_dir):
+    """RMF Panorama codec (frmts/rmf/ incl. rmflzw.cpp hash-table LZW
+    and rmfdem.cpp differential coder; decode pinned on ALL published
+    autotest checksums — byte 4672, lzw 40503, DEM t100 6388, rgb
+    triples, big-endian, 1/4-bit, overview chain 32756/51233/3192,
+    and the JPEG tiles reproducing GDAL's exact published band
+    checksums when the system libjpeg decodes them — in
+    tests/test_rmf.py): per sampled order either a 3-band RSW grid
+    LZW-round-trips or an int32 MTW grid DEM-round-trips inside Arrow
+    batches; stats and the geotransform origin regenerate closed-form
+    in DuckDB.  Both codecs are lossless."""
+    import pandas as _pd
+
+    from gdal_spark.raster import rmf as RMF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 146").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(24), _np.arange(30), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                px = float(okey % 90 + 1)
+                if okey % 2:
+                    cube = _np.stack([
+                        (4 * r + 3 * c + okey) % 256,
+                        (r * c + 2 * okey) % 256,
+                        (6 * r + c + okey) % 256,
+                    ], axis=-1).astype(_np.uint8)
+                    buf = RMF.write_rmf(cube, pixel_size=px, llx=10.0,
+                                        lly=20.0, compression="LZW",
+                                        tile_size=(16, 16))
+                    arr, info = RMF.read_rmf(buf)
+                    b1s = float(arr[:, :, 0].astype(_np.int64).sum())
+                    b2s = float(arr[:, :, 1].astype(_np.int64).sum())
+                    b3m = int(arr[:, :, 2].max())
+                else:
+                    dem = (((4 * r + 3 * c + okey) % 9000) - 2000).astype(
+                        _np.int32)
+                    buf = RMF.write_rmf(dem, mtw=True,
+                                        compression="RMF_DEM",
+                                        pixel_size=px, llx=10.0, lly=20.0,
+                                        nodata=-32767.0,
+                                        tile_size=(16, 16))
+                    arr, info = RMF.read_rmf(buf)
+                    b1s = float(arr.astype(_np.int64).sum())
+                    b2s = 0.0
+                    b3m = int(arr.max())
+                gt = info["geotransform"]
+                outs.append((okey, b1s, b2s, b3m,
+                             float(gt[0]), float(gt[3])))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "b1_sum", "b2_sum", "b3_max",
+                               "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, b1_sum double, b2_sum double, b3_max long,"
+                " origin_x double, origin_y double"),
+    )
+
+
+RMF_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CASE WHEN o_orderkey % 2 = 1
+            THEN CAST(sum((4*r + 3*c + o_orderkey) % 256) AS DOUBLE)
+            ELSE CAST(sum((4*r + 3*c + o_orderkey) % 9000 - 2000) AS DOUBLE)
+       END AS b1_sum,
+       CASE WHEN o_orderkey % 2 = 1
+            THEN CAST(sum((r*c + 2*o_orderkey) % 256) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS b2_sum,
+       CASE WHEN o_orderkey % 2 = 1
+            THEN CAST(max((6*r + c + o_orderkey) % 256) AS BIGINT)
+            ELSE CAST(max((4*r + 3*c + o_orderkey) % 9000 - 2000) AS BIGINT)
+       END AS b3_max,
+       CAST(10.0 AS DOUBLE) AS origin_x,
+       20.0 + 24 * CAST(o_orderkey % 90 + 1 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 23) s1(r), generate_series(0, 29) s2(c)
+WHERE o_orderkey % 200 = 146
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6395,6 +6481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usgsdem_roundtrip": _q_usgsdem_roundtrip,
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "gpx_roundtrip": _q_gpx_roundtrip,
+        "rmf_roundtrip": _q_rmf_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6526,6 +6613,7 @@ def oracle_sql() -> dict[str, str]:
         "usgsdem_roundtrip": USGSDEM_ORACLE,
         "ehdr_roundtrip": EHDR_ORACLE,
         "gpx_roundtrip": GPX_ORACLE,
+        "rmf_roundtrip": RMF_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
