@@ -5918,6 +5918,89 @@ GROUP BY o_orderkey
 """
 
 
+def _q_pds_roundtrip(spark, sf_dir):
+    """PDS3 reader (frmts/pds/pdsdataset.cpp + nasakeywordhandler;
+    decode pinned on all nine published autotest checksums
+    47151/34962/1367/3418/2748/4672/50938/14019/64740 plus the
+    published geotransforms, scale/offset/nodata and hex-float
+    nodata in tests/test_pds.py): per sampled order a closed-form
+    20x26 MSB int16 grid is wrapped in a synthesized attached-label
+    PDS3 (ODL label record + ^IMAGE record pointer) and decoded back
+    inside Arrow batches; stats and the PDS3 default-shift
+    geotransform origin regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import pds as PDS
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 172").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(20), _np.arange(26), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((8 * r + 5 * c + okey) % 6000) - 1500).astype(
+                    _np.int16)
+                spo = float(okey % 100)
+                lpo = float(okey % 50)
+                label = (
+                    'PDS_VERSION_ID = "PDS3"\n'
+                    "RECORD_TYPE = FIXED_LENGTH\n"
+                    "RECORD_BYTES = 1024\n"
+                    "^IMAGE = 2\n"
+                    "OBJECT = IMAGE\n"
+                    "  LINES = 20\n"
+                    "  LINE_SAMPLES = 26\n"
+                    "  SAMPLE_TYPE = MSB_INTEGER\n"
+                    "  SAMPLE_BITS = 16\n"
+                    "END_OBJECT = IMAGE\n"
+                    "OBJECT = IMAGE_MAP_PROJECTION\n"
+                    '  MAP_PROJECTION_TYPE = "SINUSOIDAL"\n'
+                    "  MAP_SCALE = 2.0 <METERS/PIXEL>\n"
+                    f"  SAMPLE_PROJECTION_OFFSET = {spo} <PIXEL>\n"
+                    f"  LINE_PROJECTION_OFFSET = {lpo} <PIXEL>\n"
+                    "END_OBJECT = IMAGE_MAP_PROJECTION\n"
+                    "END\n").encode()
+                buf = label + b" " * (1024 - len(label)) \
+                    + elev.astype(">i2").tobytes()
+                arr, info = PDS.read_pds(buf)
+                gt = info["geotransform"]
+                outs.append((
+                    okey,
+                    float(arr.astype(_np.int64).sum()),
+                    int(arr.min()), int(arr.max()),
+                    float(gt[0]), float(gt[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "elev_sum", "elev_min", "elev_max",
+                               "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, elev_sum double, elev_min long, elev_max long,"
+                " origin_x double, origin_y double"),
+    )
+
+
+PDS_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((8*r + 5*c + o_orderkey) % 6000 - 1500) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((8*r + 5*c + o_orderkey) % 6000 - 1500) AS BIGINT)
+           AS elev_min,
+       CAST(max((8*r + 5*c + o_orderkey) % 6000 - 1500) AS BIGINT)
+           AS elev_max,
+       (CAST(o_orderkey % 100 AS DOUBLE) + 0.5) * 2.0 * -1.0 AS origin_x,
+       (CAST(o_orderkey % 50 AS DOUBLE) + 0.5) * 2.0 * 1.0 AS origin_y
+FROM orders, generate_series(0, 19) s1(r), generate_series(0, 25) s2(c)
+WHERE o_orderkey % 200 = 172
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6482,6 +6565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ehdr_roundtrip": _q_ehdr_roundtrip,
         "gpx_roundtrip": _q_gpx_roundtrip,
         "rmf_roundtrip": _q_rmf_roundtrip,
+        "pds_roundtrip": _q_pds_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6614,6 +6698,7 @@ def oracle_sql() -> dict[str, str]:
         "ehdr_roundtrip": EHDR_ORACLE,
         "gpx_roundtrip": GPX_ORACLE,
         "rmf_roundtrip": RMF_ORACLE,
+        "pds_roundtrip": PDS_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
