@@ -6001,6 +6001,71 @@ GROUP BY o_orderkey
 """
 
 
+def _q_ers_roundtrip(spark, sf_dir):
+    """ERMapper ERS codec (frmts/ers/ersdataset.cpp + ershdrnode.cpp
+    tokenizer; decode pinned on the autotest checksums 64074/56588,
+    the exact published statistics dict, Int8 typing, and the
+    case-insensitive header in tests/test_ers.py): per sampled order
+    a 3-band 18x24 int16 cube round-trips through the .ers header +
+    raw BIL pair inside Arrow batches; per-band stats and the
+    registration-coordinate origin regenerate closed-form in
+    DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import ers as ERS
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 58").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(18), _np.arange(24), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                cube = _np.stack([
+                    ((3 * r + 11 * c + okey) % 4000) - 800,
+                    ((r * c + 5 * okey) % 4000) - 800,
+                    ((7 * r + 2 * c + okey) % 4000) - 800,
+                ], axis=-1).astype(_np.int16)
+                gt = (float(okey % 1000), 25.0, 0.0,
+                      float(okey % 400), 0.0, -25.0)
+                hdr, data = ERS.write_ers(cube, gt, nodata=-9999.0)
+                arr, info = ERS.read_ers(hdr, data)
+                g = info["geotransform"]
+                outs.append((
+                    okey,
+                    float(arr[:, :, 0].astype(_np.int64).sum()),
+                    float(arr[:, :, 1].astype(_np.int64).sum()),
+                    int(arr[:, :, 2].min()), int(arr[:, :, 2].max()),
+                    float(g[0]), float(g[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "b1_sum", "b2_sum", "b3_min",
+                               "b3_max", "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, b1_sum double, b2_sum double, b3_min long,"
+                " b3_max long, origin_x double, origin_y double"),
+    )
+
+
+ERS_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((3*r + 11*c + o_orderkey) % 4000 - 800) AS DOUBLE) AS b1_sum,
+       CAST(sum((r*c + 5*o_orderkey) % 4000 - 800) AS DOUBLE) AS b2_sum,
+       CAST(min((7*r + 2*c + o_orderkey) % 4000 - 800) AS BIGINT) AS b3_min,
+       CAST(max((7*r + 2*c + o_orderkey) % 4000 - 800) AS BIGINT) AS b3_max,
+       CAST(o_orderkey % 1000 AS DOUBLE) AS origin_x,
+       CAST(o_orderkey % 400 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 17) s1(r), generate_series(0, 23) s2(c)
+WHERE o_orderkey % 200 = 58
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6566,6 +6631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_roundtrip": _q_gpx_roundtrip,
         "rmf_roundtrip": _q_rmf_roundtrip,
         "pds_roundtrip": _q_pds_roundtrip,
+        "ers_roundtrip": _q_ers_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6699,6 +6765,7 @@ def oracle_sql() -> dict[str, str]:
         "gpx_roundtrip": GPX_ORACLE,
         "rmf_roundtrip": RMF_ORACLE,
         "pds_roundtrip": PDS_ORACLE,
+        "ers_roundtrip": ERS_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
