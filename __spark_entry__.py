@@ -6066,6 +6066,70 @@ GROUP BY o_orderkey
 """
 
 
+def _q_ilwis_roundtrip(spark, sf_dir):
+    """ILWIS codec (frmts/ilwis/ilwisdataset.cpp; decode pinned on the
+    autotest checksums 2351 (class-domain Byte) and 350 (Real store +
+    value domain → UInt8 via the ValueRange raw→value conversion),
+    plus 4672/21053 round trips in tests/test_ilwis.py): per sampled
+    order an int16 20x25 grid round-trips through the .mpr/.grf/.mp#
+    set inside Arrow batches; stats and the GeoRefCorners origin
+    regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import ilwis as ILWIS
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 11").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(20), _np.arange(25), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((6 * r + 7 * c + okey) % 5000) - 1000).astype(
+                    _np.int16)
+                gt = (float(okey % 800), 15.0, 0.0,
+                      float(okey % 300), 0.0, -15.0)
+                files = ILWIS.write_ilwis(elev, "t", gt)
+                files = {k: (v.encode() if isinstance(v, str) else v)
+                         for k, v in files.items()}
+                arr, info = ILWIS.read_ilwis(files, "t.mpr")
+                g = info["geotransform"]
+                outs.append((
+                    okey,
+                    float(arr.astype(_np.int64).sum()),
+                    int(arr.min()), int(arr.max()),
+                    float(g[0]), float(g[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "elev_sum", "elev_min", "elev_max",
+                               "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, elev_sum double, elev_min long, elev_max long,"
+                " origin_x double, origin_y double"),
+    )
+
+
+ILWIS_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((6*r + 7*c + o_orderkey) % 5000 - 1000) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((6*r + 7*c + o_orderkey) % 5000 - 1000) AS BIGINT)
+           AS elev_min,
+       CAST(max((6*r + 7*c + o_orderkey) % 5000 - 1000) AS BIGINT)
+           AS elev_max,
+       CAST(o_orderkey % 800 AS DOUBLE) AS origin_x,
+       CAST(o_orderkey % 300 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 19) s1(r), generate_series(0, 24) s2(c)
+WHERE o_orderkey % 200 = 11
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6632,6 +6696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmf_roundtrip": _q_rmf_roundtrip,
         "pds_roundtrip": _q_pds_roundtrip,
         "ers_roundtrip": _q_ers_roundtrip,
+        "ilwis_roundtrip": _q_ilwis_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6766,6 +6831,7 @@ def oracle_sql() -> dict[str, str]:
         "rmf_roundtrip": RMF_ORACLE,
         "pds_roundtrip": PDS_ORACLE,
         "ers_roundtrip": ERS_ORACLE,
+        "ilwis_roundtrip": ILWIS_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
