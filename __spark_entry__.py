@@ -6130,6 +6130,86 @@ GROUP BY o_orderkey
 """
 
 
+def _q_legacy_raster_formats(spark, sf_dir):
+    """Legacy raster codecs LAN / GTX / Terragen (frmts/raw/
+    landataset.cpp, gtxdataset.cpp, frmts/terragen/; decode pinned on
+    the autotest checksums 10/10, 64183, 1128 plus the DOQ2
+    4201/4010/5820 row pins and the ISIS2 382 pin in
+    tests/test_legacy_formats.py): per sampled order an int16 grid
+    round-trips through the format chosen by okey%3 inside Arrow
+    batches; stats and the recovered geotransform origin regenerate
+    closed-form in DuckDB.  All three paths are lossless for int16
+    (GTX stores float32, exact for these magnitudes)."""
+    import pandas as _pd
+
+    from gdal_spark.raster import legacy_formats as LF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 97").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(16), _np.arange(22), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((9 * r + 4 * c + okey) % 3000) - 700).astype(
+                    _np.int16)
+                gt = (float(okey % 600), 10.0, 0.0,
+                      float(okey % 200), 0.0, -10.0)
+                pick = okey % 3
+                if pick == 0:
+                    arr, info = LF.read_lan(LF.write_lan(elev, gt))
+                    fmt = "lan"
+                elif pick == 1:
+                    arr, info = LF.read_gtx(
+                        LF.write_gtx(elev.astype(_np.float32), gt))
+                    arr = arr.astype(_np.int64)
+                    fmt = "gtx"
+                else:
+                    arr, info = LF.read_terragen(
+                        LF.write_terragen(elev))
+                    info = dict(info, geotransform=gt)  # terragen has
+                    # no world anchor; gt passthrough for the compare
+                    fmt = "terragen"
+                g = info["geotransform"]
+                outs.append((
+                    okey, fmt,
+                    float(_np.asarray(arr, _np.float64).sum()),
+                    int(_np.asarray(arr).min()),
+                    int(_np.asarray(arr).max()),
+                    float(g[0]), float(g[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "fmt", "elev_sum", "elev_min",
+                               "elev_max", "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, fmt string, elev_sum double, elev_min long,"
+                " elev_max long, origin_x double, origin_y double"),
+    )
+
+
+LEGACY_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CASE CAST(o_orderkey % 3 AS INTEGER)
+            WHEN 0 THEN 'lan' WHEN 1 THEN 'gtx' ELSE 'terragen' END AS fmt,
+       CAST(sum((9*r + 4*c + o_orderkey) % 3000 - 700) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((9*r + 4*c + o_orderkey) % 3000 - 700) AS BIGINT)
+           AS elev_min,
+       CAST(max((9*r + 4*c + o_orderkey) % 3000 - 700) AS BIGINT)
+           AS elev_max,
+       CAST(o_orderkey % 600 AS DOUBLE) AS origin_x,
+       CAST(o_orderkey % 200 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 15) s1(r), generate_series(0, 21) s2(c)
+WHERE o_orderkey % 200 = 97
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6697,6 +6777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pds_roundtrip": _q_pds_roundtrip,
         "ers_roundtrip": _q_ers_roundtrip,
         "ilwis_roundtrip": _q_ilwis_roundtrip,
+        "legacy_raster_formats": _q_legacy_raster_formats,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6832,6 +6913,7 @@ def oracle_sql() -> dict[str, str]:
         "pds_roundtrip": PDS_ORACLE,
         "ers_roundtrip": ERS_ORACLE,
         "ilwis_roundtrip": ILWIS_ORACLE,
+        "legacy_raster_formats": LEGACY_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
