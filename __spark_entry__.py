@@ -6210,6 +6210,76 @@ GROUP BY o_orderkey
 """
 
 
+def _q_gml_roundtrip(spark, sf_dir):
+    """GML source/sink (ogr/ogrsf_frmts/gml/; parse pinned on the
+    published ionic_wfs polygon + Name, rnf linestring + typed
+    fields, the bom.gml nested-element flattening (#3680), and the
+    archsites gml:pos form in tests/test_gml.py): per sampled order a
+    closed-form mixed layer (points + a polygon) writes as an
+    ogr-style GML 2 FeatureCollection and parses back inside Arrow
+    batches; field/coordinate stats regenerate closed-form in
+    DuckDB.  Coordinates are integer-valued so the text round trip
+    is exact."""
+    import pandas as _pd
+
+    from gdal_spark.sources import gml as GML
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 139").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                feats = []
+                for i in range(10):
+                    x = (okey + 13 * i) % 1000
+                    y = (okey + 29 * i) % 500
+                    feats.append({"wkt": f"POINT ({x} {y})",
+                                  "rank": (okey + i) % 97})
+                x0 = okey % 100
+                feats.append({
+                    "wkt": (f"POLYGON (({x0} 0,{x0 + 8} 0,"
+                            f"{x0 + 8} 6,{x0} 6,{x0} 0))"),
+                    "rank": okey % 97})
+                doc = GML.write_gml("sites", feats)
+                back = GML.parse_gml(doc.encode())["sites"]
+                pts = [f for f in back if f["wkt"].startswith("POINT")]
+                xs = [float(f["wkt"].split("(")[1].split()[0])
+                      for f in pts]
+                ys = [float(f["wkt"].split()[2].rstrip(")"))
+                      for f in pts]
+                outs.append((
+                    okey, len(back),
+                    float(sum(xs)), float(sum(ys)),
+                    float(sum(f["rank"] for f in back)),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "n_feats", "x_sum", "y_sum",
+                               "rank_sum"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, n_feats long, x_sum double, y_sum double,"
+                " rank_sum double"),
+    )
+
+
+GML_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(11 AS BIGINT) AS n_feats,
+       CAST(sum((o_orderkey + 13*i) % 1000) AS DOUBLE) AS x_sum,
+       CAST(sum((o_orderkey + 29*i) % 500) AS DOUBLE) AS y_sum,
+       CAST(sum((o_orderkey + i) % 97) + (o_orderkey % 97) AS DOUBLE)
+           AS rank_sum
+FROM orders, generate_series(0, 9) s(i)
+WHERE o_orderkey % 200 = 139
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6778,6 +6848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ers_roundtrip": _q_ers_roundtrip,
         "ilwis_roundtrip": _q_ilwis_roundtrip,
         "legacy_raster_formats": _q_legacy_raster_formats,
+        "gml_roundtrip": _q_gml_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6914,6 +6985,7 @@ def oracle_sql() -> dict[str, str]:
         "ers_roundtrip": ERS_ORACLE,
         "ilwis_roundtrip": ILWIS_ORACLE,
         "legacy_raster_formats": LEGACY_ORACLE,
+        "gml_roundtrip": GML_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,

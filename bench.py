@@ -80,6 +80,11 @@ def run(sf_dir: str, cpus: str | None) -> dict:
         "fgb_roundtrip",
         "jpeg_progressive",
         "webp_lz77_roundtrip",
+        # round-5 final: the two heaviest of the twelve new format
+        # codecs (RMF exercises the Panorama LZW + DEM coders both
+        # ways; USGSDEM is the ASCII-parse stress)
+        "rmf_roundtrip",
+        "usgsdem_roundtrip",
     ]
     def _isolate():
         # measurement isolation (VERDICT r03 item 6): drop any cached
