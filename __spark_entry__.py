@@ -6280,6 +6280,80 @@ GROUP BY o_orderkey
 """
 
 
+def _q_saga_kro_roundtrip(spark, sf_dir):
+    """SAGA GIS + KOLOR KRO codecs (frmts/saga/sagadataset.cpp,
+    frmts/raw/krodataset.cpp; decode pinned on the autotest SAGA
+    checksum 108 + geotransform and the 21053/4672 KRO round trips in
+    tests/test_bsb.py — which also pins the BSB chart reader's four
+    30321 fixtures): per sampled order an int16 grid round-trips
+    through SAGA (.sgrd/.sdat, bottom-up) or KRO (big-endian BIP) by
+    okey%2; stats and the SAGA node-registered origin regenerate
+    closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import legacy_formats as LF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 103").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(14), _np.arange(19), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((5 * r + 9 * c + okey) % 2500) - 600).astype(
+                    _np.int16)
+                gt = (float(okey % 700), 20.0, 0.0,
+                      float(okey % 350), 0.0, -20.0)
+                if okey % 2:
+                    hdr, data = LF.write_saga(elev, gt)
+                    arr, info = LF.read_saga(hdr, data)
+                    g = info["geotransform"]
+                    ox, oy = float(g[0]), float(g[3])
+                    fmt = "saga"
+                else:
+                    arr, _ = LF.read_kro(LF.write_kro(
+                        (elev.astype(_np.int32) + 600).astype(_np.uint16)))
+                    arr = arr.astype(_np.int64) - 600
+                    ox, oy = float(gt[0]), float(gt[3])
+                    fmt = "kro"
+                outs.append((
+                    okey, fmt,
+                    float(_np.asarray(arr, _np.float64).sum()),
+                    int(_np.asarray(arr).min()),
+                    int(_np.asarray(arr).max()),
+                    ox, oy,
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "fmt", "elev_sum", "elev_min",
+                               "elev_max", "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, fmt string, elev_sum double, elev_min long,"
+                " elev_max long, origin_x double, origin_y double"),
+    )
+
+
+SAGA_KRO_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CASE WHEN o_orderkey % 2 = 1 THEN 'saga' ELSE 'kro' END AS fmt,
+       CAST(sum((5*r + 9*c + o_orderkey) % 2500 - 600) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((5*r + 9*c + o_orderkey) % 2500 - 600) AS BIGINT)
+           AS elev_min,
+       CAST(max((5*r + 9*c + o_orderkey) % 2500 - 600) AS BIGINT)
+           AS elev_max,
+       CAST(o_orderkey % 700 AS DOUBLE) AS origin_x,
+       CAST(o_orderkey % 350 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 13) s1(r), generate_series(0, 18) s2(c)
+WHERE o_orderkey % 200 = 103
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6849,6 +6923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ilwis_roundtrip": _q_ilwis_roundtrip,
         "legacy_raster_formats": _q_legacy_raster_formats,
         "gml_roundtrip": _q_gml_roundtrip,
+        "saga_kro_roundtrip": _q_saga_kro_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -6986,6 +7061,7 @@ def oracle_sql() -> dict[str, str]:
         "ilwis_roundtrip": ILWIS_ORACLE,
         "legacy_raster_formats": LEGACY_ORACLE,
         "gml_roundtrip": GML_ORACLE,
+        "saga_kro_roundtrip": SAGA_KRO_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,

@@ -288,6 +288,120 @@ def write_terragen(arr: np.ndarray, scal: float = 30.0,
     return bytes(out)
 
 
+# ------------------------------------------------------------------- SAGA
+
+_SAGA_FORMATS = {
+    "bit": np.dtype("u1"), "byte_unsigned": np.dtype("u1"),
+    "byte": np.dtype("i1"), "shortint_unsigned": np.dtype("<u2"),
+    "shortint": np.dtype("<i2"), "integer_unsigned": np.dtype("<u4"),
+    "integer": np.dtype("<i4"), "float": np.dtype("<f4"),
+    "double": np.dtype("<f8"),
+}
+_SAGA_NAMES = {"u1": "BYTE_UNSIGNED", "i1": "BYTE",
+               "u2": "SHORTINT_UNSIGNED", "i2": "SHORTINT",
+               "u4": "INTEGER_UNSIGNED", "i4": "INTEGER",
+               "f4": "FLOAT", "f8": "DOUBLE"}
+
+
+def read_saga(sgrd_text: str, sdat: bytes,
+              header_only: bool = False):
+    """SAGA GIS .sgrd/.sdat pair (frmts/saga/sagadataset.cpp): tab
+    key=value header, bottom-up rows, node-registered POSITION_X/YMIN."""
+    kv = {}
+    for line in sgrd_text.splitlines():
+        if "=" in line:
+            k, _, v = line.partition("=")
+            kv[k.strip().upper()] = v.strip()
+    w = int(kv.get("CELLCOUNT_X", "0"))
+    h = int(kv.get("CELLCOUNT_Y", "0"))
+    if w <= 0 or h <= 0:
+        raise ValueError("SAGA header lacks CELLCOUNT")
+    fmt = kv.get("DATAFORMAT", "FLOAT").lower()
+    dt = _SAGA_FORMATS.get(fmt)
+    if dt is None:
+        raise ValueError(f"SAGA DATAFORMAT {fmt!r} unsupported")
+    if kv.get("BYTEORDER_BIG", "FALSE").upper() == "TRUE":
+        dt = dt.newbyteorder(">")
+    cell = float(kv.get("CELLSIZE", "1"))
+    xmin = float(kv.get("POSITION_XMIN", "0"))
+    ymin = float(kv.get("POSITION_YMIN", "0"))
+    top_to_bottom = kv.get("TOPTOBOTTOM", "FALSE").upper() == "TRUE"
+    offset = int(kv.get("DATAFILE_OFFSET", "0"))
+    gt = (xmin - cell / 2.0, cell, 0.0,
+          ymin + cell * (h - 1) + cell / 2.0, 0.0, -cell)
+    info = {"w": w, "h": h, "dtype": np.dtype(dt).base.name,
+            "geotransform": gt,
+            "nodata": float(kv.get("NODATA_VALUE", "-99999")),
+            "z_factor": float(kv.get("Z_FACTOR", "1"))}
+    if header_only:
+        return None, info
+    arr = np.frombuffer(sdat, dt, w * h, offset).reshape(h, w)
+    if not top_to_bottom:
+        arr = arr[::-1]
+    return arr.copy(), info
+
+
+def write_saga(arr: np.ndarray, geotransform=None,
+               nodata: float = -99999.0) -> tuple[str, bytes]:
+    arr = np.asarray(arr)
+    h, w = arr.shape
+    name = _SAGA_NAMES.get(arr.dtype.str.lstrip("<>=|"))
+    if name is None:
+        raise ValueError(f"SAGA cannot store {arr.dtype}")
+    gt = geotransform or (0.0, 1.0, 0.0, float(h), 0.0, -1.0)
+    cell = gt[1]
+    xmin = gt[0] + cell / 2.0
+    ymin = gt[3] + gt[5] * h + (-gt[5]) / 2.0
+    hdr = (
+        "NAME\t= gdal_spark\nDESCRIPTION\t= \nUNIT\t= \n"
+        "DATAFILE_OFFSET\t= 0\n"
+        f"DATAFORMAT\t= {name}\n"
+        "BYTEORDER_BIG\t= FALSE\n"
+        f"POSITION_XMIN\t= {xmin:.10f}\n"
+        f"POSITION_YMIN\t= {ymin:.10f}\n"
+        f"CELLCOUNT_X\t= {w}\n"
+        f"CELLCOUNT_Y\t= {h}\n"
+        f"CELLSIZE\t= {cell:.10f}\n"
+        "Z_FACTOR\t= 1.000000\n"
+        f"NODATA_VALUE\t= {nodata:.6f}\n"
+        "TOPTOBOTTOM\t= FALSE\n")
+    data = arr[::-1].astype(arr.dtype.newbyteorder("<")).tobytes()
+    return hdr, data
+
+
+# -------------------------------------------------------------------- KRO
+
+def read_kro(buf: bytes) -> tuple[np.ndarray, dict]:
+    """KOLOR raw (frmts/raw/krodataset.cpp): 'KRO\\x01' + big-endian
+    w/h/depth/ncomp, big-endian pixel-interleaved samples."""
+    if buf[:4] != b"KRO\x01":
+        raise ValueError("not a KRO file")
+    w, h, depth, ncomp = struct.unpack_from(">4i", buf, 4)
+    dt = {8: np.dtype(">u1"), 16: np.dtype(">u2"),
+          32: np.dtype(">f4")}.get(depth)
+    if dt is None:
+        raise ValueError(f"KRO depth {depth} unsupported")
+    flat = np.frombuffer(buf, dt, w * h * ncomp, 20)
+    cube = flat.reshape(h, w, ncomp)
+    arr = cube[:, :, 0] if ncomp == 1 else cube
+    return arr.copy(), {"w": w, "h": h, "bands": ncomp,
+                        "dtype": dt.base.name}
+
+
+def write_kro(arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    depth = {np.dtype("u1"): 8, np.dtype("u2"): 16,
+             np.dtype("f4"): 32}.get(np.dtype(arr.dtype.str.lstrip("<>=|")))
+    if depth is None:
+        raise ValueError(f"KRO cannot store {arr.dtype}")
+    hdr = b"KRO\x01" + struct.pack(">4i", w, h, depth, ncomp)
+    return hdr + np.ascontiguousarray(arr).astype(
+        arr.dtype.newbyteorder(">")).tobytes()
+
+
 # ------------------------------------------------------------------ ISIS2
 
 def read_isis2(buf: bytes) -> tuple[np.ndarray, dict]:
