@@ -6354,6 +6354,69 @@ GROUP BY o_orderkey
 """
 
 
+def _q_hfa_roundtrip(spark, sf_dir):
+    """HFA Erdas Imagine codec (frmts/hfa/ — MIF dictionary, entry
+    tree, ESRI block compression, .ige spill, .rrd overviews; decode
+    pinned on the published checksums 6691 / 23529 (+ exact pixel
+    value) / 1631 spill / 340 + 4247 overview chain in
+    tests/test_hfa.py): per sampled order a closed-form 70x90 int16
+    grid round-trips through a standard-layout .img (dictionary +
+    entry tree + RasterDMS blocks) inside Arrow batches; stats and
+    the Eprj_MapInfo origin regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import hfa as HFA
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 167").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(70), _np.arange(90), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((7 * r + 3 * c + okey) % 8000) - 2000).astype(
+                    _np.int16)
+                gt = (float(okey % 900), 12.5, 0.0,
+                      float(okey % 450), 0.0, -12.5)
+                arr, info = HFA.read_hfa(
+                    HFA.write_hfa(elev, gt, nodata=-9999.0))
+                g = info["geotransform"]
+                outs.append((
+                    okey,
+                    float(arr.astype(_np.int64).sum()),
+                    int(arr.min()), int(arr.max()),
+                    float(g[0]), float(g[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "elev_sum", "elev_min", "elev_max",
+                               "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, elev_sum double, elev_min long, elev_max long,"
+                " origin_x double, origin_y double"),
+    )
+
+
+HFA_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((7*r + 3*c + o_orderkey) % 8000 - 2000) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((7*r + 3*c + o_orderkey) % 8000 - 2000) AS BIGINT)
+           AS elev_min,
+       CAST(max((7*r + 3*c + o_orderkey) % 8000 - 2000) AS BIGINT)
+           AS elev_max,
+       CAST(o_orderkey % 900 AS DOUBLE) AS origin_x,
+       CAST(o_orderkey % 450 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 69) s1(r), generate_series(0, 89) s2(c)
+WHERE o_orderkey % 200 = 167
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6924,6 +6987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_raster_formats": _q_legacy_raster_formats,
         "gml_roundtrip": _q_gml_roundtrip,
         "saga_kro_roundtrip": _q_saga_kro_roundtrip,
+        "hfa_roundtrip": _q_hfa_roundtrip,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -7062,6 +7126,7 @@ def oracle_sql() -> dict[str, str]:
         "legacy_raster_formats": LEGACY_ORACLE,
         "gml_roundtrip": GML_ORACLE,
         "saga_kro_roundtrip": SAGA_KRO_ORACLE,
+        "hfa_roundtrip": HFA_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
