@@ -6417,6 +6417,92 @@ GROUP BY o_orderkey
 """
 
 
+def _q_isis3_read(spark, sf_dir):
+    """ISIS3 + VICAR planetary readers (frmts/pds/isis3dataset.cpp,
+    vicardataset.cpp; decode pinned on the published checksums
+    9978 (detached + GeoTIFF-core) / 42403 (tiled SignedWord) and the
+    VICAR truncated fixture's full published value set in
+    tests/test_isis3.py): per sampled order a closed-form int16 grid
+    is wrapped in a synthesized tiled ISIS3 cube (PVL label +
+    TileSamples/TileLines layout) and decoded back inside Arrow
+    batches; stats and the Mapping corner origin regenerate
+    closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import isis3 as ISIS3
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 83").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(40), _np.arange(60), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                elev = (((11 * r + 2 * c + okey) % 7000) - 3000).astype(
+                    _np.int16)
+                ulx = float(okey % 500)
+                uly = float(okey % 250)
+                label = (
+                    "Object = IsisCube\n  Object = Core\n"
+                    "    StartByte = 1025\n    Format = Tile\n"
+                    "    TileSamples = 32\n    TileLines = 16\n"
+                    "    Group = Dimensions\n      Samples = 60\n"
+                    "      Lines = 40\n      Bands = 1\n    End_Group\n"
+                    "    Group = Pixels\n      Type = SignedWord\n"
+                    "      ByteOrder = Lsb\n      Base = 0.0\n"
+                    "      Multiplier = 1.0\n    End_Group\n"
+                    "  End_Object\n  Group = Mapping\n"
+                    f"    UpperLeftCornerX = {ulx}\n"
+                    f"    UpperLeftCornerY = {uly}\n"
+                    "    PixelResolution = 4.0 <meters/pixel>\n"
+                    "  End_Group\nEnd_Object\nEnd\n").encode()
+                label += b" " * (1024 - len(label))
+                tiles = []
+                for ty in range(3):
+                    for tx in range(2):
+                        t = _np.zeros((16, 32), _np.int16)
+                        sub = elev[ty * 16:(ty + 1) * 16,
+                                   tx * 32:(tx + 1) * 32]
+                        t[:sub.shape[0], :sub.shape[1]] = sub
+                        tiles.append(t.astype("<i2").tobytes())
+                arr, info = ISIS3.read_isis3(label + b"".join(tiles))
+                g = info["geotransform"]
+                outs.append((
+                    okey,
+                    float(arr.astype(_np.int64).sum()),
+                    int(arr.min()), int(arr.max()),
+                    float(g[0]), float(g[3]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "elev_sum", "elev_min", "elev_max",
+                               "origin_x", "origin_y"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, elev_sum double, elev_min long, elev_max long,"
+                " origin_x double, origin_y double"),
+    )
+
+
+ISIS3_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((11*r + 2*c + o_orderkey) % 7000 - 3000) AS DOUBLE)
+           AS elev_sum,
+       CAST(min((11*r + 2*c + o_orderkey) % 7000 - 3000) AS BIGINT)
+           AS elev_min,
+       CAST(max((11*r + 2*c + o_orderkey) % 7000 - 3000) AS BIGINT)
+           AS elev_max,
+       CAST(o_orderkey % 500 AS DOUBLE) AS origin_x,
+       CAST(o_orderkey % 250 AS DOUBLE) AS origin_y
+FROM orders, generate_series(0, 39) s1(r), generate_series(0, 59) s2(c)
+WHERE o_orderkey % 200 = 83
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -6988,6 +7074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gml_roundtrip": _q_gml_roundtrip,
         "saga_kro_roundtrip": _q_saga_kro_roundtrip,
         "hfa_roundtrip": _q_hfa_roundtrip,
+        "isis3_read": _q_isis3_read,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -7127,6 +7214,7 @@ def oracle_sql() -> dict[str, str]:
         "gml_roundtrip": GML_ORACLE,
         "saga_kro_roundtrip": SAGA_KRO_ORACLE,
         "hfa_roundtrip": HFA_ORACLE,
+        "isis3_read": ISIS3_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
