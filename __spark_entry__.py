@@ -6503,6 +6503,80 @@ GROUP BY o_orderkey
 """
 
 
+def _q_mif_read(spark, sf_dir):
+    """MapInfo MIF/MID reader (ogr/ogrsf_frmts/mitab/
+    mitab_feature_mif.cpp; parse pinned vertex-exact on the
+    reference's own all_geoms.mif.golden.csv — 16/16 geometries incl.
+    the RoundRect/Ellipse/Arc tessellations and the Text rotation
+    rule — plus the small.mif field pins in tests/test_mif.py): per
+    sampled order a closed-form MIF+MID layer of points and a region
+    is synthesized as text and parsed back inside Arrow batches;
+    field/coordinate stats regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.sources import mif as MIF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 45").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                header = ("Version 300\nCharset \"Neutral\"\n"
+                          "Delimiter \",\"\nColumns 2\n"
+                          "  name Char (20)\n  rank Integer\nData\n\n")
+                body = []
+                mid = []
+                for i in range(9):
+                    x = (okey + 5 * i) % 1000
+                    y = (okey + 11 * i) % 600
+                    body.append(f"Point {x} {y}\n")
+                    mid.append(f'"p{i}",{(okey + i) % 89}\n')
+                x0 = okey % 200
+                body.append(
+                    f"Region 1\n  4\n  {x0} 0\n  {x0 + 5} 0\n"
+                    f"  {x0 + 5} 7\n  {x0} 0\n")
+                mid.append(f'"poly",{okey % 89}\n')
+                feats, _ = MIF.parse_mif(header + "".join(body),
+                                         "".join(mid))
+                pts = [f for f in feats
+                       if f["wkt"].startswith("POINT")]
+                xs = [float(f["wkt"].split("(")[1].split()[0])
+                      for f in pts]
+                ys = [float(f["wkt"].split()[2].rstrip(")"))
+                      for f in pts]
+                outs.append((
+                    okey, len(feats),
+                    float(sum(xs)), float(sum(ys)),
+                    float(sum(f["rank"] for f in feats)),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "n_feats", "x_sum", "y_sum",
+                               "rank_sum"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, n_feats long, x_sum double, y_sum double,"
+                " rank_sum double"),
+    )
+
+
+MIF_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(10 AS BIGINT) AS n_feats,
+       CAST(sum((o_orderkey + 5*i) % 1000) AS DOUBLE) AS x_sum,
+       CAST(sum((o_orderkey + 11*i) % 600) AS DOUBLE) AS y_sum,
+       CAST(sum((o_orderkey + i) % 89) + (o_orderkey % 89) AS DOUBLE)
+           AS rank_sum
+FROM orders, generate_series(0, 8) s(i)
+WHERE o_orderkey % 200 = 45
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -7075,6 +7149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "saga_kro_roundtrip": _q_saga_kro_roundtrip,
         "hfa_roundtrip": _q_hfa_roundtrip,
         "isis3_read": _q_isis3_read,
+        "mif_read": _q_mif_read,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -7215,6 +7290,7 @@ def oracle_sql() -> dict[str, str]:
         "saga_kro_roundtrip": SAGA_KRO_ORACLE,
         "hfa_roundtrip": HFA_ORACLE,
         "isis3_read": ISIS3_ORACLE,
+        "mif_read": MIF_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
