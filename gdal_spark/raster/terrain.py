@@ -265,6 +265,7 @@ def read_bt(buf: bytes) -> tuple[np.ndarray, dict]:
     arr = cols[:, ::-1].T.copy()
     gt = (left, (right - left) / nx, 0.0, top, 0.0, (bottom - top) / ny)
     return arr, {"geotransform": gt, "w": nx, "h": ny,
+                 "dtype": arr.dtype.name,
                  "version": version, "utm_zone": zone, "datum": datum,
                  "hunits": hunits,
                  "vscale": float(vscale) if vscale != 0.0 else 1.0}
