@@ -6577,6 +6577,74 @@ GROUP BY o_orderkey
 """
 
 
+def _q_dxf_read(spark, sf_dir):
+    """DXF reader (ogr/ogrsf_frmts/dxf/; parse pinned on the autotest
+    assorted.dxf published values — 22 features, ellipse/arc envelope
+    areas and first points, the blockless-DIMENSION fallback's exact
+    multilinestring/arrowheads/label, INSERT block merging and MTEXT
+    unescaping — in tests/test_dxf.py): per sampled order a
+    closed-form DXF document (points + a line + an LWPOLYLINE) is
+    synthesized and parsed back inside Arrow batches; coordinate
+    stats regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.sources import dxf as DXF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 19").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                rec = ["  0", "SECTION", "  2", "ENTITIES"]
+                for i in range(8):
+                    x = (okey + 7 * i) % 1000
+                    y = (okey + 3 * i) % 500
+                    rec += ["  0", "POINT", "  8", "0",
+                            " 10", str(x), " 20", str(y), " 30", "0.0"]
+                x0 = okey % 300
+                rec += ["  0", "LINE", "  8", "0",
+                        " 10", str(x0), " 20", "0", " 30", "0",
+                        " 11", str(x0 + 10), " 21", "5", " 31", "0"]
+                rec += ["  0", "LWPOLYLINE", "  8", "0", " 90", "3",
+                        " 70", "0",
+                        " 10", str(x0), " 20", "1",
+                        " 10", str(x0 + 2), " 20", "4",
+                        " 10", str(x0 + 6), " 20", "2"]
+                rec += ["  0", "ENDSEC", "  0", "EOF"]
+                feats = DXF.parse_dxf("\n".join(rec) + "\n")
+                pts = [f for f in feats
+                       if f["wkt"].startswith("POINT")]
+                xs = [float(f["wkt"].split("(")[1].split()[0])
+                      for f in pts]
+                ys = [float(f["wkt"].split()[2]) for f in pts]
+                outs.append((
+                    okey, len(feats),
+                    float(sum(xs)), float(sum(ys)),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "n_feats", "x_sum", "y_sum"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema="okey long, n_feats long, x_sum double, y_sum double",
+    )
+
+
+DXF_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(10 AS BIGINT) AS n_feats,
+       CAST(sum((o_orderkey + 7*i) % 1000) AS DOUBLE) AS x_sum,
+       CAST(sum((o_orderkey + 3*i) % 500) AS DOUBLE) AS y_sum
+FROM orders, generate_series(0, 7) s(i)
+WHERE o_orderkey % 200 = 19
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -7150,6 +7218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hfa_roundtrip": _q_hfa_roundtrip,
         "isis3_read": _q_isis3_read,
         "mif_read": _q_mif_read,
+        "dxf_read": _q_dxf_read,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -7291,6 +7360,7 @@ def oracle_sql() -> dict[str, str]:
         "hfa_roundtrip": HFA_ORACLE,
         "isis3_read": ISIS3_ORACLE,
         "mif_read": MIF_ORACLE,
+        "dxf_read": DXF_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
