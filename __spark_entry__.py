@@ -6645,6 +6645,68 @@ GROUP BY o_orderkey
 """
 
 
+def _q_georss_read(spark, sf_dir):
+    """GeoRSS reader (ogr/ogrsf_frmts/georss/; parse pinned on the
+    published WKTs for all four Simple geometries AND the where/GML
+    encodings plus the field/pubDate strings in
+    tests/test_georss.py): per sampled order a closed-form RSS feed
+    of georss:point items is synthesized and parsed back inside
+    Arrow batches; coordinate stats regenerate closed-form in
+    DuckDB.  GeoRSS stores lat lon — the swap is part of what the
+    oracle checks."""
+    import pandas as _pd
+
+    from gdal_spark.sources import georss as GEORSS
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 71").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                items = []
+                for i in range(11):
+                    lat = (okey + 9 * i) % 180 - 90
+                    lon = (okey + 4 * i) % 360 - 180
+                    items.append(
+                        "<item><title>p</title>"
+                        f"<georss:point>{lat} {lon}</georss:point>"
+                        "</item>")
+                doc = ('<?xml version="1.0"?>\n'
+                       '<rss version="2.0" '
+                       'xmlns:georss="http://www.georss.org/georss">'
+                       "<channel><title>t</title>"
+                       + "".join(items) + "</channel></rss>")
+                feats = GEORSS.parse_georss(doc.encode())
+                xs = [float(f["wkt"].split("(")[1].split()[0])
+                      for f in feats]
+                ys = [float(f["wkt"].split()[2].rstrip(")"))
+                      for f in feats]
+                outs.append((okey, len(feats),
+                             float(sum(xs)), float(sum(ys))))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "n_items", "lon_sum", "lat_sum"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema="okey long, n_items long, lon_sum double, lat_sum double",
+    )
+
+
+GEORSS_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(11 AS BIGINT) AS n_items,
+       CAST(sum((o_orderkey + 4*i) % 360 - 180) AS DOUBLE) AS lon_sum,
+       CAST(sum((o_orderkey + 9*i) % 180 - 90) AS DOUBLE) AS lat_sum
+FROM orders, generate_series(0, 10) s(i)
+WHERE o_orderkey % 200 = 71
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -7219,6 +7281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isis3_read": _q_isis3_read,
         "mif_read": _q_mif_read,
         "dxf_read": _q_dxf_read,
+        "georss_read": _q_georss_read,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -7361,6 +7424,7 @@ def oracle_sql() -> dict[str, str]:
         "isis3_read": ISIS3_ORACLE,
         "mif_read": MIF_ORACLE,
         "dxf_read": DXF_ORACLE,
+        "georss_read": GEORSS_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
