@@ -6707,6 +6707,95 @@ GROUP BY o_orderkey
 """
 
 
+def _q_nitf_read(spark, sf_dir):
+    """NITF reader (frmts/nitf/; decode pinned on the published
+    checksums rgb.ntf 21349 + exact adjusted-IGEOLO geotransform,
+    the three 1-bit fixtures at 170, and U_1050A C1 bilevel at 65024
+    via the reference's own wrap-in-CCITT-TIFF mechanism — in
+    tests/test_nitf.py): per sampled order a closed-form NITF 2.1
+    cell (file header, image subheader, IMODE B uncompressed blocks)
+    is synthesized byte-exactly and decoded back inside Arrow
+    batches; stats regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import nitf as NITF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 156").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(30), _np.arange(40), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                img = ((3 * r + 8 * c + okey) % 256).astype(_np.uint8)
+                data = img.tobytes()
+                # image subheader: fixed fields up to IMODE block
+                sub = bytearray(b" " * 333)
+                sub[0:2] = b"IM"
+                sub += b"%08d" % 30       # NROWS
+                sub += b"%08d" % 40       # NCOLS
+                sub += b"INT"             # PVTYPE
+                sub += b"MONO    "        # IREP
+                sub += b"VIS     "        # ICAT
+                sub += b"08"              # ABPP
+                sub += b"R"               # PJUST (off+37)
+                sub += b" "               # ICORDS blank
+                sub += b"0"               # NICOM
+                sub += b"NC"              # IC
+                sub += b"1"               # NBANDS
+                sub += b"M " + b" " * 6 + b"    " + b"0"  # band info
+                sub += b"0"               # ISYNC
+                sub += b"B"               # IMODE
+                sub += b"0001" * 2        # NBPR, NBPC
+                sub += b"0040"            # NPPBH (w)
+                sub += b"0030"            # NPPBV (h)
+                sub += b"08"              # NBPP
+                sub += b"001" + b"000" + b"0000000000" + b"1.0 "
+                sub += b"0" * 0
+                sub += b"00000"           # UDIDL
+                sub += b"00000"           # IXSHDL
+                hl = 360 + 3 + 16
+                fh = bytearray(b" " * hl)
+                fh[0:9] = b"NITF02.10"
+                fh[354:360] = b"%06d" % hl
+                fh[360:363] = b"001"
+                fh[363:369] = b"%06d" % len(sub)
+                fh[369:379] = b"%010d" % len(data)
+                buf = bytes(fh) + bytes(sub) + data
+                arr, info = NITF.read_nitf(buf)
+                outs.append((
+                    okey,
+                    float(arr.astype(_np.int64).sum()),
+                    int(arr.min()), int(arr.max()),
+                    int(info["w"]), int(info["h"]),
+                ))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "pix_sum", "pix_min", "pix_max",
+                               "w", "h"])
+
+    return ids.repartition(32).mapInPandas(
+        run,
+        schema=("okey long, pix_sum double, pix_min long, pix_max long,"
+                " w long, h long"),
+    )
+
+
+NITF_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((3*r + 8*c + o_orderkey) % 256) AS DOUBLE) AS pix_sum,
+       CAST(min((3*r + 8*c + o_orderkey) % 256) AS BIGINT) AS pix_min,
+       CAST(max((3*r + 8*c + o_orderkey) % 256) AS BIGINT) AS pix_max,
+       CAST(40 AS BIGINT) AS w,
+       CAST(30 AS BIGINT) AS h
+FROM orders, generate_series(0, 29) s1(r), generate_series(0, 39) s2(c)
+WHERE o_orderkey % 200 = 156
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -7282,6 +7371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mif_read": _q_mif_read,
         "dxf_read": _q_dxf_read,
         "georss_read": _q_georss_read,
+        "nitf_read": _q_nitf_read,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -7425,6 +7515,7 @@ def oracle_sql() -> dict[str, str]:
         "mif_read": MIF_ORACLE,
         "dxf_read": DXF_ORACLE,
         "georss_read": GEORSS_ORACLE,
+        "nitf_read": NITF_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
