@@ -6796,6 +6796,75 @@ GROUP BY o_orderkey
 """
 
 
+def _q_micro_formats_read(spark, sf_dir):
+    """JDEM + PAux micro-drivers (frmts/jdem/, frmts/raw/
+    pauxdataset.cpp; decode pinned on the published checksums
+    15/12816 — plus TIL 4672 and NDF 6510 + exact gt — in
+    tests/test_micro_formats.py): per sampled order a closed-form
+    grid synthesizes either a JDEM text cell (5-digit 0.1 m fields)
+    or a PAux .aux+raw pair by okey%2 and decodes back inside Arrow
+    batches; stats regenerate closed-form in DuckDB."""
+    import pandas as _pd
+
+    from gdal_spark.raster import micro_formats as MF
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ids = o.filter("o_orderkey % 200 = 128").select(
+        F.col("o_orderkey").cast("long").alias("okey"))
+
+    def run(batches):
+        r, c = _np.meshgrid(_np.arange(12), _np.arange(15), indexing="ij")
+        for pdf in batches:
+            outs = []
+            for okey in pdf["okey"]:
+                okey = int(okey)
+                vals = ((6 * r + 5 * c + okey) % 9000).astype(_np.int64)
+                if okey % 2:
+                    hdr = bytearray(b"0" * 1011)
+                    hdr[0:6] = b"JDEMHD"
+                    hdr[23:26] = b"%3d" % 15
+                    hdr[26:29] = b"%3d" % 12
+                    hdr[29:36] = b"0350000"
+                    hdr[36:43] = b"1350000"
+                    hdr[43:50] = b"0360000"
+                    hdr[50:57] = b"1360000"
+                    recs = []
+                    for row in range(12):
+                        rec = b"JDEMHD" + b"%3d" % (row + 1)
+                        rec += b"".join(b"%05d" % v
+                                        for v in vals[row])
+                        recs.append(rec + b"\r\n")
+                    arr, _ = MF.read_jdem(bytes(hdr) + b"".join(recs))
+                    # heights are value*0.1 in float32: recover the
+                    # raw integers exactly via rint(x*10)
+                    total = float(_np.rint(
+                        arr.astype(_np.float64) * 10.0).sum())
+                else:
+                    aux = ("AuxilaryTarget: x.raw\n"
+                           "RawDefinition: 15 12 1\n"
+                           "ChanDefinition-1: 16U 0 2 30 Swapped\n")
+                    raw = vals.astype("<u2").tobytes()
+                    arr, _ = MF.read_paux(aux, raw)
+                    total = float(arr.astype(_np.float64).sum())
+                outs.append((okey, total,
+                             "jdem" if okey % 2 else "paux"))
+            yield _pd.DataFrame(
+                outs, columns=["okey", "val_sum", "fmt"])
+
+    return ids.repartition(32).mapInPandas(
+        run, schema="okey long, val_sum double, fmt string")
+
+
+MICRO_ORACLE = """
+SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       CAST(sum((6*r + 5*c + o_orderkey) % 9000) AS DOUBLE) AS val_sum,
+       CASE WHEN o_orderkey % 2 = 1 THEN 'jdem' ELSE 'paux' END AS fmt
+FROM orders, generate_series(0, 11) s1(r), generate_series(0, 14) s2(c)
+WHERE o_orderkey % 200 = 128
+GROUP BY o_orderkey
+"""
+
+
 def _q_tiff_codec_matrix(spark, sf_dir):
     """GTiff LZMA(34925)/ZSTD(50000)/WebP-in-TIFF(50001)/Deflate(8)/LZW(5)
     codec matrix (frmts/gtiff/libtiff/tif_lzma.c, tif_zstd.c,
@@ -7372,6 +7441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dxf_read": _q_dxf_read,
         "georss_read": _q_georss_read,
         "nitf_read": _q_nitf_read,
+        "micro_formats_read": _q_micro_formats_read,
         "envi_window_read": _q_envi_window,
         "kml_roundtrip": _q_kml_roundtrip,
         "arrow_export_roundtrip": _q_arrow_export_roundtrip,
@@ -7516,6 +7586,7 @@ def oracle_sql() -> dict[str, str]:
         "dxf_read": DXF_ORACLE,
         "georss_read": GEORSS_ORACLE,
         "nitf_read": NITF_ORACLE,
+        "micro_formats_read": MICRO_ORACLE,
         "envi_window_read": ENVI_WINDOW_ORACLE,
         "kml_roundtrip": SHAPEFILE_POLY_ORACLE,
         "arrow_export_roundtrip": SHAPEFILE_ORACLE,
